@@ -1,0 +1,35 @@
+"""Sinks (SURVEY.md §2.1 S3-S4).
+
+Reference: ``write_csv``/``write.csv`` (BigDataProject.R:544,568-569) and
+``saveRDS`` model persistence (BigDataProject.R:570-572). Spark-first: the
+default sink is partitioned Parquet (scales to any size); single-file CSV
+is provided for report-sized outputs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Scale sink: partitioned, columnar. ``partition_by`` should be a
+    low-cardinality column (date, region) — never a key column."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv_single(df: DataFrame, path: str) -> None:
+    """S3 parity sink: single CSV with header (write.csv(row.names=FALSE)).
+
+    ``coalesce(1)`` funnels everything through one task — correct for the
+    report-sized tables the reference writes (≤205 rows), wrong for data-
+    sized output (use :func:`write_parquet` there).
+    """
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def save_model(model, path: str) -> None:
+    """S4: model sink (saveRDS analogue) via Spark ML's native writer."""
+    model.write().overwrite().save(path)
