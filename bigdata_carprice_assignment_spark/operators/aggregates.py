@@ -1,0 +1,139 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A14) and the EDA data
+reductions of §2.9 — all hash aggregations with automatic partial (map-
+side) combine; nothing here collects data-sized results to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_count(df: DataFrame, *cols: str, sort: bool = True) -> DataFrame:
+    """A1: ``count(brand, sort=TRUE)`` (BigDataProject.R:151-152)."""
+    out = df.groupBy(*cols).count()
+    if sort:
+        out = out.orderBy(F.desc("count"), *[F.asc(c) for c in cols])
+    return out
+
+
+def group_means(df: DataFrame, group: str, cols: Sequence[str]) -> DataFrame:
+    """A2: ``aggregate(. ~ cluster, FUN=mean)`` (BigDataProject.R:480-482)."""
+    return df.groupBy(group).agg(*[F.avg(c).alias(c) for c in cols])
+
+
+def na_counts(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """A4: ``colSums(is.na(df))`` — one row, one pass
+    (BigDataProject.R:78)."""
+    cols = list(cols or df.columns)
+    return df.select(
+        *[F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in cols]
+    )
+
+
+def exact_percentiles(df: DataFrame, col: str, probs: Sequence[float]) -> list[float]:
+    """A7: exact interpolating percentiles (R type-7 parity)."""
+    arr = ", ".join(str(p) for p in probs)
+    row = df.select(F.expr(f"percentile({col}, array({arr}))").alias("q")).first()
+    return [float(v) for v in row["q"]]
+
+
+def five_number_summary(df: DataFrame, group: str, col: str) -> DataFrame:
+    """§2.9 boxplot reduction: per-group min/Q1/median/Q3/max + IQR
+    whisker bounds (BigDataProject.R:146-149)."""
+    q = F.expr(f"percentile({col}, array(0.25, 0.5, 0.75))")
+    return (
+        df.groupBy(group)
+        .agg(
+            F.min(col).alias("lo"),
+            q[0].alias("q1"),
+            q[1].alias("median"),
+            q[2].alias("q3"),
+            F.max(col).alias("hi"),
+        )
+        .withColumn("whisker_lo", F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+        .withColumn("whisker_hi", F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+    )
+
+
+def histogram(df: DataFrame, col: str, bins: int = 30) -> DataFrame:
+    """§2.9 histogram reduction: equal-width bin counts
+    (BigDataProject.R:135-138, bins=30). Two passes: min/max scalars, then
+    one hash agg on ``floor((x-min)/w)`` with the max value clamped into
+    the last bin (matching R/ggplot edge handling)."""
+    lo, hi = df.agg(F.min(col), F.max(col)).first()
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) / bins or 1.0
+    bin_col = F.least(
+        F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+    ).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_lo", F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6))
+        .orderBy("bin")
+    )
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A13: pairwise Pearson correlation matrix (BigDataProject.R:159-162).
+
+    Decomposed into ONE aggregation pass computing all sufficient
+    statistics (n, sum, sum-of-squares, cross-products) — O(d²) scalar
+    aggregates, one shuffle-free reduce — then tiny driver-side arithmetic.
+    Equivalent to ``pyspark.ml.stat.Correlation`` without the vector
+    assembly detour; at 100 TB this is a single scan.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(c).alias(f"_s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"_ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"_cp_{a}_{b}"))
+    row = df.agg(*aggs).first()
+    n = row["_n"]
+    import math
+
+    def corr(a: str, b: str) -> float:
+        if a == b:
+            return 1.0
+        key = f"_cp_{a}_{b}" if f"_cp_{a}_{b}" in row.__fields__ else f"_cp_{b}_{a}"
+        cov = row[key] - row[f"_s_{a}"] * row[f"_s_{b}"] / n
+        va = row[f"_ss_{a}"] - row[f"_s_{a}"] ** 2 / n
+        vb = row[f"_ss_{b}"] - row[f"_s_{b}"] ** 2 / n
+        return cov / math.sqrt(va * vb)
+
+    spark = df.sparkSession
+    data = [(a, *[corr(a, b) for b in cols]) for a in cols]
+    return spark.createDataFrame(data, ["column", *cols])
+
+
+def crosstab_counts(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """A14: confusion/contingency counts in long form
+    (BigDataProject.R:363-364); pivot at the caller if wide form needed."""
+    return df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("n"))
+
+
+def item_frequency(df: DataFrame, items_col: str = "items") -> DataFrame:
+    """A11: explode + count + pct (associationRules.R:93-98, 268-277)."""
+    total = df.count()
+    return (
+        df.select(F.explode(items_col).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn("pct", F.round(F.col("count") / F.lit(total), 6))
+        .orderBy(F.desc("count"), F.asc("item"))
+    )
+
+
+def minmax(df: DataFrame, cols: Sequence[str]) -> dict[str, tuple[float, float]]:
+    """A8: per-column min/max, one pass (BigDataProject.R:498-499)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    row = df.agg(*aggs).first()
+    return {c: (float(row[f"_mn_{c}"]), float(row[f"_mx_{c}"])) for c in cols}

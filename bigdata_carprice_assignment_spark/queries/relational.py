@@ -1,1 +1,684 @@
-"""Placeholder — populated in later milestones."""
+"""Relational core queries (SURVEY.md §2.1-2.6) on the driver corpus.
+
+Each query exercises one or more inventory operators through the package's
+operator modules and carries a DuckDB oracle. Naming: every computed
+column aliased identically on both sides; doubles rounded identically
+(2dp currency sums, 4dp means, 6dp ratios/logs) so the driver's value
+hash is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import bucket_label_col, first_word
+from ..operators import aggregates as agg
+from ..operators import cleaning, joins, topk
+from ..registry import query
+from ..sources.readers import load_table
+
+# --------------------------------------------------------------------------
+# A1/A12-style wide aggregation: TPC-H Q1 shape (grouped 8-agg scan).
+# Scale: single scan, map-side partial agg, 6-group result. The shipdate
+# filter reaches the parquet scan (PushedFilters) — verified via explain.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary_report",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2025-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2025-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# T1: top-N by count with deterministic tie-break.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "top10_part_brands",
+    oracle="""
+SELECT p_brand, count(*) AS count
+FROM part GROUP BY p_brand
+ORDER BY count DESC, p_brand ASC LIMIT 10
+""",
+)
+def top10_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.top_n_by_count(load_table(spark, sf_dir, "part"), "p_brand", 10)
+
+
+# --------------------------------------------------------------------------
+# J1 chain: fact ⋈ broadcast dims (customer→nation→region), grouped revenue.
+# Scale: nation/region broadcast (no fact shuffle for dims); the one real
+# shuffle is lineitem⋈orders on orderkey, then orders⋈customer on custkey.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "region_revenue",
+    oracle="""
+SELECT r.r_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
+""",
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region")
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        df.groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# J2/P7: left-semi membership against a derived table (top segment).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "top_segment_order_stats",
+    oracle="""
+WITH top_seg AS (
+  SELECT c_mktsegment FROM customer GROUP BY c_mktsegment
+  ORDER BY count(*) DESC, c_mktsegment ASC LIMIT 1
+),
+seg_cust AS (
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment IN (SELECT c_mktsegment FROM top_seg)
+)
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spend
+FROM orders WHERE o_custkey IN (SELECT c_custkey FROM seg_cust)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def top_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    top_seg = topk.top_n_by_count(cust, "c_mktsegment", 1).select("c_mktsegment")
+    seg_cust = joins.semi_filter(cust, top_seg, "c_mktsegment").select("c_custkey")
+    seg_orders = joins.semi_filter(
+        orders, seg_cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    )
+    return (
+        seg_orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti join: customers with no orders (engine extension of J-family).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        joins.anti_filter(cust, orders, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# A7/§2.9: per-group five-number summary + IQR whiskers (boxplot reduction).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_price_five_number_summary",
+    oracle="""
+SELECT o_orderpriority,
+       round(min(o_totalprice), 2) AS lo,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS median,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS q3,
+       round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def order_price_five_number_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = agg.five_number_summary(orders, "o_orderpriority", "o_totalprice")
+    return base.select(
+        "o_orderpriority",
+        F.round("lo", 2).alias("lo"),
+        F.round("q1", 4).alias("q1"),
+        F.round("median", 4).alias("median"),
+        F.round("q3", 4).alias("q3"),
+        F.round("hi", 2).alias("hi"),
+    ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# F6+A7: IQR outlier cap (the reference's cap_outliers_iqr), then stats of
+# the capped column — proves clamp semantics without shipping 60k rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "iqr_capped_price_stats",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem
+),
+capped AS (
+  SELECT l_returnflag,
+         greatest(least(l_extendedprice, q3 + 1.5 * (q3 - q1)),
+                  q1 - 1.5 * (q3 - q1)) AS v
+  FROM lineitem, b
+)
+SELECT l_returnflag, round(avg(v), 4) AS avg_capped,
+       round(min(v), 2) AS min_capped, round(max(v), 2) AS max_capped,
+       count(*) AS n
+FROM capped GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def iqr_capped_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    capped = cleaning.cap_outliers_iqr(li, ["l_extendedprice"])
+    return (
+        capped.groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_capped"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_capped"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_capped"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# F8: fixed-break right-closed binning (R cut semantics).
+# --------------------------------------------------------------------------
+
+_PRICE_BREAKS = [0.0, 100000.0, 200000.0, 300000.0, 400000.0, 500000.0]
+_PRICE_LABELS = ["Budget", "Mid", "Upper", "Premium", "Luxury"]
+
+
+@query(
+    "fixed_bucket_order_counts",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 0 THEN NULL
+            WHEN o_totalprice <= 100000 THEN 'Budget'
+            WHEN o_totalprice <= 200000 THEN 'Mid'
+            WHEN o_totalprice <= 300000 THEN 'Upper'
+            WHEN o_totalprice <= 400000 THEN 'Premium'
+            WHEN o_totalprice <= 500000 THEN 'Luxury'
+            ELSE NULL END AS price_band,
+       count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+)
+def fixed_bucket_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "price_band", bucket_label_col("o_totalprice", _PRICE_BREAKS, _PRICE_LABELS)
+        )
+        .groupBy("price_band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("price_band")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.9 histogram: 30 equal-width bins.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "totalprice_histogram",
+    oracle="""
+WITH m AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+)
+SELECT least(floor((o_totalprice - m.lo) / ((m.hi - m.lo) / 30)), 29)::BIGINT AS bin,
+       count(*) AS n,
+       round(m.lo + least(floor((o_totalprice - m.lo) / ((m.hi - m.lo) / 30)), 29)
+             * ((m.hi - m.lo) / 30), 6) AS bin_lo
+FROM orders, m GROUP BY 1, 3 ORDER BY 1
+""",
+)
+def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.histogram(load_table(spark, sf_dir, "orders"), "o_totalprice", 30)
+
+
+# --------------------------------------------------------------------------
+# F1: first-word extraction (brand from CarName → word from p_name).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_first_word_counts",
+    oracle="""
+SELECT split_part(p_name, ' ', 1) AS name_word, count(*) AS n,
+       round(avg(p_retailprice), 4) AS avg_retail
+FROM part GROUP BY 1 ORDER BY 1
+""",
+)
+def part_first_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.withColumn("name_word", first_word("p_name"))
+        .groupBy("name_word")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+        )
+        .orderBy("name_word")
+    )
+
+
+# --------------------------------------------------------------------------
+# P10+T1: keep top-5 levels, recode the rest to 'Other'.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "brand_recode_top5",
+    oracle="""
+WITH top5 AS (
+  SELECT p_brand FROM part GROUP BY p_brand
+  ORDER BY count(*) DESC, p_brand ASC LIMIT 5
+)
+SELECT CASE WHEN p_brand IN (SELECT p_brand FROM top5)
+            THEN p_brand ELSE 'Other' END AS brand_top,
+       count(*) AS n
+FROM part GROUP BY 1 ORDER BY 1
+""",
+)
+def brand_recode_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    top5 = [r["p_brand"] for r in topk.top_n_by_count(part, "p_brand", 5).collect()]
+    return (
+        cleaning.recode_rare(
+            part.withColumn("brand_top", F.col("p_brand")), "brand_top", top5
+        )
+        .groupBy("brand_top")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("brand_top")
+    )
+
+
+# --------------------------------------------------------------------------
+# T4: argmax per group (each customer's largest order).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "largest_order_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1 ORDER BY o_custkey
+""",
+)
+def largest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        topk.argmax_per_group(orders, "o_custkey", "o_totalprice", "o_orderkey")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# A14: contingency counts (long-form crosstab).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "returnflag_linestatus_crosstab",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def returnflag_linestatus_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return agg.crosstab_counts(li, "l_returnflag", "l_linestatus").orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot as conditional aggregation (wide crosstab, engine-independent).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qty_pivot_by_linestatus",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_filled
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def qty_pivot_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0)),
+                2,
+            ).alias("qty_open"),
+            F.round(
+                F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0)),
+                2,
+            ).alias("qty_filled"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# A10-adjacent: distinct counting per group.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nation_distinct_suppliers",
+    oracle="""
+SELECT n.n_name, count(DISTINCT s.s_suppkey) AS n_suppliers,
+       round(avg(s.s_acctbal), 4) AS avg_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""",
+)
+def nation_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        joins.broadcast_dim_join(sup, nation, sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollup (engine extension noted in §2.4): hierarchical totals.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rollup_revenue_region_nation",
+    oracle="""
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       round(sum(c_acctbal), 2) AS total_acctbal,
+       count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region, nation
+""",
+)
+def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    df = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        df.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "total_acctbal",
+            "n_customers",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: mode with deterministic tie-break, per group.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "modal_priority_by_status",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority AS modal_priority FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+) WHERE rn = 1 ORDER BY o_orderstatus
+""",
+)
+def modal_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").count()
+    return (
+        topk.argmax_per_group(counts, "o_orderstatus", "count", "o_orderpriority")
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("modal_priority")
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# A5/F10: median imputation of synthesized nulls (raw corpus has none —
+# mirrors the reference's defensive imputation, BigDataProject.R:83-94).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "median_imputed_event_values",
+    oracle="""
+WITH masked AS (
+  SELECT event_type,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+  FROM events
+),
+med AS (
+  SELECT quantile_cont(value, 0.5) AS m FROM masked
+)
+SELECT event_type, round(avg(coalesce(value, med.m)), 6) AS avg_value,
+       count(*) AS n
+FROM masked, med GROUP BY event_type, med.m ORDER BY event_type
+""",
+)
+def median_imputed_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.withColumn(
+        "value",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    imputed = cleaning.impute(masked, numeric=["value"])
+    return (
+        imputed.groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set op: unionByName over heterogeneous account-holder tables.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "account_holders_union",
+    oracle="""
+SELECT kind, n_nationkey AS nationkey, count(*) AS n, round(sum(acctbal), 2) AS total_bal
+FROM (
+  SELECT 'customer' AS kind, c_nationkey AS n_nationkey, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 'supplier' AS kind, s_nationkey AS n_nationkey, s_acctbal AS acctbal FROM supplier
+) GROUP BY kind, n_nationkey ORDER BY kind, nationkey
+""",
+)
+def account_holders_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return (
+        cust.unionByName(sup)
+        .groupBy("kind", "nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("kind", "nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# F5/P12: log1p feature + grouped mean (joins orders→customer).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "avg_log_price_by_segment",
+    oracle="""
+SELECT c.c_mktsegment, round(avg(ln(1 + o.o_totalprice)), 6) AS avg_log_price,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""",
+)
+def avg_log_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("log_price", F.log1p("o_totalprice"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("log_price"), 6).alias("avg_log_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# A4: per-column null profile (on a masked projection so counts are >0).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "null_profile_events",
+    oracle="""
+SELECT count(*) FILTER (WHERE CASE WHEN event_type = 'error' THEN NULL ELSE value END IS NULL) AS value,
+       count(*) FILTER (WHERE CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END IS NULL) AS user_id,
+       count(*) FILTER (WHERE props IS NULL) AS props
+FROM events
+""",
+)
+def null_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        F.when(F.col("event_type") == "error", None).otherwise(F.col("value")).alias("value"),
+        F.when(F.col("user_id") % 7 == 0, None).otherwise(F.col("user_id")).alias("user_id"),
+        "props",
+    )
+    return agg.na_counts(masked, ["value", "user_id", "props"])

@@ -36,6 +36,9 @@ def get_spark(app_name: str = "bigdata_carprice_assignment_spark") -> SparkSessi
         # (duckdb TIMESTAMP is tz-naive).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The driver corpus writes events.ts as TIMESTAMP(NANOS); Spark has
+        # no nanos type — read as long, normalized in sources.readers.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

@@ -12,6 +12,7 @@ pass over 100 TB).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Driver test corpus (TESTDATA.md): TPC-H-ish star schema + extension tables.
@@ -69,8 +70,19 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table, e.g. load_table(spark, sf, 'lineitem')."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one driver testdata table, e.g. load_table(spark, sf, 'lineitem').
+
+    ``events.ts`` is Parquet TIMESTAMP(NANOS) — a type Spark lacks. We read
+    it as long (``nanosAsLong``) and truncate to microseconds with integer
+    division (``div``, not ``/`` — nanos since 2024 exceed 2^53, float
+    division would lose precision), matching DuckDB's nanos→micros floor.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def read_csv(
