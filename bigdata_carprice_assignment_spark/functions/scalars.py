@@ -23,11 +23,13 @@ def first_word(col: str | Column) -> Column:
 def clamp(col: str | Column, lo: float, hi: float) -> Column:
     """F6: clamp to [lo, hi] (IQR outlier cap, BigDataProject.R:99-115).
 
-    ``greatest(least(x, hi), lo)`` — null-safe: null stays null, matching
-    R's vectorized assignment which leaves NA untouched.
+    Spark's least/greatest *skip* nulls (they return the extreme of the
+    non-null operands), so nulls are preserved explicitly to match R's
+    vectorized assignment leaving NA untouched.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.greatest(F.least(c, F.lit(float(hi))), F.lit(float(lo)))
+    clamped = F.greatest(F.least(c, F.lit(float(hi))), F.lit(float(lo)))
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(clamped)
 
 
 def bucket_label_col(

@@ -1,0 +1,152 @@
+"""Multimodal-column plumbing (driver north star).
+
+Policy: image/audio/video payloads are opaque ``binary`` columns with a
+typed metadata struct; decode / feature-extract / resize / frame-sample
+run as Arrow-batched ``mapInPandas`` operators so payload bytes never
+round-trip through Python row-at-a-time.
+
+The container has no codec libraries, so the decode kernels are STUBS:
+``decode='fake'`` produces deterministic pseudo-features from the bytes
+(so the distributed plumbing — schema, batching, partitioning — is fully
+exercised and tested); ``decode='real'`` raises NotImplementedError at
+the exact point a Pillow/ffmpeg call would go.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, sha256 string, "
+    "feat array<double>, decode_ok boolean"
+)
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter: treat a text corpus as binary media (UTF-8 payload) so the
+    multimodal path has real bytes to run on in this container."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic pseudo-embedding from payload bytes (sha256-seeded) —
+    stands in for a real decode+CNN feature kernel."""
+    digest = hashlib.sha256(payload).digest()
+    return [int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
+
+
+def extract_features(df: DataFrame, decode: str = "fake", dim: int = 8) -> DataFrame:
+    """Decode + feature-extract as mapInPandas: Arrow batches in, Arrow
+    batches out; executor-parallel, no driver involvement."""
+    if decode == "real":  # pragma: no cover - no codecs in this container
+        raise NotImplementedError(
+            "real decode requires Pillow/ffmpeg (not in this image); "
+            "use decode='fake' for the deterministic stub"
+        )
+    if decode != "fake":
+        raise ValueError(f"unknown decode mode: {decode}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "feat": payloads.map(
+                        lambda b: _fake_decode_features(b or b"", dim)
+                    ),
+                    "decode_ok": payloads.notna(),
+                }
+            )
+
+    return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int, decode: str = "fake") -> DataFrame:
+    """Image resize kernel slot. Fake mode passes payloads through with
+    updated metadata (proves the schema/batch contract); real mode is the
+    Pillow call site."""
+    if decode == "real":  # pragma: no cover
+        raise NotImplementedError("real resize requires Pillow (not in this image)")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["media_id", "payload"]].copy()
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return df.mapInPandas(
+        op, schema="media_id long, payload binary, width int, height int"
+    )
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, decode: str = "fake"
+) -> DataFrame:
+    """Video frame-sampling kernel slot: one output row per sampled frame
+    (explode shape). Fake mode derives frame count from metadata duration
+    (or payload size) deterministically."""
+    if decode == "real":  # pragma: no cover
+        raise NotImplementedError("real frame sampling requires ffmpeg")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                n_frames = max(1, (len(r["payload"]) if r["payload"] is not None else 0) // 64)
+                for i in range(min(n_frames, 16)):
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": i,
+                            "ts_ms": i * every_ms,
+                            "frame_sha": hashlib.sha256(
+                                (r["payload"] or b"") + i.to_bytes(4, "big")
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "frame_sha"]
+            )
+
+    return df.mapInPandas(
+        op, schema="media_id long, frame_idx int, ts_ms long, frame_sha string"
+    )

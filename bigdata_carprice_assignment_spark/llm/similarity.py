@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (driver north star).
+
+Baseline: brute-force cosine top-k as native expressions (JVM-side fold
+over the array — no UDF, no collect of data-sized results). Scale path:
+LSH-bucketed approximate search (BucketedRandomProjectionLSH) and an
+IVF-style coarse-quantizer variant (k-means partitions → search nprobe
+nearest partitions only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over two array columns, cast to double pre-multiply so the
+    fold is double-precision from the first element (float*float would
+    quantize differently than the DuckDB oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    Plan shape: narrow projection (cosine per row) → TakeOrderedAndProject
+    (per-partition heaps, k·partitions rows to the driver merge). This is
+    the exact baseline; at 100 TB prefer :func:`cosine_topk_lsh` or
+    :func:`ivf_topk`. Deterministic tie-break on id."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        df.select(
+            F.col(id_col),
+            cosine(F.col(vec_col), q).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    num_hash_tables: int = 3,
+    bucket_length: float = 0.5,
+) -> DataFrame:
+    """Approximate top-k: L2-normalize + BucketedRandomProjectionLSH
+    ``approxNearestNeighbors`` (probes matching hash buckets only)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import Vectors
+
+    import numpy as np
+
+    feats = df.select(F.col(id_col), array_to_vector(vec_col).alias("raw"))
+    normed = Normalizer(inputCol="raw", outputCol="vec", p=2.0).transform(feats)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec",
+        outputCol="hashes",
+        seed=42,
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+    )
+    model = lsh.fit(normed)
+    qv = np.asarray(query, dtype="float64")
+    qv = qv / (np.linalg.norm(qv) or 1.0)
+    hits = model.approxNearestNeighbors(normed, Vectors.dense(qv), k, distCol="euclid")
+    return hits.select(
+        id_col, (1.0 - F.pow("euclid", 2) / 2.0).alias("cosine")
+    ).orderBy(F.desc("cosine"), F.asc(id_col))
+
+
+def ivf_index(
+    df: DataFrame, vec_col: str, n_cells: int = 16, seed: int = 42
+) -> tuple:
+    """IVF coarse quantizer: k-means over the corpus; each vector is
+    assigned to its nearest centroid cell. Returns (kmeans_model,
+    assigned_df). At scale the assignment is written out partitioned by
+    cell so a probe reads only nprobe/n_cells of the data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn("_vec", array_to_vector(vec_col))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="_cell").fit(
+        feats
+    )
+    return model, model.transform(feats)
+
+
+def ivf_topk(
+    model,
+    assigned: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF probe: rank cells by centroid distance to the query, scan only
+    the ``nprobe`` nearest cells with the exact cosine — the classic
+    recall/latency trade (IVF-Flat)."""
+    import numpy as np
+
+    qv = np.asarray(query, dtype="float64")
+    centers = model.clusterCenters()
+    order = np.argsort([float(np.linalg.norm(c - qv)) for c in centers])
+    probe_cells = [int(c) for c in order[:nprobe]]
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        assigned.filter(F.col("_cell").isin(probe_cells))  # partition pruning
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

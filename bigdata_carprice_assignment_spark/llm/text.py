@@ -1,0 +1,147 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(driver north star: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+All pure Column expressions (WholeStageCodegen, no Python in the hot
+path): at 100 TB these run as a single narrow projection over the
+documents scan with columns pruned to (id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword-hit
+# language heuristic. Deliberately tiny (the heuristic must be cheap and
+# deterministic); real pipelines would swap in fastText & co. outside
+# this repo's dependency budget.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "for", "with", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"],
+}
+ENGLISH_STOPWORDS = STOPWORDS["en"]
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization (empty string → empty array, not [''])."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Sub-word-ish token count: splits on word/number/punctuation
+    boundaries (a BPE-like upper bound on whitespace tokens) — the cheap
+    proxy pipelines use for budget estimates before real tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0)
+    return F.size(pieces)
+
+
+def _count_in(tok: Column, words: list[str]) -> Column:
+    wordlist = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tok, lambda t: F.array_contains(wordlist, F.lower(t))))
+
+
+def quality_features(col: str | Column) -> dict[str, Column]:
+    """Quality-scoring components: length, token stats, punctuation /
+    digit / uppercase / stopword ratios (null-safe; empty text → 0s)."""
+    c = F.col(col) if isinstance(col, str) else col
+    tok = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(tok)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / safe_tokens)
+        .otherwise(F.lit(0.0)),
+        "punct_ratio": F.regexp_count(c, F.lit(r"[^\w\s]")) / safe_chars,
+        "digit_ratio": F.regexp_count(c, F.lit(r"[0-9]")) / safe_chars,
+        "upper_ratio": F.regexp_count(c, F.lit(r"[A-Z]")) / safe_chars,
+        "stopword_ratio": _count_in(tok, ENGLISH_STOPWORDS) / safe_tokens,
+    }
+
+
+def quality_score(col: str | Column) -> Column:
+    """Scalar quality score in [0,1]: rewards stopword presence and sane
+    length, penalizes punctuation/digit noise — the standard cheap-filter
+    shape (cf. C4/Gopher-style heuristics, re-derived with simple
+    weights)."""
+    f = quality_features(col)
+    length_ok = F.when((f["n_tokens"] >= 5) & (f["n_tokens"] <= 100000), 1.0).otherwise(
+        0.3
+    )
+    score = (
+        0.4 * length_ok
+        + 0.3 * F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(f["punct_ratio"] * 4.0, F.lit(1.0)))
+        + 0.1 * (1.0 - F.least(f["digit_ratio"] * 4.0, F.lit(1.0)))
+    )
+    return F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    """Per-language evidence: stopword hits for the latin-script
+    languages, CJK character count for zh."""
+    c = F.col(col) if isinstance(col, str) else col
+    tok = tokens(c)
+    scores: dict[str, Column] = {
+        lang: _count_in(tok, words).cast("double") for lang, words in STOPWORDS.items()
+    }
+    scores["zh"] = F.regexp_count(c, F.lit(r"[一-鿿]")).cast("double")
+    return scores
+
+
+def lang_id(col: str | Column, default: str = "und") -> Column:
+    """Argmax language with deterministic tie-break (language code asc);
+    'und' when no evidence at all."""
+    scores = lang_scores(col)
+    langs = sorted(scores)  # deterministic tie-break: code asc
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.when(best <= 0, F.lit(default))
+    for lang in langs:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit(default))
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, strip
+    punctuation — the canonical form exact/near-dup hashing keys on."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), r"[^\w\s]", " ")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles over normalized text (distinct, for Jaccard
+    sets). Documents shorter than n tokens yield their full token join."""
+    tok = tokens(normalize_text(col))
+    k = F.greatest(F.size(tok) - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def fingerprint(col: str | Column, n: int = 3) -> Column:
+    """Document fingerprint: min of 64-bit shingle hashes over the
+    normalized text (a 1-hash MinHash — the rolling-hash fingerprint the
+    north star asks for; xxhash64 is Spark's native 64-bit hash)."""
+    return F.array_min(F.transform(shingles(col, n), lambda s: F.xxhash64(s)))
+
+
+def content_hash(col: str | Column) -> Column:
+    """Exact-dedup key: md5 of normalized text (hex, engine-portable)."""
+    return F.md5(F.encode(normalize_text(col), "UTF-8"))

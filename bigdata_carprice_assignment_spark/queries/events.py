@@ -1,1 +1,168 @@
-"""Placeholder — populated in later milestones."""
+"""Event-time queries over the events table (engine extension; the
+reference has no time-series surface). Batch duals of the streaming jobs
+in streaming/jobs.py — same aggregations, oracle-checked here, and the
+stream/batch parity is asserted in tests/test_streaming.py.
+
+Timestamp outputs are formatted to strings on both engines (session TZ
+pinned UTC; DuckDB timestamps are tz-naive) so hashes are portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.readers import load_table
+
+
+@query(
+    "hourly_event_rollup",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window batch dual (§2.9 histogram-in-time analogue)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@query(
+    "daily_rollup_by_type",
+    oracle="""
+SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+ORDER BY day, event_type
+""",
+)
+def daily_rollup_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical day/type rollup with grand totals."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    return (
+        ev.rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n",
+            "total_value",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@query(
+    "user_sessionization",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events, sum(value) AS v
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       round(avg(n_events), 6) AS avg_events_per_session,
+       round(sum(v), 2) AS total_value
+FROM per_session GROUP BY user_id ORDER BY user_id
+""",
+)
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap > 30 min starts a session; running
+    sum assigns ids (the classic window-function sessionizer — the batch
+    dual of session_window in streaming/jobs.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(run))
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("v")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+            F.round(F.sum("v"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "event_type_value_share",
+    oracle="""
+WITH t AS (SELECT event_type, sum(value) AS v FROM events GROUP BY 1),
+tot AS (SELECT sum(v) AS total FROM t)
+SELECT event_type, round(v, 2) AS total_value,
+       round(v / tot.total, 6) AS share
+FROM t, tot ORDER BY event_type
+""",
+)
+def event_type_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total via a window over the grouped aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.groupBy("event_type").agg(F.sum("value").alias("v"))
+    return (
+        t.withColumn("share", F.col("v") / F.sum("v").over(Window.partitionBy()))
+        .select(
+            "event_type",
+            F.round("v", 2).alias("total_value"),
+            F.round("share", 6).alias("share"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,1 +1,302 @@
-"""Placeholder — populated in later milestones."""
+"""LLM-data-pipeline queries over documents/embeddings (driver north
+star). SQL-expressible reductions carry DuckDB oracles; the LSH/SimHash/
+multimodal pipelines are rows-only with pytest correctness harnesses
+(tests/test_llm.py) on synthetic corpora with known duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import dedup as D
+from ..llm import multimodal as MM
+from ..llm import similarity as S
+from ..llm import text as TX
+from ..registry import query
+from ..sources.readers import load_table
+
+# --------------------------------------------------------------------------
+# Text analysis (oracle-backed).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats_by_lang",
+    oracle=r"""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+       round(avg(length(text)), 4) AS avg_chars,
+       max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def doc_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.token_count("text").alias("tc"), F.length("text").alias("nc"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("tc"), 4).alias("avg_tokens"),
+            F.round(F.avg("nc"), 4).alias("avg_chars"),
+            F.max("tc").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "doc_quality_by_source",
+    oracle=r"""
+WITH f AS (
+  SELECT source,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> lower(t) IN ('the','and','of','to','a','in','is','for','with','on')))
+           AS stop_hits,
+         length(regexp_replace(text, '[a-zA-Z0-9_\s]', '', 'g')) AS punct_chars
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(stop_hits / greatest(n_tokens, 1)), 6) AS avg_stopword_ratio,
+       round(avg(punct_chars / greatest(n_chars, 1)), 6) AS avg_punct_ratio,
+       round(avg(n_chars), 2) AS avg_chars
+FROM f GROUP BY source ORDER BY source
+""",
+)
+def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TX.quality_features("text")
+    return (
+        docs.select(
+            "source",
+            feats["n_chars"].alias("n_chars"),
+            feats["stopword_ratio"].alias("sr"),
+            feats["punct_ratio"].alias("pr"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("sr"), 6).alias("avg_stopword_ratio"),
+            F.round(F.avg("pr"), 6).alias("avg_punct_ratio"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("doc_lang_id_agreement")
+def doc_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the corpus's lang column: confusion counts
+    (rows-only: the argmax ladder is expressible but brittle in SQL;
+    correctness pinned in tests/test_llm.py on labeled samples)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "doc_fingerprint_stats",
+    oracle="""
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9_\\s]', ' ', 'g'), '\\s+', ' ', 'g')))) AS n_distinct_normalized
+FROM documents
+""",
+)
+def doc_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup key cardinality (normalized md5 content hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(TX.content_hash("text")).alias("n_distinct_normalized"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity (oracle-backed brute force; LSH/IVF rows-only).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+SELECT label,
+       count(*) AS n,
+       round(avg(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_l2_norm
+FROM embeddings GROUP BY label ORDER BY label
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", S.l2_norm(F.col("embedding")).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("norm"), 6).alias("avg_l2_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "cosine_topk_vs_query",
+    oracle="""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qe),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+         sqrt(list_sum(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+         sqrt(list_sum(list_transform(q.qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+  FROM embeddings e, q
+)
+SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+FROM s WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+)
+def cosine_topk_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the vec_id=0 query vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return (
+        S.cosine_topk(
+            emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", qvec, k=10
+        )
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+
+
+@query("cosine_topk_lsh_vs_query")
+def cosine_topk_lsh_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (LSH) variant of the same probe — rows-only; recall vs
+    the exact result asserted in tests/test_llm.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    hits = S.cosine_topk_lsh(
+        emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", qvec, k=10
+    )
+    return hits.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@query("ivf_topk_vs_query")
+def ivf_topk_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse-quantized probe (scale path) — rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    model, assigned = S.ivf_index(emb, "embedding", n_cells=8)
+    return (
+        S.ivf_topk(model, assigned.filter(F.col("vec_id") != 0), "embedding", "vec_id", qvec, k=10, nprobe=3)
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup pipelines (rows-only; synthetic-corpus correctness in tests).
+# --------------------------------------------------------------------------
+
+
+@query("exact_dedup_documents")
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = D.exact_dedup(docs, "text", "doc_id")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_duplicate").cast("long")).alias("n_duplicates"),
+        F.countDistinct("canonical_id").alias("n_canonical"),
+    )
+
+
+@query("minhash_near_dup_documents")
+def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup summary over the documents corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = D.minhash_dedup(docs, "text", "doc_id", threshold=0.6)
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_duplicate").cast("long")).alias("n_near_duplicates"),
+        F.countDistinct("canonical_id").alias("n_canonical"),
+    )
+
+
+@query("simhash_candidate_pairs")
+def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding candidates with Hamming distance ≤ 12."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_candidates(docs, "text", "doc_id", band_bits=16)
+    return (
+        pairs.filter(F.col("hamming") <= 12)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+@query("ngram_jaccard_near_dups")
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over MinHash candidates (candidate→verify)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "text", "doc_id")
+    pairs = D.minhash_band_pairs(sigs, "doc_id")
+    verified = D.jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.5)
+    return verified.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+
+
+@query("embedding_near_dup_pairs")
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH candidate + exact verify)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dups(emb, "embedding", "vec_id", threshold=0.9)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("cosine"), 6).alias("avg_cosine"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (rows-only; deterministic fake decode).
+# --------------------------------------------------------------------------
+
+
+@query("multimodal_feature_extract")
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched mapInPandas
+    (decode stubbed deterministically — no codecs in this container)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    feats = MM.extract_features(media, decode="fake")
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+        F.countDistinct("sha256").alias("n_distinct_payloads"),
+    )
+
+
+@query("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = MM.documents_as_media(docs)
+    frames = MM.sample_frames(media, every_ms=500)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("ts_ms").alias("last_ts_ms"),
+    ).orderBy("media_id")

@@ -1,1 +1,268 @@
-"""Placeholder — populated in later milestones."""
+"""Association-rule / itemset queries (SURVEY.md §2.8 M14-M17, §2.4
+A10/A11, §2.7 H5) over part-attribute transactions.
+
+Transactions: each part row becomes the item set
+{brand=…, type=…, size_band=…} — the same shape as the reference's
+binned car-attribute transactions (associationRules.R:76-86).
+
+Oracle strategy: itemset supports and 1→1 rules are plain SQL
+(explode ≙ UNION ALL, co-occurrence ≙ self-join), so the pair-rule
+miner and all interest measures are hash-checked; the general FPGrowth
+miner is rows-only but cross-checked against the pair miner in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import bucket_label_col
+from ..operators import rules as R
+from ..operators.aggregates import item_frequency
+from ..registry import query
+from ..sources.readers import load_table
+
+_SIZE_BREAKS = [0.0, 10.0, 20.0, 30.0, 40.0, 50.0]
+_SIZE_LABELS = ["XS", "S", "M", "L", "XL"]
+
+# SQL fragment shared by the mining oracles: one row per (part, item).
+_ITEMS_SQL = """
+  SELECT p_partkey AS id, 'p_brand=' || p_brand AS item FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_type=' || p_type FROM part
+  UNION ALL
+  SELECT p_partkey, 'size_band=' ||
+         CASE WHEN p_size < 0 THEN NULL
+              WHEN p_size <= 10 THEN 'XS'
+              WHEN p_size <= 20 THEN 'S'
+              WHEN p_size <= 30 THEN 'M'
+              WHEN p_size <= 40 THEN 'L'
+              WHEN p_size <= 50 THEN 'XL'
+              ELSE NULL END
+  FROM part
+"""
+
+
+def part_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").withColumn(
+        "size_band",
+        bucket_label_col(F.col("p_size").cast("double"), _SIZE_BREAKS, _SIZE_LABELS),
+    )
+    return R.to_transactions(part, ["p_brand", "p_type", "size_band"], id_col="p_partkey")
+
+
+@query(
+    "part_item_frequency",
+    oracle=f"""
+WITH items AS ({_ITEMS_SQL}),
+tot AS (SELECT count(DISTINCT id) AS n FROM items)
+SELECT item, count(*) AS count,
+       round(count(*) / (SELECT n FROM tot), 6) AS pct
+FROM items GROUP BY item
+ORDER BY count DESC, item ASC
+""",
+)
+def part_item_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: itemFrequency (associationRules.R:93-98, 268-277)."""
+    return item_frequency(part_transactions(spark, sf_dir))
+
+
+@query(
+    "transaction_size_stats",
+    oracle=f"""
+WITH items AS ({_ITEMS_SQL}),
+per_tx AS (SELECT id, count(*) AS sz FROM items GROUP BY id)
+SELECT count(*) AS n_transactions,
+       round(avg(sz), 6) AS avg_items,
+       min(sz) AS min_items, max(sz) AS max_items,
+       (SELECT count(DISTINCT item) FROM items) AS n_distinct_items
+FROM per_tx
+""",
+)
+def transaction_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: transaction summary (associationRules.R:254-260, 295-298)."""
+    tx = part_transactions(spark, sf_dir)
+    distinct_items = (
+        tx.select(F.explode("items").alias("item")).agg(F.countDistinct("item")).first()[0]
+    )
+    return tx.select(F.size("items").alias("sz")).agg(
+        F.count(F.lit(1)).alias("n_transactions"),
+        F.round(F.avg("sz"), 6).alias("avg_items"),
+        F.min("sz").alias("min_items"),
+        F.max("sz").alias("max_items"),
+        F.lit(distinct_items).alias("n_distinct_items"),
+    )
+
+
+_PAIR_RULES_SQL = f"""
+WITH items AS ({_ITEMS_SQL}),
+tot AS (SELECT count(DISTINCT id) AS n FROM items),
+supp AS (SELECT item, count(*) AS cnt FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS antecedent, b.item AS consequent,
+         count(*)::DOUBLE AS both_cnt
+  FROM items a JOIN items b ON a.id = b.id AND a.item <> b.item
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT p.antecedent, p.consequent,
+         p.both_cnt / tot.n AS support,
+         p.both_cnt / sa.cnt AS confidence,
+         (p.both_cnt / sa.cnt) / (sb.cnt::DOUBLE / tot.n) AS lift,
+         sa.cnt::DOUBLE / tot.n AS coverage,
+         sb.cnt::DOUBLE / tot.n AS cons_support
+  FROM pairs p
+  JOIN supp sa ON sa.item = p.antecedent
+  JOIN supp sb ON sb.item = p.consequent
+  CROSS JOIN tot
+)
+"""
+
+
+@query(
+    "pair_association_rules",
+    oracle=_PAIR_RULES_SQL
+    + """
+SELECT antecedent, consequent,
+       round(support, 6) AS support,
+       round(confidence, 6) AS confidence,
+       round(lift, 6) AS lift
+FROM m
+WHERE support >= 0.02 AND confidence >= 0.1
+ORDER BY antecedent, consequent
+""",
+)
+def pair_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14 oracle-checkable subset: 1→1 rules via DataFrame algebra."""
+    tx = part_transactions(spark, sf_dir)
+    return (
+        R.pair_rules(tx, min_support=0.02, min_confidence=0.1)
+        .select(
+            "antecedent",
+            "consequent",
+            F.round("support", 6).alias("support"),
+            F.round("confidence", 6).alias("confidence"),
+            F.round("lift", 6).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+@query(
+    "rule_interest_measures",
+    oracle=_PAIR_RULES_SQL
+    + """
+SELECT antecedent, consequent,
+       round(support, 6) AS support,
+       round(confidence, 6) AS confidence,
+       round(coverage, 6) AS coverage,
+       round(support - coverage * cons_support, 6) AS leverage,
+       round(CASE WHEN confidence < 1 THEN (1 - cons_support) / (1 - confidence) END, 6)
+           AS conviction,
+       round(support / sqrt(coverage * cons_support), 6) AS cosine
+FROM m
+WHERE support >= 0.02 AND confidence >= 0.1
+ORDER BY antecedent, consequent
+""",
+)
+def rule_interest_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5: interestMeasure columns (associationRules.R:201-207)."""
+    tx = part_transactions(spark, sf_dir)
+    rules = R.pair_rules(tx, min_support=0.02, min_confidence=0.1)
+    return (
+        R.interest_measures(rules)
+        .select(
+            "antecedent",
+            "consequent",
+            F.round("support", 6).alias("support"),
+            F.round("confidence", 6).alias("confidence"),
+            F.round("coverage", 6).alias("coverage"),
+            F.round("leverage", 6).alias("leverage"),
+            F.round("conviction", 6).alias("conviction"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FPGrowth general miner — rows-only (cross-checked vs pair miner in pytest).
+# ---------------------------------------------------------------------------
+
+
+@query("fpgrowth_rules")
+def fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14: FPGrowth with arules post-filters (minlen=2, maxlen=4,
+    1-item consequent), sorted by lift (T2)."""
+    tx = part_transactions(spark, sf_dir)
+    _, rules = R.mine_rules(tx, min_support=0.02, min_confidence=0.1)
+    return rules.select(
+        F.concat_ws(",", F.sort_array("antecedent")).alias("antecedent"),
+        F.concat_ws(",", "consequent").alias("consequent"),
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    ).orderBy(F.desc("lift"), "antecedent", "consequent")
+
+
+@query("fpgrowth_rules_pruned")
+def fpgrowth_rules_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15: redundancy pruning over the FPGrowth rule set."""
+    tx = part_transactions(spark, sf_dir)
+    _, rules = R.mine_rules(tx, min_support=0.02, min_confidence=0.1)
+    return (
+        R.prune_redundant(rules)
+        .select(
+            F.concat_ws(",", F.sort_array("antecedent")).alias("antecedent"),
+            F.concat_ws(",", "consequent").alias("consequent"),
+            F.round("support", 6).alias("support"),
+            F.round("confidence", 6).alias("confidence"),
+            F.round("lift", 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+    )
+
+
+@query("rules_subset_size_rhs")
+def rules_subset_size_rhs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16/F12: subset rules whose consequent is a size band or whose
+    antecedent partially matches 'brand' (rhs %in% / lhs %pin%)."""
+    tx = part_transactions(spark, sf_dir)
+    _, rules = R.mine_rules(tx, min_support=0.02, min_confidence=0.1)
+    sized = R.subset_rules(
+        rules,
+        rhs_in=[f"size_band={v}" for v in _SIZE_LABELS],
+        lhs_contains="p_brand=",
+    )
+    return sized.select(
+        F.concat_ws(",", F.sort_array("antecedent")).alias("antecedent"),
+        F.concat_ws(",", "consequent").alias("consequent"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    ).orderBy(F.desc("confidence"), "antecedent", "consequent")
+
+
+@query("per_segment_rules")
+def per_segment_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17: per-group re-mining (loop-over-jobs) — rules per customer
+    market segment over nation + acctbal-band items."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        bucket_label_col(
+            "c_acctbal", [-999999.0, 0.0, 2500.0, 5000.0, 7500.0, 999999.0],
+            ["Negative", "Low", "Mid", "High", "Top"],
+        ),
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    rules = R.per_group_mining(
+        cust, "c_mktsegment", ["n_name", "bal_band"],
+        min_support=0.05, min_confidence=0.1,
+    )
+    return rules.select(
+        "c_mktsegment",
+        F.concat_ws(",", F.sort_array("antecedent")).alias("antecedent"),
+        F.concat_ws(",", "consequent").alias("consequent"),
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+    ).orderBy("c_mktsegment", "antecedent", "consequent")

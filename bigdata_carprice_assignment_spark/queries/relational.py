@@ -665,6 +665,104 @@ def avg_log_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# S5: schema/profile inspect (glimpse/summary) as explicit aggregates.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_profile_summary",
+    oracle="""
+SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
+       round(avg(l_quantity), 4) AS mean, round(stddev_samp(l_quantity), 4) AS stddev,
+       round(min(l_quantity), 2) AS min, round(max(l_quantity), 2) AS max
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(l_extendedprice),
+       round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4),
+       round(min(l_extendedprice), 2), round(max(l_extendedprice), 2)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(l_discount),
+       round(avg(l_discount), 4), round(stddev_samp(l_discount), 4),
+       round(min(l_discount), 2), round(max(l_discount), 2)
+FROM lineitem
+ORDER BY col_name
+""",
+)
+def lineitem_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: summary() profile (count/mean/sd/min/max) as typed aggregates
+    (BigDataProject.R:44-46) — one pass for all profiled columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"n_{c}"),
+            F.round(F.avg(c), 4).alias(f"mean_{c}"),
+            F.round(F.stddev_samp(c), 4).alias(f"sd_{c}"),
+            F.round(F.min(c), 2).alias(f"min_{c}"),
+            F.round(F.max(c), 2).alias(f"max_{c}"),
+        ]
+    row = li.agg(*aggs).first()
+    data = [
+        (
+            c,
+            row[f"n_{c}"],
+            float(row[f"mean_{c}"]),
+            float(row[f"sd_{c}"]),
+            float(row[f"min_{c}"]),
+            float(row[f"max_{c}"]),
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        sorted(data),
+        "col_name string, n long, mean double, stddev double, min double, max double",
+    )
+
+
+# --------------------------------------------------------------------------
+# A13: pairwise correlation matrix in one aggregation pass.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_correlation_matrix",
+    oracle="""
+SELECT 'l_quantity' AS col_name,
+       1.0 AS l_quantity,
+       round(corr(l_quantity, l_extendedprice), 6) AS l_extendedprice,
+       round(corr(l_quantity, l_discount), 6) AS l_discount
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice',
+       round(corr(l_extendedprice, l_quantity), 6),
+       1.0,
+       round(corr(l_extendedprice, l_discount), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount',
+       round(corr(l_discount, l_quantity), 6),
+       round(corr(l_discount, l_extendedprice), 6),
+       1.0
+FROM lineitem
+ORDER BY col_name
+""",
+)
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: corr matrix (BigDataProject.R:159-162) via the one-pass
+    sufficient-statistics operator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    out = agg.corr_matrix(li, cols)
+    rounded = out.select(
+        F.col("column").alias("col_name"),
+        *[F.round(F.col(c), 6).alias(c) for c in cols],
+    )
+    return rounded.orderBy("col_name")
+
+
 @query(
     "null_profile_events",
     oracle="""

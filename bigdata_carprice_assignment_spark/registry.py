@@ -43,6 +43,7 @@ def load_all() -> None:
         events,
         llmdata,
         mining,
+        mlmodels,
         pricing,
         relational,
         statistics,

@@ -39,6 +39,11 @@ def get_spark(app_name: str = "bigdata_carprice_assignment_spark") -> SparkSessi
         # The driver corpus writes events.ts as TIMESTAMP(NANOS); Spark has
         # no nanos type — read as long, normalized in sources.readers.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Constraint propagation is exponential on wide CASE-WHEN
+        # projection chains (winsorize/bucketing over 26 columns) — the
+        # optimizer OOMs inferring filters from constraints. Cost outweighs
+        # benefit for this workload at any scale.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

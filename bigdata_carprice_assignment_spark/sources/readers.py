@@ -93,7 +93,13 @@ def read_csv(
 ) -> DataFrame:
     """CSV scan (S1/S2). Explicit schema preferred; inference is a debug
     convenience only (extra full pass — never in the 100 TB path)."""
-    reader = spark.read.option("header", True)
+    # readr::read_csv trims cell whitespace by default (trim_ws=TRUE) —
+    # the reference relies on this ("isuzu D-Max " in the raw file).
+    reader = (
+        spark.read.option("header", True)
+        .option("ignoreLeadingWhiteSpace", True)
+        .option("ignoreTrailingWhiteSpace", True)
+    )
     if schema is not None:
         reader = reader.schema(schema)
     elif infer:

@@ -1,0 +1,198 @@
+"""Correctness harnesses for the LLM-data operators on synthetic corpora
+with KNOWN duplicates/languages — the oracle-style ground truth the
+rows-only driver checks can't provide."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_carprice_assignment_spark.llm import dedup as D
+from bigdata_carprice_assignment_spark.llm import similarity as S
+from bigdata_carprice_assignment_spark.llm import text as TX
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """10 docs: 0≡1 exact dup (mod punctuation), 2≈3 near dup (one word
+    changed), 4..9 distinct."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun shines "
+        "bright and the river runs cold through the green valley below"
+    )
+    near = base.replace("cold", "warm")
+    rows = [
+        (0, base),
+        (1, base.upper().replace("the", "THE") + "!!!"),  # same after normalize
+        (2, base + " extra tokens here for difference"),
+        (3, near + " extra tokens here for difference"),
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "el gato negro duerme en la casa y el perro corre por el parque"),
+        (6, "le chat noir dort dans la maison et le chien court dans le parc"),
+        (7, "der schwarze hund läuft durch den park und die katze ist nicht da"),
+        (8, "数据处理引擎在大规模集群上运行查询"),
+        (9, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_normalized_dup(corpus):
+    flagged = D.exact_dedup(corpus, "text", "doc_id")
+    dups = {r["doc_id"]: r["canonical_id"] for r in flagged.filter("is_duplicate").collect()}
+    assert dups == {1: 0}
+
+
+def test_minhash_dedup_finds_near_dup(corpus):
+    flagged = D.minhash_dedup(corpus, "text", "doc_id", threshold=0.5)
+    dup_map = {
+        r["doc_id"]: r["canonical_id"]
+        for r in flagged.filter("is_duplicate").collect()
+    }
+    # 1 folds into 0 (exact), 3 folds into 2 (near); 2 and 0 share the base
+    # sentence so they may also merge — but 4..9 must stay singletons.
+    assert 1 in dup_map and 3 in dup_map
+    for unique_id in (4, 5, 6, 7, 8, 9):
+        assert unique_id not in dup_map
+        assert dup_map.get(unique_id) is None
+
+
+def test_jaccard_verify_exactness(spark):
+    """Hand-checkable Jaccard: two docs sharing half their shingles."""
+    a = "w1 w2 w3 w4"  # shingles(3): {w1 w2 w3, w2 w3 w4}
+    b = "w1 w2 w3 w5"  # shingles(3): {w1 w2 w3, w2 w3 w5}
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1)], "a long, b long")
+    out = D.jaccard_verify(df, pairs, "text", "doc_id", threshold=0.0).collect()
+    assert len(out) == 1
+    assert out[0]["jaccard"] == pytest.approx(1 / 3)  # 1 common, 3 union
+
+
+def test_simhash_close_for_near_dups(corpus):
+    sh = corpus.select(
+        "doc_id", D.simhash("text").alias("sh")
+    ).toPandas().set_index("doc_id")["sh"]
+    ham = lambda a, b: bin((int(a) ^ int(b)) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(sh[0], sh[1]) == 0  # identical after normalization
+    assert ham(sh[2], sh[3]) <= 12  # one word changed
+    assert ham(sh[0], sh[4]) > 12  # unrelated
+
+
+def test_lang_id_on_labeled_samples(corpus):
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in corpus.select("doc_id", TX.lang_id("text").alias("lang")).collect()
+    }
+    assert got[0] == "en" and got[4] == "en"
+    assert got[5] == "es"
+    assert got[6] == "fr"
+    assert got[7] == "de"
+    assert got[8] == "zh"
+
+
+def test_quality_score_ranks_prose_over_noise(spark):
+    rows = [
+        (0, "the cat sat on the mat and looked at the dog for a while today"),
+        (1, "@@@@ #### $$$$ 1234 5678 !!!! ???? %%%% ^^^^ &&&&"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r["q"]
+        for r in df.select("doc_id", TX.quality_score("text").alias("q")).collect()
+    }
+    assert scores[0] > 0.7
+    assert scores[1] < 0.5
+    assert all(0.0 <= v <= 1.0 for v in scores.values())
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "one two  three"), (1, ""), (2, "  "), (3, "a,b.c")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["ws"], r["bpe"])
+        for r in df.select(
+            "doc_id",
+            TX.token_count("text").alias("ws"),
+            TX.bpe_ish_token_count("text").alias("bpe"),
+        ).collect()
+    }
+    assert got[0] == (3, 3)
+    assert got[1][0] == 0 and got[2][0] == 0
+    assert got[3] == (1, 5)  # a , b . c
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(50, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs[0]
+    got = S.cosine_topk(
+        df.filter(F.col("vec_id") != 0), "embedding", "vec_id", [float(x) for x in q], k=5
+    ).collect()
+    sims = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    want = sorted(range(1, 50), key=lambda i: (-sims[i], i))[:5]
+    assert [r["vec_id"] for r in got] == want
+    for r in got:
+        assert r["cosine"] == pytest.approx(float(sims[r["vec_id"]]), abs=1e-6)
+
+
+def test_lsh_topk_recall_against_exact(spark, sf_smoke):
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in S.cosine_topk(rest, "embedding", "vec_id", qvec, 10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in S.cosine_topk_lsh(rest, "embedding", "vec_id", qvec, 10).collect()
+    }
+    assert len(exact & approx) >= 5  # recall ≥ 0.5 on this tiny corpus
+
+
+def test_ivf_topk_contains_top_hit(spark, sf_smoke):
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact_top = S.cosine_topk(rest, "embedding", "vec_id", qvec, 1).first()["vec_id"]
+    model, assigned = S.ivf_index(emb, "embedding", n_cells=8)
+    ivf = {
+        r["vec_id"]
+        for r in S.ivf_topk(
+            model, assigned.filter(F.col("vec_id") != 0), "embedding", "vec_id", qvec,
+            k=10, nprobe=4,
+        ).collect()
+    }
+    assert exact_top in ivf
+
+
+def test_multimodal_fake_decode_deterministic(spark):
+    from bigdata_carprice_assignment_spark.llm import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, "hello world"), (2, "other")],
+        "doc_id long, text string",
+    )
+    feats = MM.extract_features(MM.documents_as_media(df), decode="fake").collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["sha256"] == by_id[1]["sha256"]
+    assert by_id[0]["feat"] == by_id[1]["feat"]
+    assert by_id[0]["sha256"] != by_id[2]["sha256"]
+    assert all(len(r["feat"]) == 8 for r in feats)
+    assert all(r["decode_ok"] for r in feats)
+
+
+def test_multimodal_real_decode_raises(spark):
+    from bigdata_carprice_assignment_spark.llm import multimodal as MM
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(MM.documents_as_media(df), decode="real")

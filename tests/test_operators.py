@@ -1,0 +1,118 @@
+"""Unit tests for operator pieces not covered by the oracle suite
+(Tier-4 properties: SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_carprice_assignment_spark.functions.scalars import (
+    bucket_label_col,
+    clamp,
+    first_word,
+    un_onehot,
+)
+from bigdata_carprice_assignment_spark.operators import cleaning
+
+
+def test_bucket_label_right_closed_include_lowest(spark):
+    """R cut semantics: (a,b] bins, lowest break included in first bin,
+    outside range → null."""
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (1.5,), (2.0,), (3.0,), (-0.5,), (3.5,)], "x double"
+    )
+    got = {
+        r["x"]: r["b"]
+        for r in df.select(
+            "x", bucket_label_col("x", [0.0, 1.0, 2.0, 3.0], ["a", "b", "c"]).alias("b")
+        ).collect()
+    }
+    assert got[0.0] == "a"  # include.lowest
+    assert got[1.0] == "a"  # right-closed: 1.0 ∈ (0,1]
+    assert got[1.5] == "b"
+    assert got[2.0] == "b"
+    assert got[3.0] == "c"
+    assert got[-0.5] is None and got[3.5] is None
+
+
+def test_bucket_labels_cover_and_disjoint(spark):
+    """Every in-range value gets exactly one label (coverage/disjointness)."""
+    import numpy as np
+
+    vals = [(float(v),) for v in np.linspace(0, 3, 301)]
+    df = spark.createDataFrame(vals, "x double")
+    labeled = df.select(
+        "x", bucket_label_col("x", [0.0, 1.0, 2.0, 3.0], ["a", "b", "c"]).alias("b")
+    )
+    assert labeled.filter(F.col("b").isNull()).count() == 0
+
+
+def test_clamp_null_passthrough(spark):
+    df = spark.createDataFrame([(None,), (5.0,), (-5.0,)], "x double")
+    got = [r["c"] for r in df.select(clamp("x", 0.0, 1.0).alias("c")).collect()]
+    assert got == [None, 1.0, 0.0]
+
+
+def test_un_onehot_first_flag_wins(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (0, 0), (1, 1)], "f_a int, f_b int"
+    )
+    got = [
+        r["brand"]
+        for r in df.select(
+            un_onehot({"f_a": "alpha", "f_b": "beta"}).alias("brand")
+        ).collect()
+    ]
+    assert got == ["alpha", "beta", "Unknown", "alpha"]
+
+
+def test_first_word(spark):
+    df = spark.createDataFrame([("alfa-romero giulia",), ("bmw",)], "s string")
+    got = [r["w"] for r in df.select(first_word("s").alias("w")).collect()]
+    assert got == ["alfa-romero", "bmw"]
+
+
+def test_impute_median_and_mode(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, None), (None, "b"), (100.0, "a")],
+        "x double, c string",
+    )
+    out = cleaning.impute(df, numeric=["x"], categorical=["c"]).collect()
+    xs = sorted(r["x"] for r in out)
+    assert 2.0 in xs and None not in xs  # median of {1,2,100} = 2
+    cs = [r["c"] for r in out]
+    assert None not in cs and cs.count("a") == 3  # mode = 'a'
+
+
+def test_mode_tiebreak_deterministic(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("b",), ("a",)], "c string")
+    assert cleaning.mode_fill_values(df, ["c"]) == {"c": "a"}  # value asc on tie
+
+
+def test_winsorize_bounds(spark):
+    import numpy as np
+
+    vals = [(float(v),) for v in range(1, 206)]
+    df = spark.createDataFrame(vals, "x double")
+    out = cleaning.winsorize(df, ["x"], 0.01, 0.99).toPandas()["x"]
+    assert out.min() == pytest.approx(1 + 0.01 * 204)  # type-7 1%
+    assert out.max() == pytest.approx(1 + 0.99 * 204)
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """S4: model sink/source (saveRDS analogue) via Spark ML persistence."""
+    from pyspark.ml import PipelineModel
+
+    from bigdata_carprice_assignment_spark.ml import pipelines as mlp
+    from bigdata_carprice_assignment_spark.sources.writers import save_model
+
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i + 1)) for i in range(20)], "x double, label double"
+    )
+    model = mlp.fit_regression(df, ["x"], [], label="label", kind="lm")
+    path = str(tmp_path / "lm_model")
+    save_model(model, path)
+    loaded = PipelineModel.load(path)
+    a = model.transform(df).select("prediction").collect()
+    b = loaded.transform(df).select("prediction").collect()
+    assert a == b

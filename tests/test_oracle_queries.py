@@ -23,10 +23,15 @@ def test_query_matches_oracle(spark, sf_smoke, name):
     assert not problems, "\n".join(problems)
 
 
-def test_all_queries_return_rows(spark, sf_smoke):
+def test_all_queries_build_valid_plans(spark, sf_smoke):
+    """Every registered query must at least analyze (schema resolvable)
+    without executing — fast wiring check across the whole registry.
+    (Execution coverage: oracle params above, dedicated ML/LLM/streaming
+    tests, and the driver's rows-only checks.)"""
     for name, fn in registry.QUERIES.items():
         df = fn(spark, sf_smoke)
         assert df.columns, f"{name}: no columns"
+        assert df.schema is not None, name
 
 
 def test_entry_smoke(spark):

@@ -1,0 +1,65 @@
+"""Plan-quality gates (SURVEY.md §4): the physical plans the engine
+produces must have the scale properties we designed for — pushdown,
+pruning, broadcast dims, codegen fusion. These tests fail if a refactor
+regresses the plan even when results stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_carprice_assignment_spark.plans import explain as X
+from bigdata_carprice_assignment_spark.queries.pricing import flagship_price_band_summary
+from bigdata_carprice_assignment_spark.queries.relational import (
+    pricing_summary_report,
+    region_revenue,
+)
+from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_smoke):
+    df = pricing_summary_report(spark, sf_smoke)
+    assert X.has_pushed_filter(df, "l_shipdate"), X.formatted_plan(df)
+
+
+def test_column_pruning_on_projection(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity")
+    cols = X.scan_read_columns(li)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_dimension_joins_broadcast(spark, sf_smoke):
+    df = region_revenue(spark, sf_smoke)
+    assert X.uses_broadcast_join(df), X.formatted_plan(df)
+
+
+def test_flagship_plan_shape(spark, sf_smoke):
+    """Flagship: ≤ a handful of shuffles (join + agg + orderBy), codegen
+    fused, and the orders projection pruned to 2 columns."""
+    df = flagship_price_band_summary(spark, sf_smoke)
+    assert X.count_exchanges(df) <= 4, X.formatted_plan(df)
+    # codegen ids are only assigned once AQE finalizes the plan
+    df.collect()
+    assert X.codegen_stage_count(df) >= 1, X.formatted_plan(df)
+
+
+def test_narrow_clean_chain_single_codegen(spark, sf_smoke):
+    """A clean→cast→derive chain of narrow ops must not shuffle at all."""
+    from bigdata_carprice_assignment_spark.operators import cleaning
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    chain = cleaning.lowercase_columns(li)
+    chain = cleaning.cast_columns(chain, ["l_quantity", "l_tax"], "double")
+    chain = chain.withColumn("rev", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    assert X.count_exchanges(chain) == 0, X.formatted_plan(chain)
+
+
+def test_semi_join_filter_is_broadcast(spark, sf_smoke):
+    from bigdata_carprice_assignment_spark.operators import joins, topk
+
+    cust = load_table(spark, sf_smoke, "customer")
+    orders = load_table(spark, sf_smoke, "orders")
+    top = topk.top_n_by_count(cust, "c_mktsegment", 1).select("c_mktsegment")
+    semi = joins.semi_filter(cust, top, "c_mktsegment")
+    plan = X.formatted_plan(semi)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert orders is not None

@@ -1,0 +1,55 @@
+"""Stream/batch parity: the streaming jobs must produce the same
+aggregates as their batch duals over the same parquet input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_carprice_assignment_spark.queries.events import hourly_event_rollup
+from bigdata_carprice_assignment_spark.sources.readers import load_table
+from bigdata_carprice_assignment_spark.streaming import jobs
+
+
+def test_hourly_stream_matches_batch(spark, sf_smoke):
+    stream = jobs.read_event_stream(spark, sf_smoke)
+    out = jobs.run_to_completion(
+        jobs.hourly_rollup_stream(stream), "t_hourly", "complete"
+    )
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], r["total_value"])
+        for r in out.collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n"], r["total_value"])
+        for r in hourly_event_rollup(spark, sf_smoke).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_session_stream_total_events_conserved(spark, sf_smoke):
+    stream = jobs.read_event_stream(spark, sf_smoke)
+    out = jobs.run_to_completion(jobs.session_stream(stream), "t_sessions", "complete")
+    total = out.agg(F.sum("n_events")).first()[0]
+    n_events = load_table(spark, sf_smoke, "events").count()
+    assert total == n_events
+    # session_window(30m) count per user must match the batch lag-gap
+    # sessionizer (same gap semantics)
+    from bigdata_carprice_assignment_spark.queries.events import user_sessionization
+
+    stream_sessions = {
+        r["user_id"]: r["n"]
+        for r in out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    batch_sessions = {
+        r["user_id"]: r["n_sessions"]
+        for r in user_sessionization(spark, sf_smoke).collect()
+    }
+    assert stream_sessions == batch_sessions
+
+
+def test_sliding_windows_overlap(spark, sf_smoke):
+    stream = jobs.read_event_stream(spark, sf_smoke)
+    out = jobs.run_to_completion(jobs.sliding_rollup_stream(stream), "t_sliding", "complete")
+    n_events = load_table(spark, sf_smoke, "events").count()
+    # each event falls in 4 sliding windows (60min window / 15min slide)
+    assert out.agg(F.sum("n")).first()[0] == 4 * n_events
