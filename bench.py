@@ -79,8 +79,19 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry.QUERIES]
 
     spark = get_spark("bench")
-    # Warm-up: JVM classloading + parquet footer read, untimed.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    # Warm-up, untimed: JVM classloading, parquet reader, shuffle +
+    # broadcast + codegen machinery (first-query costs, not engine costs).
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dim = spark.range(100).withColumnRenamed("id", "l_linenumber")
+    (
+        li.limit(10000)
+        .join(F.broadcast(dim), "l_linenumber")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+        .collect()
+    )
 
     timings: dict[str, float] = {}
     for name in names:

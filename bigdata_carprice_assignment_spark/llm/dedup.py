@@ -50,7 +50,12 @@ def minhash_signatures(
             for i in range(num_hashes)
         ]
     )
-    return df.select(id_col, sig.alias("signature"))
+    # signature computation is CPU-bound per row (num_hashes × shingles
+    # hashes); small corpora arrive as one input split — spread the work
+    # across the cluster before the heavy projection.
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    return df.repartition(n_parts, id_col).select(id_col, sig.alias("signature"))
 
 
 def minhash_band_pairs(
@@ -89,6 +94,10 @@ def minhash_band_pairs(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+    # materialize once: the self-join below would otherwise recompute the
+    # full signature expression tree on both branches (2× the dominant
+    # cost); the banded table is (docs × bands) rows of three scalars.
+    banded = banded.localCheckpoint()
     sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
     banded = banded.join(
         sizes.filter(F.col("sz") <= max_bucket).select("band", "bucket"),
@@ -110,8 +119,20 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs (the verify half of
     candidate→verify). Joins shingle sets back in; |A∩B|/|A∪B| native."""
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh")
+    # shingle only candidate documents (candidates ≪ corpus at scale):
+    # semi-join the pair ids in before computing shingle sets.
+    cand_ids = (
+        pairs.select(F.col("a").alias("_id"))
+        .unionByName(pairs.select(F.col("b").alias("_id")))
+        .distinct()
+    )
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .join(F.broadcast(cand_ids), "_id", "left_semi")
+        .repartition(n_parts, "_id")  # parallelize the shingle compute
+        .select("_id", shingles("_t", shingle_n).alias("_sh"))
+        .localCheckpoint()  # reused by both sides of the pair join
     )
     a = sh.select(F.col("_id").alias("a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("b"), F.col("_sh").alias("sh_b"))
@@ -149,12 +170,40 @@ def minhash_dedup(
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
-    """Min-id label propagation over an undirected edge list → (node,
-    component). Bounded driver loop; each iteration is one distributed
-    join + agg. Duplicate clusters are short chains in practice, so
-    convergence is fast; max_iter bounds the worst case (logged via the
-    returned labels being a valid — possibly refinable — partition)."""
+def connected_components(
+    edges: DataFrame, max_iter: int = 10, local_threshold: int = 2_000_000
+) -> DataFrame:
+    """Edge list → (node, component) labels.
+
+    Adaptive strategy: duplicate-cluster edge sets are tiny relative to
+    the corpus (pairs that survived banding AND verification), so below
+    ``local_threshold`` edges we union-find on the driver — O(E α(E)),
+    no per-iteration job overhead. Above it (pathological boilerplate at
+    100 TB), fall back to distributed min-id label propagation: a bounded
+    driver loop of join+agg rounds over localCheckpointed labels."""
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = edges.collect()
+        for r in rows:
+            ra, rb = find(r["a"]), find(r["b"])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {r["a"] for r in rows} | {r["b"] for r in rows}
+        labels = [(n, find(n)) for n in sorted(nodes)]
+        return edges.sparkSession.createDataFrame(
+            labels, "node long, component long"
+        )
     sym = (
         edges.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .unionByName(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
@@ -235,7 +284,11 @@ def simhash_candidates(
     Hamming distance 64/band_bits−1 of each other by pigeonhole)."""
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
-    sh = df.select(F.col(id_col).alias("doc"), simhash(text_col).alias("sh"))
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    sh = df.repartition(n_parts, id_col).select(
+        F.col(id_col).alias("doc"), simhash(text_col).alias("sh")
+    )
+    sh = sh.localCheckpoint()  # simhash is the dominant cost; compute once
     banded = sh.select(
         "doc",
         "sh",

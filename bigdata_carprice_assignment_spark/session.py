@@ -44,6 +44,12 @@ def get_spark(app_name: str = "bigdata_carprice_assignment_spark") -> SparkSessi
         # optimizer OOMs inferring filters from constraints. Cost outweighs
         # benefit for this workload at any scale.
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # Test corpus tables are single parquet files well under the
+        # default 128 MB split size — one task per scan, serializing the
+        # whole pipeline. Smaller splits parallelize local scans; at
+        # cluster scale data arrives as many files and this is a no-op.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

@@ -30,6 +30,24 @@ def write_csv_single(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed-table sink: later equi-joins/aggs on
+    ``bucket_col`` between tables bucketed the same way co-locate and
+    skip the shuffle entirely — the pre-partitioning strategy for
+    repeatedly-joined 100 TB fact tables. (Requires a session warehouse;
+    see tests/test_skew_bucketing.py for the no-Exchange plan proof.)"""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
 def save_model(model, path: str) -> None:
     """S4: model sink (saveRDS analogue) via Spark ML's native writer."""
     model.write().overwrite().save(path)
