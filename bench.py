@@ -51,6 +51,12 @@ HEADLINE: list[str] = [
     "tukey_pairwise_components",
     "pearson_r_components",
     "chi2_independence_components",
+    "customer_running_spend",
+    "order_value_deciles",
+    "big_spenders_vs_segment",
+    "asof_last_event_before_order",
+    "gap_filled_hourly_events",
+    "event_rank_and_share_per_user",
     "hourly_event_rollup",
     "daily_rollup_by_type",
     "user_sessionization",

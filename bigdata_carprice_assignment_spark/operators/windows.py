@@ -1,0 +1,107 @@
+"""Window-function operators and join shapes built on them (engine
+extensions beyond the reference's single argmax window — SURVEY.md §2.5
+T4 note; the driver corpus exercises the full family).
+
+Scale notes: every window here partitions by a natural key (customer,
+user) — state per partition is bounded by that key's row count; no
+global unpartitioned windows on data-sized inputs (those serialize to a
+single task). The as-of join is the union-tag algorithm: one shuffle on
+the partition key, one ordered window pass — the scalable alternative to
+a per-group merge_asof."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def running_total(
+    df: DataFrame, part: str, order: str, value: str, tiebreak: str
+) -> DataFrame:
+    w = (
+        Window.partitionBy(part)
+        .orderBy(F.asc(order), F.asc(tiebreak))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn("running_total", F.sum(value).over(w))
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the most recent
+    right row (same ``on`` key) with right_ts <= left_ts.
+
+    Union-tag algorithm: tag both sides, union on (key, ts), sort within
+    key by (ts, right-first), carry the last-seen right values forward
+    with ``last(ignorenulls)`` over an ordered window, keep left rows.
+    One shuffle on the key — no per-pair range explosion, no Python.
+    """
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rt = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    lt_cols = [c for c in lt.columns if c not in ("_side", "_ts")]
+    combined = lt.select(
+        *lt_cols,
+        "_side",
+        "_ts",
+        *[F.lit(None).cast(rt.schema[f"_r_{c}"].dataType).alias(f"_r_{c}") for c in right_cols],
+    ).unionByName(
+        rt.select(
+            *[F.lit(None).cast(lt.schema[c].dataType).alias(c) for c in lt_cols if c != on],
+            F.col(on),
+            "_side",
+            "_ts",
+            *[F.col(f"_r_{c}") for c in right_cols],
+        )
+    )
+    # right rows sort before left rows at equal ts (backward = inclusive)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.asc("_ts"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = combined.select(
+        *[c for c in combined.columns if not c.startswith("_r_")],
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side", "_ts")
+
+
+def gap_filled_hourly_counts(
+    df: DataFrame, ts_col: str, value_col: str | None = None
+) -> DataFrame:
+    """Hypertable-style rollup: hourly counts with missing hours
+    zero-filled. The hour spine is generated distributed (sequence +
+    explode over the observed min/max — 2 scalars to the driver)."""
+    bounds = df.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 2).alias("total_value"))
+    actual = df.groupBy(F.date_trunc("hour", ts_col).alias("hour")).agg(*aggs)
+    out = spine.join(actual, "hour", "left").fillna({"n": 0})
+    if value_col:
+        out = out.fillna({"total_value": 0.0})
+    return out

@@ -1,0 +1,221 @@
+"""Window-function query family (engine extension; SURVEY.md §2.5 note)
+— running totals, ranking, deciles, as-of join, gap-filled rollups,
+grouped-vs-global comparisons. All oracle-backed."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import windows as W
+from ..registry import query
+from ..sources.readers import load_table
+
+
+@query(
+    "customer_running_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = W.running_total(orders, "o_custkey", "o_orderdate", "o_totalprice", "o_orderkey")
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("running_total", 2).alias("running_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "order_value_deciles",
+    oracle="""
+WITH d AS (
+  SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       round(sum(o_totalprice), 2) AS total
+FROM d GROUP BY decile ORDER BY decile
+""",
+)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile is a single-task sort at 100 TB — fine here because
+    the windowed set is the orders table's price column only and the
+    result is 10 rows; the scale path would two-phase via range
+    partitioning (repartitionByRange + per-partition offsets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey"))
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "big_spenders_vs_segment",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_custkey, c.c_mktsegment, sum(o.o_totalprice) AS total
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+),
+seg AS (
+  SELECT *, avg(total) OVER (PARTITION BY c_mktsegment) AS seg_avg FROM spend
+)
+SELECT c_mktsegment, count(*) AS n_big_spenders,
+       round(sum(total), 2) AS total_spend
+FROM seg WHERE total > 1.5 * seg_avg
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def big_spenders_vs_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-vs-group-average comparison (decorrelated-subquery shape)
+    via a partition window over the aggregate."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    seg = spend.withColumn(
+        "seg_avg", F.avg("total").over(Window.partitionBy("c_mktsegment"))
+    )
+    return (
+        seg.filter(F.col("total") > 1.5 * F.col("seg_avg"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_big_spenders"),
+            F.round(F.sum("total"), 2).alias("total_spend"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "asof_last_event_before_order",
+    oracle="""
+WITH tagged AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+         e.ts AS ev_ts, e.event_type
+  FROM orders o
+  LEFT JOIN events e
+    ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+            ORDER BY ev_ts DESC NULLS LAST) AS rn
+  FROM tagged
+)
+SELECT coalesce(event_type, 'none') AS last_event_type,
+       count(*) AS n_orders
+FROM ranked WHERE rn = 1
+GROUP BY 1 ORDER BY 1
+""",
+)
+def asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (orders ← most recent prior event per user),
+    via the union-tag + last(ignorenulls) window algorithm — one shuffle,
+    no range-join explosion (operators/windows.py::asof_join_backward).
+    The oracle states the same semantics as a naive range join + argmax."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    joined = W.asof_join_backward(
+        orders, events, on="user_id", left_ts="o_orderdate", right_ts="ts",
+        right_cols=["event_type"],
+    )
+    return (
+        joined.select(
+            F.coalesce("asof_event_type", F.lit("none")).alias("last_event_type")
+        )
+        .groupBy("last_event_type")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("last_event_type")
+    )
+
+
+@query(
+    "gap_filled_hourly_events",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+actual AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+         round(sum(value), 2) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       coalesce(a.n, 0) AS n,
+       coalesce(a.total_value, 0.0) AS total_value
+FROM spine s LEFT JOIN actual a ON a.hour = s.hour
+ORDER BY 1
+""",
+)
+def gap_filled_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style zero-filled hourly rollup (sequence spine)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = W.gap_filled_hourly_counts(ev, "ts", "value")
+    return out.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n",
+        "total_value",
+    ).orderBy("hour")
+
+
+@query(
+    "event_rank_and_share_per_user",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type, count(*) AS n, sum(value) AS v
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT *,
+         rank() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rnk,
+         v / sum(v) OVER (PARTITION BY user_id) AS share
+  FROM t
+)
+SELECT user_id, event_type, n, round(share, 6) AS share
+FROM r WHERE rnk = 1 ORDER BY user_id
+""",
+)
+def event_rank_and_share_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + windowed share-of-total per user; keeps each user's most
+    frequent event type."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+    )
+    wu = Window.partitionBy("user_id")
+    r = t.withColumn(
+        "rnk", F.rank().over(wu.orderBy(F.desc("n"), F.asc("event_type")))
+    ).withColumn("share", F.col("v") / F.sum("v").over(wu))
+    return (
+        r.filter(F.col("rnk") == 1)
+        .select("user_id", "event_type", "n", F.round("share", 6).alias("share"))
+        .orderBy("user_id")
+    )

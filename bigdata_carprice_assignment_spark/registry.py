@@ -47,4 +47,5 @@ def load_all() -> None:
         pricing,
         relational,
         statistics,
+        windows,
     )
