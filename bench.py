@@ -58,6 +58,7 @@ HEADLINE: list[str] = [
     "gap_filled_hourly_events",
     "event_rank_and_share_per_user",
     "hourly_event_rollup",
+    "event_props_json_extract",
     "daily_rollup_by_type",
     "user_sessionization",
     "event_type_value_share",

@@ -48,7 +48,13 @@ FEATURE_SCHEMA = (
 
 def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Adapter: treat a text corpus as binary media (UTF-8 payload) so the
-    multimodal path has real bytes to run on in this container."""
+    multimodal path has real bytes to run on in this container.
+
+    Repartitions by id first: media kernels are per-row CPU work and the
+    corpus may arrive as one file split — spread before the Python stage.
+    """
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    df = df.repartition(n_parts, id_col)
     return df.select(
         F.col(id_col).alias("media_id"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),

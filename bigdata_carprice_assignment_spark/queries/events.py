@@ -144,6 +144,34 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_props_json_extract",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def event_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the JSON props payload and
+    aggregate an extracted field (engine extension — the reference has no
+    JSON surface; a 100 TB event pipeline always does)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "event_type_value_share",
     oracle="""
 WITH t AS (SELECT event_type, sum(value) AS v FROM events GROUP BY 1),

@@ -96,6 +96,58 @@ def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count / value total maintained in explicit state across
+    micro-batches (the escape hatch for operators ``window``/
+    ``session_window`` can't express). Arrow-batched; state is one tiny
+    row per user."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_foreach_batch_sink(
+    stream_df: DataFrame, out_dir: str, name: str = "fb_sink"
+) -> list[str]:
+    """foreachBatch sink: per-micro-batch idempotent parquet writes keyed
+    by batch id (the exactly-once pattern for sinks without transactional
+    support). Returns written batch directories."""
+    written: list[str] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        path = f"{out_dir}/batch={batch_id}"
+        batch_df.write.mode("overwrite").parquet(path)  # idempotent on retry
+        written.append(path)
+
+    q = stream_df.writeStream.outputMode("update").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return written
+
+
 def run_to_completion(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -47,6 +47,29 @@ def test_session_stream_total_events_conserved(spark, sf_smoke):
     assert stream_sessions == batch_sessions
 
 
+def test_stateful_user_totals_matches_batch(spark, sf_smoke, tmp_path):
+    """applyInPandasWithState totals over one micro-batch == batch
+    groupBy (exercises explicit state plumbing end-to-end)."""
+    stream = jobs.read_event_stream(spark, sf_smoke)
+    stateful = jobs.stateful_user_totals_stream(stream)
+    paths = jobs.run_foreach_batch_sink(stateful, str(tmp_path / "out"))
+    assert paths
+    got_df = spark.read.parquet(*paths)
+    # latest state per user (update mode may emit once per batch)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in got_df.orderBy("user_id").collect()
+    }
+    ev = load_table(spark, sf_smoke, "events")
+    want = {
+        r["user_id"]: (r["n"], round(r["v"], 2))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_sliding_windows_overlap(spark, sf_smoke):
     stream = jobs.read_event_stream(spark, sf_smoke)
     out = jobs.run_to_completion(jobs.sliding_rollup_stream(stream), "t_sliding", "complete")
