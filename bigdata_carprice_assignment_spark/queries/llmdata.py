@@ -89,11 +89,42 @@ def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_lang_id_agreement")
+@query(
+    "doc_lang_id_agreement",
+    oracle=r"""
+WITH f AS (
+  SELECT lang,
+    len(list_filter(string_split_regex(trim(text), '\s+'), t -> lower(t) IN
+        ('the','and','of','to','a','in','is','for','with','on')))::DOUBLE AS s_en,
+    len(list_filter(string_split_regex(trim(text), '\s+'), t -> lower(t) IN
+        ('el','la','de','que','y','en','un','una','los','por')))::DOUBLE AS s_es,
+    len(list_filter(string_split_regex(trim(text), '\s+'), t -> lower(t) IN
+        ('le','la','de','et','les','des','un','une','est','dans')))::DOUBLE AS s_fr,
+    len(list_filter(string_split_regex(trim(text), '\s+'), t -> lower(t) IN
+        ('der','die','das','und','ist','von','mit','den','ein','nicht')))::DOUBLE AS s_de,
+    (length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')))::DOUBLE AS s_zh
+  FROM documents
+),
+g AS (
+  SELECT lang, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best,
+         s_de, s_en, s_es, s_fr, s_zh
+  FROM f
+)
+SELECT lang,
+       CASE WHEN best <= 0 THEN 'und'
+            WHEN s_de = best THEN 'de'
+            WHEN s_en = best THEN 'en'
+            WHEN s_es = best THEN 'es'
+            WHEN s_fr = best THEN 'fr'
+            ELSE 'zh' END AS predicted,
+       count(*) AS n
+FROM g GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
 def doc_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID vs the corpus's lang column: confusion counts
-    (rows-only: the argmax ladder is expressible but brittle in SQL;
-    correctness pinned in tests/test_llm.py on labeled samples)."""
+    (the stopword-evidence argmax ladder, replicated in the oracle with
+    the same deterministic tie-break — language code ascending)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("lang", TX.lang_id("text").alias("predicted"))
@@ -210,7 +241,20 @@ def ivf_topk_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("exact_dedup_documents")
+@query(
+    "exact_dedup_documents",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9_\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS digest
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       count(*) - count(DISTINCT digest) AS n_duplicates,
+       count(DISTINCT digest) AS n_canonical
+FROM h
+""",
+)
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     flagged = D.exact_dedup(docs, "text", "doc_id")
@@ -276,10 +320,22 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("multimodal_feature_extract")
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+SELECT count(*) AS n_media,
+       count(*) AS n_decoded,
+       round(avg(octet_length(encode(text))), 2) AS avg_bytes,
+       count(DISTINCT sha256(text)) AS n_distinct_payloads
+FROM documents
+""",
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched mapInPandas
-    (decode stubbed deterministically — no codecs in this container)."""
+    (decode stubbed deterministically — no codecs in this container).
+    The Python-side sha256/byte stats are hash-checked against DuckDB's
+    native blob functions — the oracle proves the Arrow round trip is
+    byte-exact."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.documents_as_media(docs)
     feats = MM.extract_features(media, decode="fake")
@@ -291,9 +347,22 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample")
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         least(greatest(octet_length(encode(text)) // 64, 1), 16) AS n_frames
+  FROM documents WHERE doc_id < 50
+)
+SELECT media_id, n_frames, (n_frames - 1) * 500 AS last_ts_ms
+FROM m ORDER BY media_id
+""",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").limit(50)
+    """Frame-sampling kernel: one row per sampled frame; per-media frame
+    counts hash-checked against the closed-form count."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     media = MM.documents_as_media(docs)
     frames = MM.sample_frames(media, every_ms=500)
     return frames.groupBy("media_id").agg(

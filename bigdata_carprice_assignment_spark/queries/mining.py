@@ -186,11 +186,83 @@ def rule_interest_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# FPGrowth general miner — rows-only (cross-checked vs pair miner in pytest).
+# FPGrowth general miner. With 3-item transactions the complete rule set
+# (1- and 2-item antecedents, 1-item consequent) is SQL-expressible from
+# single/pair/triple co-occurrence counts — so even the FP-Growth output
+# is hash-checked, not just the pair subset.
 # ---------------------------------------------------------------------------
 
+_FPG_RULES_SQL = f"""
+WITH items AS ({_ITEMS_SQL}),
+tot AS (SELECT count(DISTINCT id) AS n FROM items),
+s1 AS (SELECT item, count(*) AS c FROM items GROUP BY item),
+p2 AS (
+  SELECT a.item AS ia, b.item AS ib, count(*) AS c
+  FROM items a JOIN items b ON a.id = b.id AND a.item <> b.item
+  GROUP BY 1, 2
+),
+t3 AS (
+  SELECT a.item AS x, b.item AS y, c.item AS z, count(*) AS c
+  FROM items a
+  JOIN items b ON a.id = b.id AND a.item < b.item
+  JOIN items c ON a.id = c.id AND b.item < c.item
+  GROUP BY 1, 2, 3
+),
+rules1 AS (
+  SELECT p.ia AS antecedent, p.ib AS consequent,
+         p.c::DOUBLE / tot.n AS support,
+         p.c::DOUBLE / sa.c AS confidence,
+         (p.c::DOUBLE / sa.c) / (sb.c::DOUBLE / tot.n) AS lift
+  FROM p2 p
+  JOIN s1 sa ON sa.item = p.ia
+  JOIN s1 sb ON sb.item = p.ib
+  CROSS JOIN tot
+),
+rules2 AS (
+  SELECT t.x || ',' || t.y AS antecedent, t.z AS consequent,
+         t.c::DOUBLE / tot.n AS support,
+         t.c::DOUBLE / p.c AS confidence,
+         (t.c::DOUBLE / p.c) / (s.c::DOUBLE / tot.n) AS lift
+  FROM t3 t
+  JOIN p2 p ON p.ia = t.x AND p.ib = t.y
+  JOIN s1 s ON s.item = t.z
+  CROSS JOIN tot
+  UNION ALL
+  SELECT t.x || ',' || t.z, t.y,
+         t.c::DOUBLE / tot.n, t.c::DOUBLE / p.c,
+         (t.c::DOUBLE / p.c) / (s.c::DOUBLE / tot.n)
+  FROM t3 t
+  JOIN p2 p ON p.ia = t.x AND p.ib = t.z
+  JOIN s1 s ON s.item = t.y
+  CROSS JOIN tot
+  UNION ALL
+  SELECT t.y || ',' || t.z, t.x,
+         t.c::DOUBLE / tot.n, t.c::DOUBLE / p.c,
+         (t.c::DOUBLE / p.c) / (s.c::DOUBLE / tot.n)
+  FROM t3 t
+  JOIN p2 p ON p.ia = t.y AND p.ib = t.z
+  JOIN s1 s ON s.item = t.x
+  CROSS JOIN tot
+),
+rules AS (
+  SELECT * FROM rules1 UNION ALL SELECT * FROM rules2
+)
+"""
 
-@query("fpgrowth_rules")
+
+@query(
+    "fpgrowth_rules",
+    oracle=_FPG_RULES_SQL
+    + """
+SELECT antecedent, consequent,
+       round(support, 6) AS support,
+       round(confidence, 6) AS confidence,
+       round(lift, 6) AS lift
+FROM rules
+WHERE support >= 0.02 AND confidence >= 0.1
+ORDER BY lift DESC, antecedent, consequent
+""",
+)
 def fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M14: FPGrowth with arules post-filters (minlen=2, maxlen=4,
     1-item consequent), sorted by lift (T2)."""
@@ -223,7 +295,20 @@ def fpgrowth_rules_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("rules_subset_size_rhs")
+@query(
+    "rules_subset_size_rhs",
+    oracle=_FPG_RULES_SQL
+    + """
+SELECT antecedent, consequent,
+       round(confidence, 6) AS confidence,
+       round(lift, 6) AS lift
+FROM rules
+WHERE support >= 0.02 AND confidence >= 0.1
+  AND consequent LIKE 'size_band=%'
+  AND antecedent LIKE '%p_brand=%'
+ORDER BY confidence DESC, antecedent, consequent
+""",
+)
 def rules_subset_size_rhs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M16/F12: subset rules whose consequent is a size band or whose
     antecedent partially matches 'brand' (rhs %in% / lhs %pin%)."""
@@ -242,7 +327,43 @@ def rules_subset_size_rhs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("confidence"), "antecedent", "consequent")
 
 
-@query("per_segment_rules")
+_SEGMENT_ITEMS_SQL = """
+  SELECT c.c_custkey AS id, c.c_mktsegment AS seg, 'n_name=' || n.n_name AS item
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT c.c_custkey, c.c_mktsegment, 'bal_band=' ||
+         CASE WHEN c.c_acctbal < -999999 THEN NULL
+              WHEN c.c_acctbal <= 0 THEN 'Negative'
+              WHEN c.c_acctbal <= 2500 THEN 'Low'
+              WHEN c.c_acctbal <= 5000 THEN 'Mid'
+              WHEN c.c_acctbal <= 7500 THEN 'High'
+              WHEN c.c_acctbal <= 999999 THEN 'Top'
+              ELSE NULL END
+  FROM customer c
+"""
+
+
+@query(
+    "per_segment_rules",
+    oracle=f"""
+WITH items AS ({_SEGMENT_ITEMS_SQL}),
+tot AS (SELECT seg, count(DISTINCT id) AS n FROM items GROUP BY seg),
+s1 AS (SELECT seg, item, count(*) AS c FROM items GROUP BY seg, item),
+p2 AS (
+  SELECT a.seg, a.item AS ia, b.item AS ib, count(*) AS c
+  FROM items a JOIN items b ON a.id = b.id AND a.item <> b.item
+  GROUP BY 1, 2, 3
+)
+SELECT p.seg AS c_mktsegment, p.ia AS antecedent, p.ib AS consequent,
+       round(p.c::DOUBLE / tot.n, 6) AS support,
+       round(p.c::DOUBLE / sa.c, 6) AS confidence
+FROM p2 p
+JOIN s1 sa ON sa.seg = p.seg AND sa.item = p.ia
+JOIN tot ON tot.seg = p.seg
+WHERE p.c::DOUBLE / tot.n >= 0.05 AND p.c::DOUBLE / sa.c >= 0.1
+ORDER BY c_mktsegment, antecedent, consequent
+""",
+)
 def per_segment_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M17: per-group re-mining (loop-over-jobs) — rules per customer
     market segment over nation + acctbal-band items."""
