@@ -32,9 +32,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES[FLAGSHIP](spark, SMOKE_SF_DIR)
 
 
+def _with_safe_confs(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """The driver constructs its own SparkSession; set the two runtime
+    confs our plans rely on (nanos-timestamp reads for the events table;
+    constraint propagation off — exponential on wide CASE-WHEN chains)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    return {name: _with_safe_confs(fn) for name, fn in registry.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

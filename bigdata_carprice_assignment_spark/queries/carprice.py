@@ -115,6 +115,40 @@ def carprice_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("carprice_lm_coefficients")
+def carprice_lm_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 introspection: OLS coefficients of lm(log_price ~ .) on the
+    full ml matrix (deterministic — normal-equation solver; pinned to
+    numpy's lstsq in tests/test_ml.py::test_lm_coefficients_match_numpy)."""
+    df = _cleaned(spark)
+    numeric = [c for c in cp.ML_VARS if c not in ("log_price", "brand")]
+    model = mlp.fit_regression(df.dropna(), numeric, ["brand"], "log_price", "lm")
+    lr = model.stages[-1]
+    rows = [("(intercept)", round(float(lr.intercept), 8))]
+    rows += [
+        (f"f{i}", round(float(c), 8)) for i, c in enumerate(lr.coefficients)
+    ]
+    return spark.createDataFrame(rows, "feature string, coefficient double")
+
+
+@query("carprice_rf_feature_importances")
+def carprice_rf_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 introspection: randomForest importance()/varImpPlot analogue
+    (BigDataProject.R:338-347) via .featureImportances, numeric features
+    named, one-hot slots aggregated under 'brand'."""
+    df = _cleaned(spark)
+    numeric = [c for c in cp.ML_VARS if c not in ("log_price", "brand")]
+    model = mlp.fit_regression(df.dropna(), numeric, ["brand"], "log_price", "rf")
+    rf = model.stages[-1]
+    imp = rf.featureImportances
+    named = {c: float(imp[i]) for i, c in enumerate(numeric)}
+    named["brand"] = float(sum(imp[i] for i in range(len(numeric), imp.size)))
+    rows = sorted(
+        ((k, round(v, 6)) for k, v in named.items()), key=lambda t: (-t[1], t[0])
+    )
+    return spark.createDataFrame(rows, "feature string, importance double")
+
+
 @query("carprice_radar_profile")
 def carprice_radar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 radar reduction: per-cluster means min-max normalized to [0,1]

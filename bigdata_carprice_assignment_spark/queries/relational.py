@@ -661,6 +661,43 @@ def avg_log_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 100 TB mode demo: sketch-based approximations vs their exact
+# counterparts, with observed relative error (rows-only: sketches are
+# engine-specific by design; the exact columns are covered by other
+# oracles). SCALE.md documents when the approx path replaces exact.
+# --------------------------------------------------------------------------
+
+
+@query("approx_vs_exact_stats")
+def approx_vs_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_distinct"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_distinct"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+    ).first()
+    rel = lambda a, b: abs(a - b) / max(abs(b), 1e-12)  # noqa: E731
+    data = [
+        (
+            "count_distinct(l_partkey)",
+            float(row["exact_distinct"]),
+            float(row["approx_distinct"]),
+            round(rel(row["approx_distinct"], row["exact_distinct"]), 6),
+        ),
+        (
+            "median(l_extendedprice)",
+            float(row["exact_median"]),
+            float(row["approx_median"]),
+            round(rel(row["approx_median"], row["exact_median"]), 6),
+        ),
+    ]
+    return spark.createDataFrame(
+        data, "statistic string, exact double, approx double, rel_error double"
+    )
+
+
+# --------------------------------------------------------------------------
 # A4: per-column null profile (on a masked projection so counts are >0).
 # --------------------------------------------------------------------------
 

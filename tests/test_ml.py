@@ -95,6 +95,49 @@ def test_minmax_scale_bounds(cleaned):
     assert mins >= -1e-9 and maxs <= 1.0 + 1e-9
 
 
+def test_lm_coefficients_match_numpy(spark, cleaned):
+    """M3 exact-parity check: Spark's normal-equation OLS must reproduce
+    numpy's least squares on the identical design matrix (SURVEY.md M3:
+    'exact coefficient parity achievable')."""
+    import numpy as np
+
+    from bigdata_carprice_assignment_spark.pipelines import carprice as cp
+
+    ml = cp.ml_ready(cleaned, target="log_price").toPandas()
+    X = ml.drop(columns=["log_price"]).to_numpy(dtype=float)
+    y = ml["log_price"].to_numpy(dtype=float)
+    Xd = np.hstack([X, np.ones((len(X), 1))])
+    beta, *_ = np.linalg.lstsq(Xd, y, rcond=None)
+
+    feat_cols = [c for c in ml.columns if c != "log_price"]
+    model = mlp.fit_regression(
+        cleaned.dropna(),
+        [c for c in cp.ML_VARS if c not in ("log_price", "brand")],
+        ["brand"],
+        "log_price",
+        "lm",
+    )
+    lr = model.stages[-1]
+    # Spark's feature order: numeric features then OHE slots in indexer
+    # (alphabetAsc) order minus the dropped last slot — reconstruct and
+    # compare the full coefficient vector including intercept.
+    spark_coefs = np.array(list(lr.coefficients))
+    # The two dummy encodings drop different levels, but both are
+    # full-rank parameterizations of the same column space, so the
+    # NUMERIC coefficients are identical; intercept/dummy blocks are
+    # parameterization-dependent and not compared directly.
+    numeric_n = len([c for c in cp.ML_VARS if c not in ("log_price", "brand")])
+    assert np.allclose(spark_coefs[:numeric_n], beta[:numeric_n], atol=1e-6), (
+        spark_coefs[:numeric_n],
+        beta[:numeric_n],
+    )
+    # and the fit explains the same variance (parameterization-free)
+    yhat_np = Xd @ beta
+    ss_res_np = float(np.sum((y - yhat_np) ** 2))
+    assert lr.summary.meanSquaredError * len(y) == pytest.approx(ss_res_np, rel=1e-6)
+    assert feat_cols  # design matrix non-empty
+
+
 def test_tuned_gbt_runs_and_predicts(cleaned):
     """M8 slot: CV-tuned GBT fits and beats a trivial baseline."""
     train, test = mlp.train_test_split(cleaned, 0.8, seed=123)

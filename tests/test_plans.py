@@ -53,6 +53,24 @@ def test_narrow_clean_chain_single_codegen(spark, sf_smoke):
     assert X.count_exchanges(chain) == 0, X.formatted_plan(chain)
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_smoke, tmp_path):
+    """write_parquet(partition_by=day) + day filter → the scan reads only
+    matching partitions (PartitionFilters, not a full-scan + filter)."""
+    from bigdata_carprice_assignment_spark.sources.writers import write_parquet
+
+    ev = load_table(spark, sf_smoke, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_parquet(ev, out, partition_by=["day"])
+    pruned = spark.read.parquet(out).filter(F.col("day") == "2024-01-02")
+    plan = X.formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "2024-01-02" in plan, plan
+    # partition values are type-inferred on read (string → date here)
+    days = {str(r["day"]) for r in pruned.select("day").distinct().collect()}
+    assert days == {"2024-01-02"}
+
+
 def test_semi_join_filter_is_broadcast(spark, sf_smoke):
     from bigdata_carprice_assignment_spark.operators import joins, topk
 
