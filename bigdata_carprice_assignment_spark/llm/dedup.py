@@ -43,19 +43,36 @@ def minhash_signatures(
     ``min(xxhash64(seed_i, shingle))`` — pure expressions, one projection.
     (Classical MinHash: Broder 1997's min-wise independent permutations,
     approximated with seeded 64-bit hashes.)"""
-    sh = shingles(text_col, shingle_n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(num_hashes)
-        ]
-    )
-    # signature computation is CPU-bound per row (num_hashes × shingles
-    # hashes); small corpora arrive as one input split — spread the work
-    # across the cluster before the heavy projection.
+    # Plan shape (load-bearing, in order):
+    #   repartition(raw rows)      — spread the CPU work (single-file
+    #                                corpora arrive as ONE split);
+    #   project shingle→xxhash64   — the expensive variable-length string
+    #                                hashing, ONCE per shingle, parallel;
+    #   localCheckpoint            — barrier: without it Catalyst's
+    #                                CollapseProject re-inlines the shingle
+    #                                expression into all num_hashes
+    #                                signature slots (num_hashes× recompute);
+    #   project permutations       — cheap fixed-width long re-hashes.
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    return df.repartition(n_parts, id_col).select(id_col, sig.alias("signature"))
+    hashed = (
+        df.repartition(n_parts, id_col)
+        .select(
+            F.col(id_col),
+            F.transform(
+                shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+            ).alias("_h"),
+        )
+        .localCheckpoint()
+    )
+
+    def _perm(i: int):
+        return lambda h: F.xxhash64(F.lit(i), h)
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("_h"), _perm(i))) for i in range(num_hashes)]
+    )
+    return hashed.select(id_col, sig.alias("signature"))
 
 
 def minhash_band_pairs(

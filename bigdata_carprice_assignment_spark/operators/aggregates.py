@@ -68,7 +68,7 @@ def histogram(df: DataFrame, col: str, bins: int = 30) -> DataFrame:
     width = (hi - lo) / bins or 1.0
     bin_col = F.least(
         F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
-    ).cast("int")
+    ).cast("long")
     return (
         df.filter(F.col(col).isNotNull())
         .groupBy(bin_col.alias("bin"))

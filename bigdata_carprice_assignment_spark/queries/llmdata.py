@@ -41,7 +41,7 @@ def doc_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("tc"), 4).alias("avg_tokens"),
             F.round(F.avg("nc"), 4).alias("avg_chars"),
-            F.max("tc").alias("max_tokens"),
+            F.max("tc").cast("long").alias("max_tokens"),
         )
         .orderBy("lang")
     )

@@ -88,9 +88,9 @@ def transaction_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.select(F.size("items").alias("sz")).agg(
         F.count(F.lit(1)).alias("n_transactions"),
         F.round(F.avg("sz"), 6).alias("avg_items"),
-        F.min("sz").alias("min_items"),
-        F.max("sz").alias("max_items"),
-        F.lit(distinct_items).alias("n_distinct_items"),
+        F.min("sz").cast("long").alias("min_items"),
+        F.max("sz").cast("long").alias("max_items"),
+        F.lit(distinct_items).cast("long").alias("n_distinct_items"),
     )
 
 

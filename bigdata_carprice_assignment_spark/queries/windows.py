@@ -54,7 +54,7 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (repartitionByRange + per-partition offsets)."""
     orders = load_table(spark, sf_dir, "orders")
     d = orders.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey"))
+        "decile", F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).cast("long")
     )
     return (
         d.groupBy("decile")
