@@ -175,6 +175,36 @@ def carprice_radar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norm.orderBy("cluster")
 
 
+@query("carprice_cluster_anova")
+def carprice_cluster_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 statistical self-validation (BigDataProject.R:531-537;
+    clustering.R:210-215): one-way ANOVA of each feature across the k=3
+    cluster assignment — the pipeline checking its own clustering for
+    separation. Rows: feature, f_stat, p_value, significant."""
+    from ..operators import stats
+
+    df = _cleaned(spark)
+    numeric = ["horsepower", "enginesize", "curbweight", "citympg", "carwidth", "price"]
+    model = mlp.fit_kmeans(df, numeric, k=3, seed=123)
+    assigned = model.transform(df).withColumn(
+        "cluster", F.col("prediction").cast("string")
+    )
+    rows = []
+    for feat in numeric:
+        r = stats.oneway_anova(assigned, feat, "cluster").first()
+        rows.append(
+            (
+                feat,
+                round(float(r["f_stat"]), 4),
+                float(r["p_value"]),
+                bool(r["p_value"] < 0.05),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "feature string, f_stat double, p_value double, significant boolean"
+    )
+
+
 @query("carprice_rules_top_lift")
 def carprice_rules_top_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phase 11: apriori(supp=0.02, conf=0.6, minlen=2) over

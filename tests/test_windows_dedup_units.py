@@ -1,0 +1,77 @@
+"""Unit tests for the as-of join corner cases and the distributed
+connected-components branch (the adaptive local path is covered by the
+LLM pipeline tests; here we force the propagation loop)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bigdata_carprice_assignment_spark.llm.dedup import connected_components
+from bigdata_carprice_assignment_spark.operators.windows import asof_join_backward
+
+
+def _ts(s: str):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_backward_semantics(spark):
+    """Most recent right row with ts <= left ts; equal ts is inclusive;
+    no prior right row → null."""
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "o1"),
+            (1, _ts("2024-01-01 12:00:00"), "o2"),
+            (2, _ts("2024-01-01 09:00:00"), "o3"),
+        ],
+        "k long, lts timestamp, oid string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), "e1"),
+            (1, _ts("2024-01-01 12:00:00"), "e2"),  # ties with o2 → inclusive
+            (1, _ts("2024-01-01 13:00:00"), "e3"),  # after everything
+            (2, _ts("2024-01-01 09:30:00"), "e4"),  # after o3 → not matched
+        ],
+        "k long, rts timestamp, ev string",
+    )
+    out = {
+        r["oid"]: r["asof_ev"]
+        for r in asof_join_backward(
+            left, right, on="k", left_ts="lts", right_ts="rts", right_cols=["ev"]
+        ).collect()
+    }
+    assert out == {"o1": "e1", "o2": "e2", "o3": None}
+
+
+def test_connected_components_distributed_branch(spark):
+    """Force the distributed min-id propagation (local_threshold=0):
+    a 6-node chain plus a separate pair must resolve to 2 components."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)], "a long, b long"
+    )
+    labels = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iter=10, local_threshold=0).collect()
+    }
+    assert {labels[n] for n in (1, 2, 3, 4, 5, 6)} == {1}
+    assert {labels[n] for n in (10, 11)} == {10}
+
+
+def test_connected_components_local_matches_distributed(spark):
+    import random
+
+    rng = random.Random(5)
+    edges_py = {(rng.randrange(40), rng.randrange(40)) for _ in range(30)}
+    edges_py = [(a, b) for a, b in edges_py if a != b]
+    edges = spark.createDataFrame(edges_py, "a long, b long")
+    local = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, local_threshold=10**6).collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iter=20, local_threshold=0).collect()
+    }
+    assert local == dist
