@@ -57,6 +57,8 @@ HEADLINE: list[str] = [
     "asof_last_event_before_order",
     "gap_filled_hourly_events",
     "event_rank_and_share_per_user",
+    "segment_spend_regression_slope",
+    "user_value_moving_avg",
     "hourly_event_rollup",
     "event_props_json_extract",
     "daily_rollup_by_type",

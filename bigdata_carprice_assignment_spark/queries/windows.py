@@ -187,6 +187,88 @@ def gap_filled_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "segment_spend_regression_slope",
+    oracle="""
+WITH feats AS (
+  SELECT c.c_mktsegment, o.o_totalprice,
+         (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment,
+       count(*) AS n,
+       round(covar_samp(n_items, o_totalprice) / var_samp(n_items), 4) AS slope,
+       round(avg(o_totalprice) - covar_samp(n_items, o_totalprice) / var_samp(n_items)
+             * avg(n_items), 4) AS intercept
+FROM feats GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def segment_spend_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped modeling without Python: per-segment simple-OLS slope of
+    order value on item count via covariance identities (slope =
+    cov(x,y)/var(x)) — the native alternative to a per-group pandas fit;
+    one aggregation pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    feats = (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey, "left")
+        .withColumn("n_items", F.coalesce("n_items", F.lit(0)))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    slope = F.covar_samp("n_items", "o_totalprice") / F.var_samp("n_items")
+    return (
+        feats.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(slope, 4).alias("slope"),
+            F.round(
+                F.avg("o_totalprice") - slope * F.avg("n_items"), 4
+            ).alias("intercept"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "user_value_moving_avg",
+    oracle="""
+WITH w AS (
+  SELECT user_id, event_id, value,
+         avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma5
+  FROM events
+)
+SELECT user_id,
+       round(avg(ma5), 6) AS avg_ma5,
+       round(max(ma5), 6) AS max_ma5,
+       count(*) AS n
+FROM w GROUP BY user_id ORDER BY user_id
+""",
+)
+def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded rolling frame (5-row moving average per user) — the
+    bounded-state window shape (contrast with running_total's unbounded
+    frame); summarized per user for a stable result set."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    ma = ev.withColumn("ma5", F.avg("value").over(w))
+    return (
+        ma.groupBy("user_id")
+        .agg(
+            F.round(F.avg("ma5"), 6).alias("avg_ma5"),
+            F.round(F.max("ma5"), 6).alias("max_ma5"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "event_rank_and_share_per_user",
     oracle="""
 WITH t AS (
