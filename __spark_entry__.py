@@ -29,7 +29,7 @@ FLAGSHIP = "flagship_price_band_summary"
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return registry.QUERIES[FLAGSHIP](spark, SMOKE_SF_DIR)
+    return _with_safe_confs(registry.QUERIES[FLAGSHIP])(spark, SMOKE_SF_DIR)
 
 
 def _with_safe_confs(
