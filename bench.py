@@ -42,6 +42,9 @@ HEADLINE: list[str] = [
     "qty_pivot_by_linestatus",
     "nation_distinct_suppliers",
     "rollup_revenue_region_nation",
+    "cube_qty_by_flag_status",
+    "nation_set_operations",
+    "salted_user_event_totals",
     "modal_priority_by_status",
     "median_imputed_event_values",
     "account_holders_union",

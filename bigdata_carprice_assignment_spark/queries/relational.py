@@ -525,6 +525,104 @@ def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cube: all grouping combinations (rollup's superset).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cube_qty_by_flag_status",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+)
+def cube_qty_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (distinct semantics both engines).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nation_set_operations",
+    oracle="""
+WITH cust_nations AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+supp_nations AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+SELECT 'both' AS membership, count(*) AS n
+FROM (SELECT nk FROM cust_nations INTERSECT SELECT nk FROM supp_nations)
+UNION ALL
+SELECT 'customer_only', count(*)
+FROM (SELECT nk FROM cust_nations EXCEPT SELECT nk FROM supp_nations)
+UNION ALL
+SELECT 'supplier_only', count(*)
+FROM (SELECT nk FROM supp_nations EXCEPT SELECT nk FROM cust_nations)
+ORDER BY membership
+""",
+)
+def nation_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    ).distinct()
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    ).distinct()
+    spark_df = cust.intersect(supp).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("membership"), "n"
+    )
+    c_only = cust.exceptAll(supp).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("customer_only").alias("membership"), "n"
+    )
+    s_only = supp.exceptAll(cust).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("supplier_only").alias("membership"), "n"
+    )
+    return spark_df.unionByName(c_only).unionByName(s_only).orderBy("membership")
+
+
+# --------------------------------------------------------------------------
+# Skew-safe aggregation: the salted two-phase path must equal the plain
+# aggregation — so its oracle IS the plain SQL (operators/skew.py).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "salted_user_event_totals",
+    oracle="""
+SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def salted_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_group_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_group_agg(ev, "user_id", ["value"], buckets=16)
+    return out.select(
+        "user_id", "n", F.round("sum_value", 2).alias("sum_value")
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
 # A6: mode with deterministic tie-break, per group.
 # --------------------------------------------------------------------------
 
