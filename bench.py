@@ -81,7 +81,28 @@ HEADLINE: list[str] = [
     "cosine_topk_vs_query",
     "embeddings_kmeans_sizes",
     "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "minhash_lsh_recall_pairs",
+    "simhash_hamming_pairs_exact",
+    "embedding_near_dup_recall",
+    "lsh_knn_join_top1",
+    "ivf_knn_join_top1",
 ]
+
+
+def plan_fingerprint(df) -> str:
+    """Physical-plan shape fingerprint: md5 of the numbered node-name
+    sequence from the formatted plan (stable across runs; ignores ids
+    and literals), so per-query timings are comparable round-over-round and
+    a timing shift can be attributed to a plan change vs noise."""
+    import hashlib
+    import re
+
+    from bigdata_carprice_assignment_spark.plans.explain import formatted_plan
+
+    nodes = re.findall(r"^\((\d+)\) (\w+)", formatted_plan(df), re.MULTILINE)
+    shape = ",".join(n for _, n in nodes)
+    return hashlib.md5(shape.encode()).hexdigest()[:10]
 
 
 def main() -> None:
@@ -105,12 +126,19 @@ def main() -> None:
         .collect()
     )
 
+    # One untimed run of the first timed query: its timing was otherwise
+    # inflated by first-real-query costs (scan/broadcast warm paths) that
+    # the synthetic warm-up above doesn't reach.
+    registry.QUERIES[names[0]](spark, sf_dir).collect()
+
     timings: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
         df = registry.QUERIES[name](spark, sf_dir)
         df.collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        plans[name] = plan_fingerprint(df)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -120,6 +148,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plans": plans,
                 "sf": float(sf),
             }
         )

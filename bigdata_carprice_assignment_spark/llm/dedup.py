@@ -188,16 +188,26 @@ def minhash_dedup(
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 10, local_threshold: int = 2_000_000
+    edges: DataFrame, max_iter: int = 20, local_threshold: int = 2_000_000
 ) -> DataFrame:
     """Edge list → (node, component) labels.
 
     Adaptive strategy: duplicate-cluster edge sets are tiny relative to
     the corpus (pairs that survived banding AND verification), so below
     ``local_threshold`` edges we union-find on the driver — O(E α(E)),
-    no per-iteration job overhead. Above it (pathological boilerplate at
-    100 TB), fall back to distributed min-id label propagation: a bounded
-    driver loop of join+agg rounds over localCheckpointed labels."""
+    no per-iteration job overhead. The default bound is driver-heap
+    arithmetic, not vibes: 2M edges collect as ~2M Rows of two longs
+    (~100 B each with Row/dict overhead) plus a ≤4M-entry parent dict
+    (~60 B/entry) ≈ 450 MB transient — comfortable on any driver sized
+    for a 100 TB job (tens of GB); raise/lower it with driver heap.
+
+    Above the threshold (pathological boilerplate at 100 TB), fall back
+    to distributed min-id label propagation over localCheckpointed
+    labels, ACCELERATED by a pointer-jumping step each round (labels
+    re-join onto themselves so a chain halves every iteration —
+    O(log diameter) rounds, the large-star/small-star idea from
+    Kiveris et al. 2014). Raises RuntimeError if the loop exits without
+    converging — never silently returns split components."""
     n_edges = edges.count()
     if n_edges <= local_threshold:
         parent: dict = {}
@@ -233,6 +243,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()  # truncate lineage per iteration (loop below)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.alias("e")
@@ -240,7 +251,7 @@ def connected_components(
             .groupBy(F.col("e.node").alias("node"))
             .agg(F.min(F.col("l.component")).alias("nbr_comp"))
         )
-        new_labels = (
+        stepped = (
             labels.alias("l2")
             .join(nbr_min.alias("m"), F.col("l2.node") == F.col("m.node"), "left")
             .select(
@@ -248,6 +259,25 @@ def connected_components(
                 F.least(
                     F.col("l2.component"),
                     F.coalesce(F.col("m.nbr_comp"), F.col("l2.component")),
+                ).alias("component"),
+            )
+        )
+        # pointer jumping: component ids ARE node ids, so re-joining a
+        # label onto its component's label halves chain depth per round
+        new_labels = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+                ).alias("c"),
+                F.col("s.component") == F.col("c.c_node"),
+                "left",
+            )
+            .select(
+                F.col("s.node").alias("node"),
+                F.least(
+                    F.col("s.component"),
+                    F.coalesce(F.col("c.c_comp"), F.col("s.component")),
                 ).alias("component"),
             )
             .localCheckpoint()
@@ -261,17 +291,36 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not converge in "
+            f"{max_iter} rounds (with pointer jumping that bounds component "
+            f"diameter > 2^{max_iter}); raise max_iter"
+        )
     return labels
 
 
-def simhash(col: str, bits: int = 64) -> Column:
+def simhash(col: str, bits: int = 64, token_hash: str = "xxhash64") -> Column:
     """64-bit SimHash (Charikar 2002): per-token 64-bit hash; each bit
     votes ±1; sign of the vote sum forms the fingerprint.
 
     Single SQL expression (the Python ``F.shiftright`` wrapper only takes
     literal bit counts; the SQL function accepts expressions, so the
-    bit loop lives in SQL). Pure codegen'd projection, no UDF."""
+    bit loop lives in SQL). Pure codegen'd projection, no UDF.
+
+    ``token_hash``: ``'xxhash64'`` (production default — fastest native
+    64-bit hash) or ``'md5'`` — the first 15 md5 hex chars as a 60-bit
+    int, computable bit-for-bit in DuckDB (``('0x'||substr(md5(t),1,15))
+    ::BIGINT``), which makes the whole fingerprint oracle-checkable;
+    pair it with ``bits=60``."""
+    if token_hash == "xxhash64":
+        th = "xxhash64(t)"
+    elif token_hash == "md5":
+        th = "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
+    else:
+        raise ValueError(f"unknown token_hash: {token_hash}")
     norm = (
         f"trim(regexp_replace(regexp_replace(lower({col}), "
         r"'[^\\w\\s]', ' '), '\\\\s+', ' '))"
@@ -282,7 +331,7 @@ def simhash(col: str, bits: int = 64) -> Column:
         f"array_repeat(0L, {bits}), "
         "(acc, t) -> zip_with(acc, "
         f"transform(sequence(0, {bits - 1}), "
-        "b -> IF((shiftright(xxhash64(t), b) & 1) = 1, 1L, -1L)), "
+        f"b -> IF((shiftright({th}, b) & 1) = 1, 1L, -1L)), "
         "(a, v) -> a + v))"
     )
     fingerprint_sql = (
@@ -294,16 +343,24 @@ def simhash(col: str, bits: int = 64) -> Column:
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str, id_col: str, band_bits: int = 16
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    band_bits: int = 16,
+    bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup candidates: band the 64-bit fingerprint into
-    64/band_bits chunks; docs sharing any chunk are candidates (within
-    Hamming distance 64/band_bits−1 of each other by pigeonhole)."""
-    n_bands = 64 // band_bits
+    """SimHash near-dup candidates: band the ``bits``-wide fingerprint
+    into bits/band_bits chunks; docs sharing any chunk are candidates.
+    By pigeonhole the banding is EXHAUSTIVE for pairs within Hamming
+    distance (bits/band_bits − 1): such a pair cannot differ in every
+    band, so filtering candidates to ``hamming <= n_bands-1`` yields the
+    exact all-pairs answer without an O(n²) join."""
+    n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     sh = df.repartition(n_parts, id_col).select(
-        F.col(id_col).alias("doc"), simhash(text_col).alias("sh")
+        F.col(id_col).alias("doc"), simhash(text_col, bits, token_hash).alias("sh")
     )
     sh = sh.localCheckpoint()  # simhash is the dominant cost; compute once
     banded = sh.select(
@@ -346,11 +403,19 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-dup via BucketedRandomProjectionLSH on
     L2-normalized vectors (cosine ≥ t ⟺ euclidean ≤ √(2−2t) on the unit
-    sphere), then exact cosine verify."""
+    sphere), then exact cosine verify.
+
+    Candidate→verify split: the LSH join runs at a slightly looser
+    distance (so fp noise in the euclid-derived estimate can't drop a
+    boundary pair), and the verify recomputes the EXACT double-precision
+    cosine from the raw arrays — the same Σab/(‖a‖‖b‖) expression the
+    DuckDB oracles use, so inclusion decisions are engine-identical."""
     import math
 
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector
+
+    from .similarity import cosine as exact_cosine
 
     feats = df.select(
         F.col(id_col).alias("doc"), array_to_vector(vec_col).alias("raw")
@@ -364,14 +429,18 @@ def embedding_near_dups(
         numHashTables=num_hash_tables,
     )
     model = lsh.fit(normed)
-    dist = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
+    # loosen the candidate radius by a relative margin; exact verify below
+    dist = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) * 1.01 + 1e-6
     joined = model.approxSimilarityJoin(normed, normed, dist, distCol="euclid")
+    pairs = joined.filter(F.col("datasetA.doc") < F.col("datasetB.doc")).select(
+        F.col("datasetA.doc").alias("a"), F.col("datasetB.doc").alias("b")
+    )
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     return (
-        joined.filter(F.col("datasetA.doc") < F.col("datasetB.doc"))
-        .select(
-            F.col("datasetA.doc").alias("a"),
-            F.col("datasetB.doc").alias("b"),
-            (1.0 - F.pow("euclid", 2) / 2.0).alias("cosine"),
-        )
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cosine", exact_cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
     )

@@ -76,7 +76,13 @@ def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
 
 def extract_features(df: DataFrame, decode: str = "fake", dim: int = 8) -> DataFrame:
     """Decode + feature-extract as mapInPandas: Arrow batches in, Arrow
-    batches out; executor-parallel, no driver involvement."""
+    batches out; executor-parallel, no driver involvement.
+
+    Kernel shape: ``n_bytes`` is computed NATIVELY (``F.length`` before
+    the Python stage — byte counting needs no decode), and the Python
+    stage hashes each payload ONCE, deriving both the hex digest and the
+    pseudo-features from the same digest buffer via a list comprehension
+    (no per-column ``Series.map`` re-hash)."""
     if decode == "real":  # pragma: no cover - no codecs in this container
         raise NotImplementedError(
             "real decode requires Pillow/ffmpeg (not in this image); "
@@ -85,24 +91,31 @@ def extract_features(df: DataFrame, decode: str = "fake", dim: int = 8) -> DataF
     if decode != "fake":
         raise ValueError(f"unknown decode mode: {decode}")
 
+    with_len = df.withColumn("_n_bytes", F.coalesce(F.length("payload"), F.lit(0)))
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
+            digests = [
+                hashlib.sha256(b if b is not None else b"").digest()
+                for b in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "sha256": payloads.map(
-                        lambda b: hashlib.sha256(b or b"").hexdigest()
-                    ),
-                    "feat": payloads.map(
-                        lambda b: _fake_decode_features(b or b"", dim)
-                    ),
-                    "decode_ok": payloads.notna(),
+                    "n_bytes": pdf["_n_bytes"],
+                    "sha256": [d.hex() for d in digests],
+                    "feat": [
+                        [
+                            int.from_bytes(d[4 * i : 4 * i + 4], "big") / 2**32
+                            for i in range(dim)
+                        ]
+                        for d in digests
+                    ],
+                    "decode_ok": pdf["payload"].notna(),
                 }
             )
 
-    return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+    return with_len.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
 def resize_images(df: DataFrame, width: int, height: int, decode: str = "fake") -> DataFrame:
@@ -134,23 +147,31 @@ def sample_frames(
         raise NotImplementedError("real frame sampling requires ffmpeg")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                n_frames = max(1, (len(r["payload"]) if r["payload"] is not None else 0) // 64)
-                for i in range(min(n_frames, 16)):
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_idx": i,
-                            "ts_ms": i * every_ms,
-                            "frame_sha": hashlib.sha256(
-                                (r["payload"] or b"") + i.to_bytes(4, "big")
-                            ).hexdigest(),
-                        }
-                    )
+            payloads = [b if b is not None else b"" for b in pdf["payload"]]
+            n_frames = np.minimum(
+                np.maximum(
+                    np.fromiter((len(b) for b in payloads), dtype=np.int64) // 64, 1
+                ),
+                16,
+            )
+            # vectorized explode: repeat ids, concatenated per-media aranges
+            media_id = np.repeat(pdf["media_id"].to_numpy(), n_frames)
+            frame_idx = np.concatenate([np.arange(n, dtype=np.int32) for n in n_frames])
+            shas = [
+                hashlib.sha256(b + int(i).to_bytes(4, "big")).hexdigest()
+                for b, n in zip(payloads, n_frames)
+                for i in range(n)
+            ]
             yield pd.DataFrame(
-                rows, columns=["media_id", "frame_idx", "ts_ms", "frame_sha"]
+                {
+                    "media_id": media_id,
+                    "frame_idx": frame_idx,
+                    "ts_ms": frame_idx.astype(np.int64) * every_ms,
+                    "frame_sha": shas,
+                }
             )
 
     return df.mapInPandas(

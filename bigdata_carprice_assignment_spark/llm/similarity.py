@@ -116,6 +116,68 @@ def ivf_index(
     return model, model.transform(feats)
 
 
+def ivf_knn_join(
+    model,
+    assigned: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 1,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Batch IVF kNN-join: for EVERY vector, its top-k neighbors among
+    the ``nprobe`` cells nearest to it — the shape a 100 TB ANN lookup
+    actually runs as (no per-query driver round trip).
+
+    Plan: centroids (k_cells × dim scalars) become a broadcast side;
+    per-vector cell ranking is a narrow projection + windowed top-nprobe;
+    candidates come from one shuffle join on the cell id (pruning
+    1 − nprobe/n_cells of the corpus); exact cosine + per-vector top-k
+    window finishes it. No UDF, no collect of data-sized results."""
+    from pyspark.sql import Window
+
+    spark = assigned.sparkSession
+    centers = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = spark.createDataFrame(centers, "_cell int, _centroid array<double>")
+    vecs = assigned.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    )
+    sqdist = F.aggregate(
+        F.zip_with(
+            "_qvec", "_centroid", lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_cell = Window.partitionBy("_qid").orderBy(F.asc("_d"), F.asc("_cell"))
+    probes = (
+        vecs.crossJoin(F.broadcast(cdf))
+        .withColumn("_d", sqdist)
+        .withColumn("_rank", F.row_number().over(w_cell))
+        .filter(F.col("_rank") <= nprobe)
+        .select("_qid", "_qvec", "_cell")
+    )
+    cands = probes.join(
+        assigned.select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"), "_cell"
+        ),
+        "_cell",
+    ).filter(F.col("_qid") != F.col("_cid"))
+    w_top = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        cands.withColumn("_cos", cosine(F.col("_qvec"), F.col("_cvec")))
+        .withColumn("_rn", F.row_number().over(w_top))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_qid").alias(id_col),
+            F.col("_cid").alias("nn_id"),
+            F.col("_cos").alias("cosine"),
+            F.col("_rn").alias("rank"),
+        )
+    )
+
+
 def ivf_topk(
     model,
     assigned: DataFrame,

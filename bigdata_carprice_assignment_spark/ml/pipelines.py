@@ -135,13 +135,15 @@ def tuned_gbt(
     categorical: Sequence[str] = (),
     label: str = "label",
     seed: int = 123,
+    num_folds: int = 3,
+    max_iter: int = 20,
 ) -> PipelineModel:
     """M8 slot: the reference grid-tunes an RBF SVR (tune(svm, ...),
     BigDataProject.R:366-382); Spark ML has no SVR, so the tuned
     nonlinear-regressor slot is CrossValidator+ParamGridBuilder over
     GBTRegressor (documented fidelity delta)."""
     stages = feature_stages(numeric, categorical)
-    gbt = _regressor("gbt", seed)
+    gbt = _regressor("gbt", seed).setMaxIter(max_iter)
     pipe = Pipeline(stages=[*stages, gbt])
     grid = (
         ParamGridBuilder()
@@ -153,7 +155,7 @@ def tuned_gbt(
         estimator=pipe,
         estimatorParamMaps=grid,
         evaluator=RegressionEvaluator(labelCol="label", metricName="rmse"),
-        numFolds=3,
+        numFolds=num_folds,
         seed=seed,
         parallelism=4,
     )

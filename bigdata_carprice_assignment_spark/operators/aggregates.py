@@ -33,17 +33,45 @@ def na_counts(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     )
 
 
-def exact_percentiles(df: DataFrame, col: str, probs: Sequence[float]) -> list[float]:
-    """A7: exact interpolating percentiles (R type-7 parity)."""
-    arr = ", ".join(str(p) for p in probs)
-    row = df.select(F.expr(f"percentile({col}, array({arr}))").alias("q")).first()
+# Quantile accuracy for the approximate (100 TB) path: relative rank
+# error ≤ 1/PERCENTILE_ACCURACY with the single-pass mergeable
+# Greenwald-Khanna sketch behind `percentile_approx`.
+PERCENTILE_ACCURACY = 10_000
+
+
+def percentile_expr(col: str, probs: Sequence[float] | float, mode: str = "exact"):
+    """A7 percentile expression with a code-level exact↔approx switch.
+
+    ``mode='exact'``: Spark ``percentile`` — type-7 interpolation,
+    bit-identical to R ``quantile`` and DuckDB ``quantile_cont`` (the
+    oracle-parity default; buffers the column per group).
+    ``mode='approx'``: ``percentile_approx`` — single-pass mergeable
+    sketch, bounded memory per partition, the selectable 100 TB path
+    (band-assignment agreement vs exact is measured by the
+    ``approx_vs_exact_stats`` query and gated ≥99.9% in tests)."""
+    scalar = not isinstance(probs, Sequence)
+    arr = str(probs) if scalar else "array(" + ", ".join(str(p) for p in probs) + ")"
+    if mode == "exact":
+        return F.expr(f"percentile({col}, {arr})")
+    if mode == "approx":
+        return F.expr(f"percentile_approx({col}, {arr}, {PERCENTILE_ACCURACY})")
+    raise ValueError(f"unknown percentile mode: {mode}")
+
+
+def exact_percentiles(
+    df: DataFrame, col: str, probs: Sequence[float], mode: str = "exact"
+) -> list[float]:
+    """A7: interpolating percentiles (R type-7 parity in exact mode)."""
+    row = df.select(percentile_expr(col, probs, mode).alias("q")).first()
     return [float(v) for v in row["q"]]
 
 
-def five_number_summary(df: DataFrame, group: str, col: str) -> DataFrame:
+def five_number_summary(
+    df: DataFrame, group: str, col: str, mode: str = "exact"
+) -> DataFrame:
     """§2.9 boxplot reduction: per-group min/Q1/median/Q3/max + IQR
     whisker bounds (BigDataProject.R:146-149)."""
-    q = F.expr(f"percentile({col}, array(0.25, 0.5, 0.75))")
+    q = percentile_expr(col, [0.25, 0.5, 0.75], mode)
     return (
         df.groupBy(group)
         .agg(

@@ -37,13 +37,17 @@ def cast_columns(df: DataFrame, cols: Sequence[str], dtype: str = "double") -> D
     return df.withColumns({c: F.col(c).cast(dtype) for c in cols if c in df.columns})
 
 
-def median_fill_values(df: DataFrame, cols: Sequence[str]) -> dict[str, float]:
-    """A5: exact per-column median in ONE aggregation pass
-    (BigDataProject.R:87). Exact ``percentile`` for oracle parity with R
-    type-7; swap to ``percentile_approx`` at 100 TB (flagged policy,
-    SURVEY.md §4)."""
+def median_fill_values(
+    df: DataFrame, cols: Sequence[str], mode: str = "exact"
+) -> dict[str, float]:
+    """A5: per-column median in ONE aggregation pass
+    (BigDataProject.R:87). ``mode='exact'`` (default) for oracle parity
+    with R type-7; ``mode='approx'`` selects the single-pass sketch for
+    the 100 TB path (operators/aggregates.py::percentile_expr)."""
+    from .aggregates import percentile_expr
+
     row = df.select(
-        *[F.expr(f"percentile({c}, 0.5)").alias(c) for c in cols]
+        *[percentile_expr(c, 0.5, mode).alias(c) for c in cols]
     ).first()
     return {c: row[c] for c in cols if row[c] is not None}
 
@@ -82,13 +86,16 @@ def impute(df: DataFrame, numeric: Sequence[str] = (), categorical: Sequence[str
 
 
 def iqr_bounds(
-    df: DataFrame, cols: Sequence[str], k: float = 1.5
+    df: DataFrame, cols: Sequence[str], k: float = 1.5, mode: str = "exact"
 ) -> dict[str, tuple[float, float]]:
-    """A7 half of the outlier cap: exact Q1/Q3 per column, single pass,
-    bounds = (Q1 - k*IQR, Q3 + k*IQR) (BigDataProject.R:99-111)."""
+    """A7 half of the outlier cap: Q1/Q3 per column, single pass, bounds
+    = (Q1 - k*IQR, Q3 + k*IQR) (BigDataProject.R:99-111). ``mode``
+    selects exact (oracle parity) vs approx (100 TB) quantiles."""
+    from .aggregates import percentile_expr
+
     exprs = []
     for c in cols:
-        exprs.append(F.expr(f"percentile({c}, array(0.25, 0.75))").alias(c))
+        exprs.append(percentile_expr(c, [0.25, 0.75], mode).alias(c))
     row = df.select(*exprs).first()
     out = {}
     for c in cols:
@@ -101,27 +108,33 @@ def iqr_bounds(
     return out
 
 
-def cap_outliers_iqr(df: DataFrame, cols: Sequence[str], k: float = 1.5) -> DataFrame:
+def cap_outliers_iqr(
+    df: DataFrame, cols: Sequence[str], k: float = 1.5, mode: str = "exact"
+) -> DataFrame:
     """F6: IQR cap (``cap_outliers_iqr`` at BigDataProject.R:99-115) —
     the reference's one reusable function, lowered to native expressions
     (no UDF). Idempotent: capping twice is a no-op (tested)."""
-    bounds = iqr_bounds(df, cols, k)
+    bounds = iqr_bounds(df, cols, k, mode)
     return df.withColumns({c: clamp(c, lo, hi) for c, (lo, hi) in bounds.items()})
 
 
 def winsorize(
-    df: DataFrame, cols: Sequence[str], lo_p: float = 0.01, hi_p: float = 0.99
+    df: DataFrame,
+    cols: Sequence[str],
+    lo_p: float = 0.01,
+    hi_p: float = 0.99,
+    mode: str = "exact",
 ) -> DataFrame:
-    """Percentile winsorization: clamp each column to its exact
-    [lo_p, hi_p] quantiles, one aggregation pass for all columns.
+    """Percentile winsorization: clamp each column to its [lo_p, hi_p]
+    quantiles, one aggregation pass for all columns.
 
     This is the capping the reference's committed golden outputs were
     produced with (car_prices_cleaned.csv: every numeric column clipped at
     the type-7 1%/99% quantiles — verified empirically; the script's
     current IQR cap is :func:`cap_outliers_iqr`)."""
-    exprs = [
-        F.expr(f"percentile({c}, array({lo_p}, {hi_p}))").alias(c) for c in cols
-    ]
+    from .aggregates import percentile_expr
+
+    exprs = [percentile_expr(c, [lo_p, hi_p], mode).alias(c) for c in cols]
     row = df.select(*exprs).first()
     updates = {}
     for c in cols:

@@ -25,9 +25,24 @@ from pyspark.sql import functions as F
 
 def with_salt(df: DataFrame, buckets: int, salt_col: str = "_salt") -> DataFrame:
     """Uniform deterministic-per-row salt in [0, buckets) — derived from a
-    whole-row hash (no rand(): keeps retries/replays deterministic)."""
+    whole-row hash mixed with a per-row disambiguator (no rand(): keeps
+    retries/replays deterministic per task attempt).
+
+    The disambiguator matters for the hot-key shape skew mitigation
+    exists for: FULLY IDENTICAL duplicate rows would all hash to one
+    salt bucket on the row hash alone, making the salting a no-op
+    exactly when it's needed; ``monotonically_increasing_id`` spreads
+    them while staying deterministic for a given partition layout."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+        salt_col,
+        F.pmod(
+            F.xxhash64(
+                *[F.col(c) for c in df.columns],
+                F.spark_partition_id(),
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(buckets),
+        ),
     )
 
 

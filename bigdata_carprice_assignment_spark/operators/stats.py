@@ -89,6 +89,62 @@ def oneway_anova(df: DataFrame, value: str, group: str) -> DataFrame:
     )
 
 
+def oneway_anova_multi(
+    df: DataFrame, values: list[str], group: str
+) -> DataFrame:
+    """H2 vectorized: one-way ANOVA of EVERY ``values`` column against
+    the same grouping in a SINGLE distributed pass — one melt (explode of
+    (feature, value) structs, a narrow projection) + one groupBy(feature,
+    group) producing all sufficient statistics; the per-feature
+    closed-form F/p math runs on the collected k·|values| rows.
+
+    Replaces the one-job-per-feature loop shape (8 sequential Spark jobs
+    for 8 features) with one job — the shape that survives pointing at a
+    big table."""
+    spark = df.sparkSession
+    melted = df.select(
+        F.col(group).alias("_g"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"), F.col(c).cast("double").alias("v")
+                    )
+                    for c in values
+                ]
+            )
+        ).alias("fv"),
+    ).select("_g", "fv.feature", "fv.v")
+    stats = (
+        melted.groupBy("feature", "_g")
+        .agg(
+            F.count("v").alias("n"),
+            F.avg("v").alias("mean"),
+            F.var_samp("v").alias("var"),
+        )
+        .collect()
+    )
+    by_feat: dict[str, list] = {}
+    for r in stats:
+        by_feat.setdefault(r["feature"], []).append(r)
+    out = []
+    for feat in values:  # preserve caller's feature order
+        rows = by_feat[feat]
+        k = len(rows)
+        n = sum(r["n"] for r in rows)
+        grand = sum(r["n"] * r["mean"] for r in rows) / n
+        ssb = sum(r["n"] * (r["mean"] - grand) ** 2 for r in rows)
+        ssw = sum((r["n"] - 1) * r["var"] for r in rows)
+        df1, df2 = k - 1, n - k
+        f = (ssb / df1) / (ssw / df2)
+        out.append((feat, k, n, df1, df2, float(f), float(sm.f_sf(f, df1, df2))))
+    return spark.createDataFrame(
+        out,
+        "feature string, k long, n long, df1 long, df2 long, "
+        "f_stat double, p_value double",
+    )
+
+
 def tukey_hsd(df: DataFrame, value: str, group: str) -> DataFrame:
     """H3: Tukey HSD post-hoc — all pairwise mean diffs with studentized-
     range adjusted p-values (TukeyHSD, BigDataProject.R:203-206)."""

@@ -45,12 +45,26 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
 
 
 def scan_read_columns(df: DataFrame, table_hint: str = "") -> list[str]:
-    """Columns actually read by the (first matching) parquet scan —
-    parsed from ReadSchema. Used to assert column pruning."""
+    """Columns actually read by the first scan whose Location/relation
+    line matches ``table_hint`` — parsed from that scan's own ReadSchema
+    (multi-scan plans: the hint is matched per scan block, never against
+    the whole plan text). Used to assert column pruning."""
+    import re
+
     plan = formatted_plan(df)
+    block_matches = not table_hint
     for line in plan.splitlines():
         line = line.strip()
-        if line.startswith("ReadSchema:") and (not table_hint or table_hint in plan):
+        if re.match(r"^\(\d+\) ", line):
+            # any new plan-node block resets the match; scan headers
+            # rarely name the table, so the Location line decides below
+            block_matches = not table_hint or table_hint in line
+        elif line.startswith("Location"):
+            if table_hint and table_hint in line:
+                block_matches = True
+            elif table_hint and table_hint not in line:
+                block_matches = False
+        elif line.startswith("ReadSchema:") and block_matches:
             schema = line.split("struct<", 1)[-1].rstrip(">")
             return [f.split(":")[0] for f in schema.split(",") if f]
     return []

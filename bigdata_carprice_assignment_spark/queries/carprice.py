@@ -189,17 +189,17 @@ def carprice_cluster_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = model.transform(df).withColumn(
         "cluster", F.col("prediction").cast("string")
     )
-    rows = []
-    for feat in numeric:
-        r = stats.oneway_anova(assigned, feat, "cluster").first()
-        rows.append(
-            (
-                feat,
-                round(float(r["f_stat"]), 4),
-                float(r["p_value"]),
-                bool(r["p_value"] < 0.05),
-            )
+    # all features in ONE melt+groupBy pass (not one Spark job each)
+    multi = stats.oneway_anova_multi(assigned, numeric, "cluster").collect()
+    rows = [
+        (
+            r["feature"],
+            round(float(r["f_stat"]), 4),
+            float(r["p_value"]),
+            bool(r["p_value"] < 0.05),
         )
+        for r in multi
+    ]
     return spark.createDataFrame(
         rows, "feature string, f_stat double, p_value double, significant boolean"
     )

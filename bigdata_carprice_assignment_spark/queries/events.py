@@ -121,9 +121,13 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("prev_ts", F.lag("ts").over(w))
         .withColumn(
             "new_session",
+            # gap computed on FRACTIONAL epoch seconds (timestamp→double),
+            # matching the oracle's epoch() precision — unix_timestamp
+            # would truncate to whole seconds and can split a session
+            # differently on a sub-second boundary near the threshold
             F.when(
                 F.col("prev_ts").isNull()
-                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+                | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 1800),
                 1,
             ).otherwise(0),
         )

@@ -316,6 +316,251 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Approximate-pipeline recall oracles: the sketch→candidate→verify
+# pipelines are checked against DuckDB brute-force ALL-PAIRS ground truth.
+# These pass only when the approximate stage has perfect recall on the
+# corpus (params chosen so the miss probability is ≈0, or — for SimHash
+# banding — recall is GUARANTEED by pigeonhole), making them hard
+# correctness gates on the whole pipeline, not just the verify step.
+# --------------------------------------------------------------------------
+
+# word-3-gram shingle sets, replicating llm/text.py::shingles (normalize →
+# whitespace tokens → 3-gram join → distinct) in DuckDB list functions.
+_DUCK_SHINGLES = r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM tk
+)
+"""
+
+
+@query(
+    "minhash_lsh_recall_pairs",
+    oracle=_DUCK_SHINGLES
+    + """
+, pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.grams, b.grams))::DOUBLE
+           / len(list_distinct(list_concat(a.grams, b.grams))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT a, b, round(j, 6) AS jaccard
+FROM pairs WHERE j >= 0.8 ORDER BY a, b
+""",
+)
+def minhash_lsh_recall_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates → exact-Jaccard verify at t=0.8, checked
+    against DuckDB brute-force all-pairs Jaccard. 64 hashes / 32 bands of
+    2 ⇒ per-pair miss probability (1−0.8²)³² ≈ 6·10⁻¹⁵ at the threshold —
+    the banded pipeline must reproduce the exact answer. Jaccard is a
+    ratio of integers in both engines, so threshold decisions and 6dp
+    rounding are bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "text", "doc_id", num_hashes=64)
+    pairs = D.minhash_band_pairs(sigs, "doc_id", bands=32)
+    verified = D.jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.8)
+    return verified.select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("a", "b")
+
+
+@query(
+    "simhash_hamming_pairs_exact",
+    oracle=r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+hs AS (
+  SELECT doc_id,
+         list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hv
+  FROM tk
+),
+fp AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN list_sum(list_transform(hv, h ->
+                 CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             THEN (1::BIGINT << b) ELSE 0 END)) AS sh
+  FROM hs
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+ORDER BY a, b
+""",
+)
+def simhash_hamming_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding checked against DuckDB brute-force all-pairs
+    Hamming distance. Uses the md5-derived 60-bit token hash (identical
+    in both engines) and 4 bands of 15 bits: by pigeonhole every pair
+    within Hamming distance 3 shares a band, so the banded candidate set
+    filtered to hamming≤3 IS the exact all-pairs answer — guaranteed
+    recall, not probabilistic."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_candidates(
+        docs, "text", "doc_id", band_bits=15, bits=60, token_hash="md5"
+    )
+    return (
+        pairs.filter(F.col("hamming") <= 3)
+        .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("a", "b")
+    )
+
+
+# The `embeddings` table is near-orthogonal noise (all-pairs max cosine
+# ≈ 0.5 — measured): NO ANN method can honestly reproduce exact top-k
+# over it, so the hard recall gates run over embeddings that carry real
+# structure — the hashing-trick shingle histogram of the documents
+# corpus (llm/text.py::hashed_shingle_features), where planted near-dup
+# texts land at cosine ≥ 0.9 and unrelated texts stay ≤ ~0.73. The
+# vectorizer is engine-portable (md5 bucket hash), so DuckDB computes
+# the identical vectors and the brute-force all-pairs ground truth.
+_DUCK_HASHED_FEATURES = r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+shg AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM tk
+),
+hv AS (
+  SELECT doc_id,
+         list_transform(grams,
+             g -> ('0x' || substr(md5(g), 1, 15))::BIGINT & 63) AS hs
+  FROM shg
+),
+f AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+             b -> len(list_filter(hs, h -> h = b))::DOUBLE) AS feat
+  FROM hv
+),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         list_sum(list_transform(list_zip(a.feat, b.feat), q -> q[1]*q[2]))
+           / (sqrt(list_sum(list_transform(a.feat, x -> x*x)))
+            * sqrt(list_sum(list_transform(b.feat, x -> x*x)))) AS c
+  FROM f a JOIN f b ON a.doc_id < b.doc_id
+)
+"""
+
+
+def _hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    return (
+        docs.repartition(n_parts, "doc_id")
+        .select("doc_id", TX.hashed_shingle_features("text").alias("feat"))
+        .localCheckpoint()  # vectorize once; reused on both sides of joins
+    )
+
+
+@query(
+    "embedding_near_dup_recall",
+    oracle=_DUCK_HASHED_FEATURES
+    + """
+SELECT a, b, round(c, 6) AS cosine
+FROM p WHERE c >= 0.85 ORDER BY a, b
+""",
+)
+def embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pipeline (BRP-LSH candidates + exact double
+    cosine verify) over hashed-shingle document embeddings, checked
+    against DuckDB brute-force all-pairs cosine at t=0.85 — the planted
+    near-dup pairs sit at ≥ 0.9 and noise tops out ≈ 0.73, so the LSH
+    stage must reach perfect recall for the hash to match. The verify
+    recomputes Σab/(‖a‖‖b‖) from the raw arrays with the same fold the
+    oracle uses, so inclusion and 6dp rounding agree exactly."""
+    feats = _hashed_doc_features(spark, sf_dir)
+    pairs = D.embedding_near_dups(
+        feats, "feat", "doc_id", threshold=0.85, num_hash_tables=8
+    )
+    return pairs.select("a", "b", F.round("cosine", 6).alias("cosine")).orderBy(
+        "a", "b"
+    )
+
+
+_KNN_TOP1_ORACLE = _DUCK_HASHED_FEATURES + """
+, sym AS (
+  SELECT a AS doc_id, b AS nn, c FROM p WHERE c >= 0.85
+  UNION ALL
+  SELECT b AS doc_id, a AS nn, c FROM p WHERE c >= 0.85
+),
+r AS (
+  SELECT doc_id, nn, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, nn ASC) AS rn
+  FROM sym
+)
+SELECT doc_id, nn AS nn_id, round(c, 6) AS cosine
+FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+@query("lsh_knn_join_top1", oracle=_KNN_TOP1_ORACLE)
+def lsh_knn_join_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH kNN-join recall gate: every document with a true ≥0.85-cosine
+    partner must retrieve its best partner via the BRP-LSH similarity
+    join — checked against DuckDB brute-force all-pairs top-1."""
+    feats = _hashed_doc_features(spark, sf_dir)
+    pairs = D.embedding_near_dups(
+        feats, "feat", "doc_id", threshold=0.85, num_hash_tables=8
+    )
+    sym = pairs.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("nn"), F.col("cosine")
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("doc_id"), F.col("a").alias("nn"), F.col("cosine")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cosine"), F.asc("nn"))
+    return (
+        sym.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id", F.col("nn").alias("nn_id"), F.round("cosine", 6).alias("cosine")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("ivf_knn_join_top1", oracle=_KNN_TOP1_ORACLE)
+def ivf_knn_join_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF batch kNN-join recall gate: probing the nprobe=4 of 8 nearest
+    k-means cells per document must retrieve every true ≥0.85 partner
+    (near-dup vectors land in nearby cells — real locality, verified on
+    this corpus) — checked against the same brute-force top-1 oracle."""
+    feats = _hashed_doc_features(spark, sf_dir)
+    model, assigned = S.ivf_index(feats, "feat", n_cells=8)
+    top1 = S.ivf_knn_join(model, assigned, "feat", "doc_id", k=1, nprobe=4)
+    return (
+        top1.filter(F.col("cosine") >= 0.85)
+        .select("doc_id", "nn_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (rows-only; deterministic fake decode).
 # --------------------------------------------------------------------------
 

@@ -52,6 +52,42 @@ def order_value_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query("tuned_nonlinear_regressor_metrics")
+def tuned_nonlinear_regressor_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 at scale: CrossValidator + ParamGridBuilder (2×2 grid, 2-fold)
+    over GBTRegressor on engineered order features — the Spark analogue
+    of the reference's tune(svm, ranges=cost×gamma) 5th model
+    (/root/reference/BigDataProject.R:366-382). Rows-only (CV model
+    internals aren't SQL-expressible); metric-quality bounds are
+    asserted in tests/test_ml.py."""
+    df = _order_features(spark, sf_dir)
+    train, test = mlp.train_test_split(df, 0.8, seed=123)
+    model = mlp.tuned_gbt(
+        train,
+        _ORDER_NUMERIC,
+        ["o_orderpriority"],
+        label="log_totalprice",
+        num_folds=2,
+        max_iter=10,
+    )
+    m = mlp.regression_metrics_dollars(model, test, label="log_totalprice")
+    gbt = model.stages[-1]
+    return spark.createDataFrame(
+        [
+            (
+                "tuned_gbt",
+                int(gbt.getMaxDepth()),
+                float(gbt.getStepSize()),
+                round(m["rmse"], 2),
+                round(m["r2"], 4),
+                round(m["mae"], 2),
+            )
+        ],
+        "model string, best_max_depth int, best_step_size double, "
+        "rmse_dollars double, r2 double, mae_dollars double",
+    )
+
+
 def _embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(

@@ -48,12 +48,14 @@ ORDER BY b.price_band
 """
 
 
-def quartiles(df: DataFrame, col: str) -> tuple[float, float, float]:
-    """Exact interpolating quartiles (R type-7 ≡ Spark ``percentile`` ≡
-    DuckDB ``quantile_cont``) — see SURVEY.md §2.4 A7 semantics note."""
-    row = df.select(
-        F.expr(f"percentile({col}, array(0.25, 0.5, 0.75))").alias("q")
-    ).first()
+def quartiles(df: DataFrame, col: str, mode: str = "exact") -> tuple[float, float, float]:
+    """Interpolating quartiles (exact mode: R type-7 ≡ Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` — SURVEY.md §2.4 A7);
+    ``mode='approx'`` selects the single-pass sketch for the 100 TB path
+    without touching call sites (operators/aggregates.py::percentile_expr)."""
+    from ..operators.aggregates import percentile_expr
+
+    row = df.select(percentile_expr(col, [0.25, 0.5, 0.75], mode).alias("q")).first()
     return tuple(row["q"])  # 3 scalars to the driver — not data-sized
 
 
@@ -69,11 +71,13 @@ def price_band_col(col: str, q1: float, q2: float, q3: float):
 
 
 @query("flagship_price_band_summary", oracle=FLAGSHIP_ORACLE)
-def flagship_price_band_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flagship_price_band_summary(
+    spark: SparkSession, sf_dir: str, mode: str = "exact"
+) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
 
-    q1, q2, q3 = quartiles(orders, "o_totalprice")
+    q1, q2, q3 = quartiles(orders, "o_totalprice", mode)
     banded = orders.select(
         "o_orderkey", price_band_col("o_totalprice", q1, q2, q3).alias("price_band")
     )

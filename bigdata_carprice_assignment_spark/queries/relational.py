@@ -768,6 +768,12 @@ def avg_log_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("approx_vs_exact_stats")
 def approx_vs_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs sketch statistics, plus the gate that licenses the 100 TB
+    percentile mode: the fraction of orders whose quartile price band
+    (flagship F7 bucketing) is IDENTICAL under exact and approx quartiles
+    — tests assert ≥ 99.9% agreement."""
+    from ..queries.pricing import price_band_col, quartiles
+
     li = load_table(spark, sf_dir, "lineitem")
     row = li.agg(
         F.countDistinct("l_partkey").alias("exact_distinct"),
@@ -775,6 +781,17 @@ def approx_vs_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
     ).first()
+    orders = load_table(spark, sf_dir, "orders")
+    eq = quartiles(orders, "o_totalprice", "exact")
+    aq = quartiles(orders, "o_totalprice", "approx")
+    agree = orders.agg(
+        F.avg(
+            (
+                price_band_col("o_totalprice", *eq)
+                == price_band_col("o_totalprice", *aq)
+            ).cast("double")
+        )
+    ).first()[0]
     rel = lambda a, b: abs(a - b) / max(abs(b), 1e-12)  # noqa: E731
     data = [
         (
@@ -788,6 +805,12 @@ def approx_vs_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(row["exact_median"]),
             float(row["approx_median"]),
             round(rel(row["approx_median"], row["exact_median"]), 6),
+        ),
+        (
+            "price_band_assignment_agreement",
+            1.0,
+            round(float(agree), 6),
+            round(1.0 - float(agree), 6),
         ),
     ]
     return spark.createDataFrame(

@@ -248,11 +248,13 @@ def hypothesis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     anova = stats.oneway_anova(orders, "o_totalprice", "o_orderpriority")
     pearson = stats.pearson_corr_test(li, "l_quantity", "l_extendedprice")
     chi2 = stats.chi2_independence(li, "l_returnflag", "l_linestatus")
+    # bind each result Row ONCE — .first() re-runs the whole Spark job
+    rw, ra, rp, rc = welch.first(), anova.first(), pearson.first(), chi2.first()
     rows = [
-        ("welch_t_totalprice_urgent_vs_low", welch.first()["t_stat"], welch.first()["p_value"]),
-        ("anova_totalprice_by_priority", anova.first()["f_stat"], anova.first()["p_value"]),
-        ("pearson_qty_extendedprice", pearson.first()["t_stat"], pearson.first()["p_value"]),
-        ("chi2_returnflag_linestatus", chi2.first()["chi2"], chi2.first()["p_value"]),
+        ("welch_t_totalprice_urgent_vs_low", rw["t_stat"], rw["p_value"]),
+        ("anova_totalprice_by_priority", ra["f_stat"], ra["p_value"]),
+        ("pearson_qty_extendedprice", rp["t_stat"], rp["p_value"]),
+        ("chi2_returnflag_linestatus", rc["chi2"], rc["p_value"]),
     ]
     return spark.createDataFrame(
         [(n, float(s), float(p), bool(p < 0.05)) for n, s, p in rows],

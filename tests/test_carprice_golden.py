@@ -73,6 +73,90 @@ def test_iqr_mode_leaves_price_untouched(spark):
     )
 
 
+CLUSTERS_GOLDEN = "/root/reference/car_data_with_clusters.csv"
+CENTERS_GOLDEN = "/root/reference/cluster_centers.csv"
+_CLUSTER_NUMERIC = [
+    "horsepower",
+    "enginesize",
+    "curbweight",
+    "citympg",
+    "highwaympg",
+    "carwidth",
+    "carlength",
+]
+
+
+@pytest.fixture(scope="module")
+def kmeans_golden_fit(spark):
+    """Replicate clustering.R:21-67: k=3 k-means on the scaled ml matrix
+    minus price (Spark k-means‖ vs R Lloyd/nstart=10 — same objective,
+    implementation-specific assignments; parity is distributional)."""
+    from bigdata_carprice_assignment_spark.ml import pipelines as mlp
+
+    df = carprice.clean(carprice.load_raw(spark))
+    ml = carprice.ml_ready(df, target="price")
+    # positional rename: brand_nissan/brand_Nissan collide in Spark's
+    # case-insensitive resolver (R factor levels differ by case only)
+    renamed = ml.toDF(
+        *[f"f{i}" if c != "price" else "price" for i, c in enumerate(ml.columns)]
+    )
+    fcols = [f"f{i}" for i, c in enumerate(ml.columns) if c != "price"]
+    model = mlp.fit_kmeans(renamed, fcols, k=3, seed=123)
+    name_of = {f"f{i}": c for i, c in enumerate(ml.columns)}
+    centers = [
+        {name_of[k]: v for k, v in c.items() if k in name_of}
+        for c in mlp.unscale_centers(model, fcols)
+    ]
+    sizes = sorted(model.stages[-1].summary.clusterSizes)
+    return sizes, centers
+
+
+def test_cluster_sizes_match_golden_multiset(kmeans_golden_fit):
+    """M9/M10 golden parity: the golden hand-off file's cluster-size
+    multiset (11/76/118 — clustering.R:162) is reproduced to within a
+    small assignment tolerance (different k-means init finds the same
+    3-cluster structure: one small luxury cluster, one mid, one large
+    economy cluster)."""
+    gold = pd.read_csv(CLUSTERS_GOLDEN)
+    gold_sizes = sorted(gold["cluster"].value_counts().tolist())
+    ours, _ = kmeans_golden_fit
+    assert len(ours) == len(gold_sizes) == 3
+    for o, g in zip(ours, gold_sizes):
+        assert abs(o - g) <= 5, (ours, gold_sizes)
+
+
+def test_cluster_centers_within_golden_ranges(kmeans_golden_fit):
+    """M11 golden parity: our un-scaled centers fall inside the golden
+    centers' per-feature envelope (cluster_centers.csv, clustering.R:165)
+    with ±25%-of-span slack for the few boundary cars that different
+    k-means inits assign differently."""
+    centers_gold = pd.read_csv(CENTERS_GOLDEN)
+    _, ours = kmeans_golden_fit
+    for feat in _CLUSTER_NUMERIC:
+        lo, hi = centers_gold[feat].min(), centers_gold[feat].max()
+        span = hi - lo
+        for c in ours:
+            assert lo - 0.25 * span <= c[feat] <= hi + 0.25 * span, (
+                feat,
+                c[feat],
+                (lo, hi),
+            )
+
+
+def test_cluster_structure_luxury_vs_economy(spark, kmeans_golden_fit):
+    """The golden labels (Economy/Mid-Range/Luxury, clustering.R:139-144)
+    order clusters by horsepower; our fit must reproduce that shape:
+    size rank inverse to horsepower rank."""
+    sizes, centers = kmeans_golden_fit
+    from bigdata_carprice_assignment_spark.ml import pipelines as mlp  # noqa: F401
+
+    by_hp = sorted(centers, key=lambda c: c["horsepower"], reverse=True)
+    # luxury (highest hp) must be the smallest cluster: its center
+    # curbweight/enginesize also top the list
+    assert by_hp[0]["enginesize"] == max(c["enginesize"] for c in centers)
+    assert by_hp[-1]["citympg"] == max(c["citympg"] for c in centers)
+
+
 def test_iqr_cap_idempotent(spark):
     """Tier-4 property: capping an already-capped frame is a no-op."""
     from bigdata_carprice_assignment_spark.operators.cleaning import cap_outliers_iqr
