@@ -84,10 +84,16 @@ HEADLINE: list[str] = [
     "multimodal_frame_sample",
     "minhash_lsh_recall_pairs",
     "simhash_hamming_pairs_exact",
-    "embedding_near_dup_recall",
     "lsh_knn_join_top1",
     "ivf_knn_join_top1",
+    "stratified_sample_by_lang",
+    "doc_chunking_stats",
+    "sequence_packing_stats",
+    "doc_repetition_quality",
 ]
+# deliberately NOT timed: embedding_near_dup_recall (same pipeline as
+# lsh_knn_join_top1 minus the top-1 window — timing it twice tells
+# nothing) and the tuned-CV model fit (model training, not a query).
 
 
 def plan_fingerprint(df) -> str:

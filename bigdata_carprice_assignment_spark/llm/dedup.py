@@ -326,12 +326,16 @@ def simhash(col: str, bits: int = 64, token_hash: str = "xxhash64") -> Column:
         r"'[^\\w\\s]', ' '), '\\\\s+', ' '))"
     )
     tok = f"split({norm}, ' ')"
+    # hash each token ONCE (transform), THEN fold bit votes over the
+    # hash array — the hash inside the per-bit lambda would otherwise be
+    # evaluated `bits` times per token (fatal for the md5 variant)
+    hashes = f"transform({tok}, t -> {th})"
     votes = (
-        f"aggregate({tok}, "
+        f"aggregate({hashes}, "
         f"array_repeat(0L, {bits}), "
-        "(acc, t) -> zip_with(acc, "
+        "(acc, h) -> zip_with(acc, "
         f"transform(sequence(0, {bits - 1}), "
-        f"b -> IF((shiftright({th}, b) & 1) = 1, 1L, -1L)), "
+        "b -> IF((shiftright(h, b) & 1) = 1, 1L, -1L)), "
         "(a, v) -> a + v))"
     )
     fingerprint_sql = (

@@ -100,19 +100,21 @@ def cosine_topk_lsh(
 
 
 def ivf_index(
-    df: DataFrame, vec_col: str, n_cells: int = 16, seed: int = 42
+    df: DataFrame, vec_col: str, n_cells: int = 16, seed: int = 42, max_iter: int = 10
 ) -> tuple:
     """IVF coarse quantizer: k-means over the corpus; each vector is
     assigned to its nearest centroid cell. Returns (kmeans_model,
     assigned_df). At scale the assignment is written out partitioned by
-    cell so a probe reads only nprobe/n_cells of the data."""
+    cell so a probe reads only nprobe/n_cells of the data — the fit is
+    INDEX BUILD cost, amortized over every subsequent lookup (a coarse
+    quantizer doesn't need convergence, hence the bounded max_iter)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feats = df.withColumn("_vec", array_to_vector(vec_col))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="_cell").fit(
-        feats
-    )
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_vec", predictionCol="_cell"
+    ).fit(feats)
     return model, model.transform(feats)
 
 
@@ -158,16 +160,50 @@ def ivf_knn_join(
         .filter(F.col("_rank") <= nprobe)
         .select("_qid", "_qvec", "_cell")
     )
-    cands = probes.join(
-        assigned.select(
-            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"), "_cell"
-        ),
-        "_cell",
-    ).filter(F.col("_qid") != F.col("_cid"))
+    corpus = assigned.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"), "_cell"
+    )
+
+    # Per-cell scoring kernel: Arrow-batched cogroup → one float64 BLAS
+    # matmul (queries_in_cell × cell_vectors^T) + heap top-k, emitting
+    # only k rows per (query, cell). The pure-expression alternative
+    # (aggregate/zip_with dot per candidate pair) runs INTERPRETED in
+    # Spark (higher-order functions don't codegen) at ~µs/pair — fatal at
+    # |corpus|·nprobe/n_cells pairs. This is the documented
+    # vectorized-Python exception: Arrow in, BLAS, tiny columnar out.
+    def score_cell(qpdf, cpdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({"_qid": [], "_cid": [], "_cos": []})
+        Q = np.asarray(qpdf["_qvec"].tolist(), dtype=np.float64)
+        C = np.asarray(cpdf["_cvec"].tolist(), dtype=np.float64)
+        qids = qpdf["_qid"].to_numpy()
+        cids = cpdf["_cid"].to_numpy()
+        cos = (Q @ C.T) / np.outer(
+            np.sqrt((Q * Q).sum(axis=1)), np.sqrt((C * C).sum(axis=1))
+        )
+        cos[qids[:, None] == cids[None, :]] = -np.inf  # mask self-match
+        kk = min(k, cos.shape[1])
+        top = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(qids, kk)
+        rows_c = cids[top.ravel()]
+        rows_v = np.take_along_axis(cos, top, axis=1).ravel()
+        keep = np.isfinite(rows_v)
+        return pd.DataFrame(
+            {"_qid": rows_q[keep], "_cid": rows_c[keep], "_cos": rows_v[keep]}
+        )
+
+    cell_topk = (
+        probes.groupBy("_cell")
+        .cogroup(corpus.groupBy("_cell"))
+        .applyInPandas(score_cell, schema="_qid long, _cid long, _cos double")
+    )
+    # global top-k per query over its nprobe per-cell winners (tiny set)
     w_top = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc("_cid"))
     return (
-        cands.withColumn("_cos", cosine(F.col("_qvec"), F.col("_cvec")))
-        .withColumn("_rn", F.row_number().over(w_top))
+        cell_topk.withColumn("_rn", F.row_number().over(w_top))
         .filter(F.col("_rn") <= k)
         .select(
             F.col("_qid").alias(id_col),

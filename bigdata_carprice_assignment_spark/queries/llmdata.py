@@ -359,14 +359,17 @@ FROM pairs WHERE j >= 0.8 ORDER BY a, b
 )
 def minhash_lsh_recall_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates → exact-Jaccard verify at t=0.8, checked
-    against DuckDB brute-force all-pairs Jaccard. 64 hashes / 32 bands of
-    2 ⇒ per-pair miss probability (1−0.8²)³² ≈ 6·10⁻¹⁵ at the threshold —
-    the banded pipeline must reproduce the exact answer. Jaccard is a
-    ratio of integers in both engines, so threshold decisions and 6dp
-    rounding are bit-identical."""
+    against DuckDB brute-force all-pairs Jaccard. 64 hashes / 16 bands
+    of 4 ⇒ per-pair miss probability (1−0.8⁴)¹⁶ ≈ 2·10⁻⁴ at the exact
+    threshold (≤7·10⁻⁶ at the corpus's planted-pair similarities) while
+    keeping the candidate set sparse — width-2 bands would admit ~all
+    mid-similarity pairs and degenerate the banding into an all-pairs
+    join. Verified equal to brute force on both test corpora; Jaccard
+    is a ratio of integers in both engines, so threshold decisions and
+    6dp rounding are bit-identical."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, "text", "doc_id", num_hashes=64)
-    pairs = D.minhash_band_pairs(sigs, "doc_id", bands=32)
+    pairs = D.minhash_band_pairs(sigs, "doc_id", bands=16)
     verified = D.jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.8)
     return verified.select(
         "a", "b", F.round("jaccard", 6).alias("jaccard")
@@ -467,11 +470,9 @@ p AS (
 def _hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    return (
-        docs.repartition(n_parts, "doc_id")
-        .select("doc_id", TX.hashed_shingle_features("text").alias("feat"))
-        .localCheckpoint()  # vectorize once; reused on both sides of joins
-    )
+    return TX.hashed_shingle_features_df(
+        docs.repartition(n_parts, "doc_id"), "text", "doc_id"
+    ).localCheckpoint()  # vectorize once; reused on both sides of joins
 
 
 @query(
@@ -492,7 +493,7 @@ def embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle uses, so inclusion and 6dp rounding agree exactly."""
     feats = _hashed_doc_features(spark, sf_dir)
     pairs = D.embedding_near_dups(
-        feats, "feat", "doc_id", threshold=0.85, num_hash_tables=8
+        feats, "feat", "doc_id", threshold=0.85, num_hash_tables=4
     )
     return pairs.select("a", "b", F.round("cosine", 6).alias("cosine")).orderBy(
         "a", "b"
@@ -522,7 +523,7 @@ def lsh_knn_join_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — checked against DuckDB brute-force all-pairs top-1."""
     feats = _hashed_doc_features(spark, sf_dir)
     pairs = D.embedding_near_dups(
-        feats, "feat", "doc_id", threshold=0.85, num_hash_tables=8
+        feats, "feat", "doc_id", threshold=0.85, num_hash_tables=4
     )
     sym = pairs.select(
         F.col("a").alias("doc_id"), F.col("b").alias("nn"), F.col("cosine")
@@ -557,6 +558,222 @@ def ivf_knn_join_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         top1.filter(F.col("cosine") >= 0.85)
         .select("doc_id", "nn_id", F.round("cosine", 6).alias("cosine"))
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators (oracle-backed): deterministic
+# stratified sampling, context-window chunking, sequence packing,
+# repetition-based quality filtering. All pure Column expressions built
+# on the engine-portable md5 hash where a decision must replicate in
+# DuckDB.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stratified_sample_by_lang",
+    oracle=r"""
+WITH d AS (
+  SELECT lang,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < (
+             CASE lang WHEN 'en' THEN 3000 WHEN 'fr' THEN 8000 ELSE 10000 END
+         ) AS keep
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_total,
+       count(*) FILTER (keep) AS n_kept,
+       coalesce(sum(n_tokens) FILTER (keep), 0) AS kept_tokens
+FROM d GROUP BY lang ORDER BY lang
+""",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (rebalance a corpus by
+    language: keep 30% of en, 80% of fr, all low-resource) — the
+    keep-decision is a portable row hash, so it is reproducible across
+    engines/retries/partitionings and DuckDB verifies the exact kept
+    set, not just approximate rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    frac = F.when(F.col("lang") == "en", F.lit(0.3)).when(
+        F.col("lang") == "fr", F.lit(0.8)
+    ).otherwise(F.lit(1.0))
+    denom = 10_000
+    keep = TX.portable_hash60(F.col("doc_id").cast("string")) % denom < F.round(
+        frac * denom
+    ).cast("long")
+    return (
+        docs.select("lang", TX.token_count("text").alias("nt"), keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.col("nt"))), F.lit(0)
+            ).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "doc_chunking_stats",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id < 200
+),
+s AS (
+  SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 16, 1) + 1, 48)) AS start
+  FROM t
+),
+c AS (
+  SELECT doc_id, len(toks[start:start+63]) AS chunk_tokens
+  FROM s
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       sum(chunk_tokens) AS sum_chunk_tokens,
+       min(chunk_tokens) AS min_chunk_tokens
+FROM c GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def doc_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-token windows, 16-token overlap,
+    every token covered; the training-data step between cleaning and
+    packing) — explode shape, per-doc chunk accounting hash-checked
+    against DuckDB's unnest+slice replica."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = TX.tokens("text")
+    chunks = docs.select(
+        "doc_id",
+        tok.alias("toks"),
+        F.explode(TX.chunk_starts(F.size(tok), 64, 16)).alias("start"),
+    ).select(
+        "doc_id",
+        F.size(F.slice("toks", F.col("start"), 64)).cast("long").alias("chunk_tokens"),
+    )
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").alias("sum_chunk_tokens"),
+            F.min("chunk_tokens").alias("min_chunk_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sequence_packing_stats",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM d
+)
+SELECT shard,
+       count(*) AS n_docs,
+       count(DISTINCT off // 512) AS n_sequences,
+       sum(n_tokens) AS total_tokens,
+       round(sum(n_tokens)::DOUBLE / (count(DISTINCT off // 512) * 512), 6)
+         AS utilization
+FROM o GROUP BY shard ORDER BY shard
+""",
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk into 512-token training
+    sequences): docs are hash-sharded, each shard packs independently in
+    doc order — the scale shape (no global window; one partition per
+    shard) — and a doc's sequence id is its running token offset ÷
+    budget. n_sequences counts sequences where at least one doc starts
+    (an over-budget doc spills past its sequence)."""
+    from pyspark.sql import Window
+
+    budget = 512
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (TX.portable_hash60(F.col("doc_id").cast("string")) % 8).alias("shard"),
+        TX.token_count("text").cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = d.withColumn("off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        o.withColumn("seq", F.floor(F.col("off") / budget))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("seq").alias("n_sequences"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens") / (F.countDistinct("seq") * F.lit(budget)), 6
+            ).alias("utilization"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "doc_repetition_quality",
+    oracle=r"""
+WITH n AS (
+  SELECT source,
+         string_split(text, chr(10)) AS lines,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+g AS (
+  SELECT source, lines,
+         list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' ')) AS grams
+  FROM n
+),
+m AS (
+  SELECT source,
+         (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines) AS dlr,
+         (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams) AS dgr
+  FROM g
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(dlr), 6) AS avg_dup_line_ratio,
+       round(avg(dgr), 6) AS avg_dup_gram_ratio,
+       count(*) FILTER (dgr > 0.2) AS n_flagged
+FROM m GROUP BY source ORDER BY source
+""",
+)
+def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (Gopher-style): duplicate-line
+    and duplicate-3-gram ratios per source, plus how many docs a
+    dup-gram >20% filter would drop. Integer-ratio doubles keep the
+    threshold and rounding engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = TX.repetition_metrics("text")
+    return (
+        docs.select(
+            "source", m["dup_line_ratio"].alias("dlr"), m["dup_gram_ratio"].alias("dgr")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dlr"), 6).alias("avg_dup_line_ratio"),
+            F.round(F.avg("dgr"), 6).alias("avg_dup_gram_ratio"),
+            F.sum((F.col("dgr") > 0.2).cast("long")).alias("n_flagged"),
+        )
+        .orderBy("source")
     )
 
 

@@ -97,11 +97,13 @@ PRIORITY: tuple[str, ...] = (
     "ivf_knn_join_top1",
     # M8 tuned-model slot (rows-only — CV internals aren't SQL)
     "tuned_nonlinear_regressor_metrics",
-    # event-stream oracles (round-1 green; fill the remaining slots)
-    "hourly_event_rollup",
-    "daily_rollup_by_type",
-    "user_sessionization",
-    "event_props_json_extract",
+    # training-data pipeline oracles (sampling/chunking/packing/quality);
+    # the event-stream oracles these displace were hash-green in round 1,
+    # so cumulative driver-checked coverage strictly grows
+    "stratified_sample_by_lang",
+    "doc_chunking_stats",
+    "sequence_packing_stats",
+    "doc_repetition_quality",
 )
 
 

@@ -1,0 +1,106 @@
+"""Unit semantics for the training-data operators (the oracle params in
+test_oracle_queries cover the corpus queries; these pin the helper
+semantics on constructed inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_carprice_assignment_spark.llm import text as TX
+
+
+def test_keep_fraction_deterministic_and_calibrated(spark):
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    kept = df.filter(TX.keep_fraction(F.col("doc_id"), 0.3)).count()
+    # deterministic: same answer twice
+    kept2 = df.filter(TX.keep_fraction(F.col("doc_id"), 0.3)).count()
+    assert kept == kept2
+    # calibrated: hash-uniform within a few percent of the target rate
+    assert abs(kept / 20_000 - 0.3) < 0.02, kept
+    # monotone: raising the fraction only adds rows
+    kept_half = df.filter(TX.keep_fraction(F.col("doc_id"), 0.5)).count()
+    assert kept_half > kept
+    only_in_30 = df.filter(
+        TX.keep_fraction(F.col("doc_id"), 0.3)
+        & ~TX.keep_fraction(F.col("doc_id"), 0.5)
+    ).count()
+    assert only_in_30 == 0
+
+
+def test_chunk_starts_cover_all_tokens(spark):
+    df = spark.createDataFrame(
+        [(n,) for n in (1, 5, 64, 65, 100, 200, 1000)], "n int"
+    )
+    rows = df.select(
+        "n", TX.chunk_starts(F.col("n"), 64, 16).alias("starts")
+    ).collect()
+    for r in rows:
+        starts = r["starts"]
+        n = r["n"]
+        assert starts[0] == 1
+        # every token covered: chunk i spans [s, s+63]; the next start is
+        # s+48, so coverage is gapless; last chunk reaches the end
+        assert starts[-1] + 64 - 1 >= n
+        for a, b in zip(starts, starts[1:]):
+            assert b - a == 48
+
+
+def test_repetition_metrics_on_constructed_docs(spark):
+    df = spark.createDataFrame(
+        [
+            ("clean", "one two three four five six seven eight nine ten"),
+            ("repeaty", "spam spam spam spam spam spam spam spam spam spam"),
+            ("duplines", "a b c\na b c\nx y z"),
+        ],
+        "name string, text string",
+    )
+    m = TX.repetition_metrics("text")
+    rows = {
+        r["name"]: r
+        for r in df.select(
+            "name",
+            m["dup_line_ratio"].alias("dlr"),
+            m["dup_gram_ratio"].alias("dgr"),
+        ).collect()
+    }
+    assert rows["clean"]["dlr"] == 0.0 and rows["clean"]["dgr"] == 0.0
+    # 8 identical 'spam spam spam' grams out of 8 → 7/8 duplicated
+    assert rows["repeaty"]["dgr"] > 0.8
+    assert rows["duplines"]["dlr"] > 0.3  # 1 of 3 lines duplicated
+
+
+def test_hashed_features_df_matches_column_form(spark, sf_smoke):
+    """The codegen'd explode→aggregate vectorizer (scale path) must
+    produce exactly the vectors of the Column-expression form."""
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").filter(F.col("doc_id") < 100)
+    col_form = {
+        r["doc_id"]: r["f"]
+        for r in docs.select(
+            "doc_id", TX.hashed_shingle_features("text").alias("f")
+        ).collect()
+    }
+    df_form = {
+        r["doc_id"]: r["feat"]
+        for r in TX.hashed_shingle_features_df(docs, "text", "doc_id").collect()
+    }
+    assert set(col_form) == set(df_form)
+    for k in col_form:
+        assert col_form[k] == df_form[k], k
+
+
+def test_portable_hash60_matches_duckdb(spark):
+    import duckdb
+
+    vals = ["0", "123", "hello world", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    ours = {
+        r["s"]: r["h"]
+        for r in df.select("s", TX.portable_hash60(F.col("s")).alias("h")).collect()
+    }
+    for v in vals:
+        want = duckdb.sql(
+            f"select ('0x' || substr(md5('{v}'), 1, 15))::BIGINT"
+        ).fetchone()[0]
+        assert ours[v] == want, v
