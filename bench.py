@@ -131,6 +131,16 @@ def main() -> None:
         .agg(F.sum("l_quantity"))
         .collect()
     )
+    # warm the Python worker pool too: the first Arrow/mapInPandas stage
+    # otherwise pays ~n_cores worker spawns (measured 5s of a 5.2s first
+    # multimodal run), which is process startup, not kernel cost
+    def _noop(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(1000).repartition(32).mapInPandas(
+        _noop, schema="id long"
+    ).collect()
 
     # One untimed run of the first timed query: its timing was otherwise
     # inflated by first-real-query costs (scan/broadcast warm paths) that

@@ -1,0 +1,68 @@
+"""Plan-quality gates for the round-2 operators: column pruning reaches
+the scan, and the vectorizer/packing shapes spend the expected number of
+shuffles (the scale currency)."""
+
+from __future__ import annotations
+
+from bigdata_carprice_assignment_spark import registry
+from bigdata_carprice_assignment_spark.plans.explain import (
+    count_exchanges,
+    formatted_plan,
+    scan_read_columns,
+)
+
+registry.load_all()
+
+
+def test_stratified_sample_prunes_columns(spark, sf_smoke):
+    df = registry.QUERIES["stratified_sample_by_lang"](spark, sf_smoke)
+    cols = scan_read_columns(df, "documents")
+    assert set(cols) == {"doc_id", "text", "lang"}, cols
+
+
+def test_chunking_prunes_columns(spark, sf_smoke):
+    df = registry.QUERIES["doc_chunking_stats"](spark, sf_smoke)
+    cols = scan_read_columns(df, "documents")
+    assert set(cols) == {"doc_id", "text"}, cols
+
+
+def test_chunking_filter_pushed_down(spark, sf_smoke):
+    from bigdata_carprice_assignment_spark.plans.explain import has_pushed_filter
+
+    df = registry.QUERIES["doc_chunking_stats"](spark, sf_smoke)
+    assert has_pushed_filter(df, "doc_id"), formatted_plan(df)
+
+
+def test_repetition_quality_single_shuffle(spark, sf_smoke):
+    """Pure projection + one hash aggregation (plus the final orderBy's
+    range exchange on the 20-row result): at most two exchanges, and the
+    heavy text work stays in the pre-aggregation projection."""
+    df = registry.QUERIES["doc_repetition_quality"](spark, sf_smoke)
+    assert count_exchanges(df) <= 2, formatted_plan(df)
+
+
+def test_hashed_features_df_two_shuffles(spark, sf_smoke):
+    """Explode→count→densify: the two grouped aggregations are the only
+    exchanges (the repartition feeding them comes from the caller)."""
+    from bigdata_carprice_assignment_spark.llm.text import hashed_shingle_features_df
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    df = hashed_shingle_features_df(docs, "text", "doc_id")
+    n = count_exchanges(df)
+    assert n <= 2, formatted_plan(df)
+
+
+def test_sequence_packing_no_global_window(spark, sf_smoke):
+    """The packing window partitions by shard — no single-partition
+    global window (which would serialize the corpus through one task)."""
+    df = registry.QUERIES["sequence_packing_stats"](spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    # a global window shows an Exchange SinglePartition feeding Window
+    import re
+
+    window_blocks = re.findall(r"Exchange SinglePartition[^\n]*", plan)
+    # the final .orderBy on 8 rows may range-exchange; assert the WINDOW
+    # input specifically is hash-partitioned by shard
+    assert "hashpartitioning" in plan.lower(), plan
