@@ -90,6 +90,7 @@ HEADLINE: list[str] = [
     "doc_chunking_stats",
     "sequence_packing_stats",
     "doc_repetition_quality",
+    "eval_contamination_check",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -187,6 +187,41 @@ def minhash_dedup(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark-decontamination check: training docs sharing ≥
+    ``min_shared`` distinct word n-grams with any eval doc (the standard
+    n-gram-overlap contamination test run before training on a corpus).
+
+    Scale shape: the EVAL side is always small (benchmarks are a few
+    thousand docs), so its exploded (gram → eval_id) table broadcasts
+    and the training corpus is matched with a broadcast hash join on the
+    gram — no shuffle of training-side grams; the per-(train, eval)
+    distinct-gram count is one hash aggregation. At extreme eval sizes
+    swap the broadcast for a shuffle join on ``xxhash64(gram)``."""
+    # spread the shingle+explode CPU work first: a single-file corpus
+    # arrives as ONE input split and would otherwise tokenize serially
+    n_parts = max(train.sparkSession.sparkContext.defaultParallelism, 8)
+    tr = train.repartition(n_parts, id_col).select(
+        F.col(id_col).alias("train_id"), F.explode(shingles(text_col, n)).alias("_g")
+    )
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"), F.explode(shingles(text_col, n)).alias("_g")
+    )
+    return (
+        tr.join(F.broadcast(ev), "_g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.countDistinct("_g").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 20, local_threshold: int = 2_000_000
 ) -> DataFrame:

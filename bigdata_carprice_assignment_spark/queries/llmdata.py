@@ -726,6 +726,48 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eval_contamination_check",
+    oracle=r"""
+WITH nrm AS (
+  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM nrm),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(toks) - 7, 1) + 1),
+             i -> array_to_string(toks[i:i+7], ' '))) AS grams
+  FROM tk
+)
+SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+       len(list_intersect(tr.grams, ev.grams))::BIGINT AS n_shared
+FROM sh tr JOIN sh ev ON tr.doc_id >= 10 AND ev.doc_id < 10
+WHERE len(list_intersect(tr.grams, ev.grams)) >= 3
+ORDER BY train_id, eval_id
+""",
+)
+def eval_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which training docs (doc_id ≥ 10)
+    share ≥3 distinct word 8-grams with the held-out eval set
+    (doc_id < 10)? Broadcast-join on the gram (the eval side is small by
+    construction); checked against DuckDB's exact list-intersect."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = D.ngram_contamination(
+        docs.filter(F.col("doc_id") >= 10),
+        docs.filter(F.col("doc_id") < 10),
+        "text",
+        "doc_id",
+        n=8,
+        min_shared=3,
+    )
+    return hits.select(
+        F.col("train_id"), F.col("eval_id"), F.col("n_shared").cast("long").alias("n_shared")
+    ).orderBy("train_id", "eval_id")
+
+
+@query(
     "doc_repetition_quality",
     oracle=r"""
 WITH n AS (

@@ -127,6 +127,19 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop events whose key re-appears within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` — state is
+    bounded by event time, unlike a plain ``dropDuplicates`` whose state
+    grows forever on an unbounded stream). The streaming dual of
+    ``llm/dedup.py::exact_dedup``'s keep-first semantics: at-least-once
+    sources (Kafka replays, file re-lists) become effectively-once."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_foreach_batch_sink(
     stream_df: DataFrame, out_dir: str, name: str = "fb_sink"
 ) -> list[str]:

@@ -76,3 +76,28 @@ def test_sliding_windows_overlap(spark, sf_smoke):
     n_events = load_table(spark, sf_smoke, "events").count()
     # each event falls in 4 sliding windows (60min window / 15min slide)
     assert out.agg(F.sum("n")).first()[0] == 4 * n_events
+
+
+def test_dedup_stream_drops_replayed_events(spark, sf_smoke, tmp_path):
+    """Replay the same events file twice through the file source (the
+    at-least-once shape); dropDuplicatesWithinWatermark must keep each
+    event_id once."""
+    import shutil
+
+    src = tmp_path / "replay"
+    src.mkdir()
+    shutil.copy(f"{sf_smoke}/events.parquet", src / "events_a.parquet")
+    shutil.copy(f"{sf_smoke}/events.parquet", src / "events_b.parquet")
+    stream = (
+        spark.readStream.schema(jobs.EVENTS_SCHEMA)
+        .format("parquet")
+        .load(str(src))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    out = jobs.run_to_completion(
+        jobs.dedup_stream(stream), "t_dedup", "append"
+    )
+    n_unique = load_table(spark, sf_smoke, "events").count()
+    got = out.count()
+    assert got == n_unique, (got, n_unique)
+    assert out.select("event_id").distinct().count() == n_unique
