@@ -44,35 +44,38 @@ def minhash_signatures(
     (Classical MinHash: Broder 1997's min-wise independent permutations,
     approximated with seeded 64-bit hashes.)"""
     # Plan shape (load-bearing, in order):
-    #   repartition(raw rows)      — spread the CPU work (single-file
-    #                                corpora arrive as ONE split);
-    #   project shingle→xxhash64   — the expensive variable-length string
-    #                                hashing, ONCE per shingle, parallel;
-    #   localCheckpoint            — barrier: without it Catalyst's
-    #                                CollapseProject re-inlines the shingle
-    #                                expression into all num_hashes
-    #                                signature slots (num_hashes× recompute);
-    #   project permutations       — cheap fixed-width long re-hashes.
+    #   repartition(raw rows)       — spread the CPU work (single-file
+    #                                 corpora arrive as ONE split);
+    #   explode shingle→xxhash64    — the expensive variable-length string
+    #                                 hashing, ONCE per shingle, codegen;
+    #   groupBy(id) × num_hashes    — each permutation is a
+    #     min(xxhash64(i, h))         hash-aggregate column: whole-stage
+    #                                 codegen with map-side combine, so
+    #                                 the shuffle carries one partial row
+    #                                 of num_hashes longs per (task, id).
+    # (The previous form computed the permutations as num_hashes
+    # F.transform passes over a per-doc hash array — higher-order
+    # functions run INTERPRETED in Spark, ~µs per lambda call, which
+    # dominated the whole dedup pipeline.)
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    hashed = (
+    exploded = (
         df.repartition(n_parts, id_col)
+        .select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_s"))
+        .select(F.col(id_col), F.xxhash64("_s").alias("_h"))
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*mins)
         .select(
-            F.col(id_col),
-            F.transform(
-                shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
-            ).alias("_h"),
+            id_col,
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature"),
         )
-        .localCheckpoint()
     )
-
-    def _perm(i: int):
-        return lambda h: F.xxhash64(F.lit(i), h)
-
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("_h"), _perm(i))) for i in range(num_hashes)]
-    )
-    return hashed.select(id_col, sig.alias("signature"))
 
 
 def minhash_band_pairs(
