@@ -91,6 +91,8 @@ HEADLINE: list[str] = [
     "sequence_packing_stats",
     "doc_repetition_quality",
     "eval_contamination_check",
+    "keyword_search_tfidf",
+    "customer_upsert_merge_accounting",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

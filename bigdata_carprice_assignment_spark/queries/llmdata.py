@@ -768,6 +768,79 @@ def eval_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "keyword_search_tfidf",
+    oracle=r"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id,
+         count(*) FILTER (w = 'vector') AS tv,
+         count(*) FILTER (w = 'join')   AS tj,
+         count(*) FILTER (w = 'stream') AS ts
+  FROM tk WHERE w IN ('vector', 'join', 'stream') GROUP BY doc_id
+),
+df AS (
+  SELECT count(DISTINCT doc_id) FILTER (w = 'vector') AS dv,
+         count(DISTINCT doc_id) FILTER (w = 'join')   AS dj,
+         count(DISTINCT doc_id) FILTER (w = 'stream') AS ds
+  FROM tk WHERE w IN ('vector', 'join', 'stream')
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id,
+       round(tf.tv * ln((1.0 + n.n_docs) / (1.0 + df.dv))
+           + tf.tj * ln((1.0 + n.n_docs) / (1.0 + df.dj))
+           + tf.ts * ln((1.0 + n.n_docs) / (1.0 + df.ds)), 6) AS score
+FROM tf, df, n
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
+def keyword_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: TF-IDF scoring (sklearn-style smoothed idf
+    ln((1+N)/(1+df))) for a fixed 3-term query, top-10 docs. One
+    explode→filter→aggregate pass computes per-doc term frequencies as
+    FIXED columns so the score's floating-point addition order is
+    identical in both engines (a grouped SUM over melted rows would add
+    in nondeterministic order). Document frequencies are a broadcast
+    1-row aggregate; ranking is TakeOrderedAndProject."""
+    terms = ["vector", "join", "stream"]
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one scalar to the driver
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    toks = (
+        docs.repartition(n_parts, "doc_id")
+        .select("doc_id", F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w"))
+        .filter(F.col("w").isin(terms))
+    )
+    tf = toks.groupBy("doc_id").agg(
+        *[
+            F.sum((F.col("w") == t).cast("long")).alias(f"tf_{t}")
+            for t in terms
+        ]
+    )
+    dfreq = toks.groupBy().agg(
+        *[
+            F.count_distinct(F.when(F.col("w") == t, F.col("doc_id"))).alias(f"df_{t}")
+            for t in terms
+        ]
+    )
+    idf = {t: F.log((1.0 + n_docs) / (1.0 + F.col(f"df_{t}"))) for t in terms}
+    score = sum(
+        (F.col(f"tf_{t}") * idf[t] for t in terms[1:]),
+        F.col(f"tf_{terms[0]}") * idf[terms[0]],
+    )
+    return (
+        tf.crossJoin(F.broadcast(dfreq))
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@query(
     "doc_repetition_quality",
     oracle=r"""
 WITH n AS (

@@ -938,3 +938,91 @@ def null_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "props",
     )
     return agg.na_counts(masked, ["value", "user_id", "props"])
+
+
+# --------------------------------------------------------------------------
+# SCD-1 upsert merge (engine extension): full-outer-join MERGE with
+# update / keep / insert accounting, oracle-checked branch by branch.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_upsert_merge_accounting",
+    oracle="""
+WITH latest AS (
+  SELECT o_custkey AS c_custkey, o_totalprice AS last_totalprice,
+         o_orderpriority AS last_priority
+  FROM (
+    SELECT o_custkey, o_totalprice, o_orderpriority,
+           row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+),
+feed AS (
+  SELECT c_custkey, last_totalprice, last_priority FROM latest
+  WHERE c_custkey % 3 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000000, last_totalprice, last_priority
+  FROM latest WHERE c_custkey < 20
+),
+merged AS (
+  SELECT coalesce(c.c_mktsegment, 'NEW') AS segment,
+         CASE WHEN c.c_custkey IS NOT NULL AND f.c_custkey IS NOT NULL THEN 'update'
+              WHEN c.c_custkey IS NOT NULL THEN 'keep'
+              ELSE 'insert' END AS _action,
+         CASE WHEN f.c_custkey IS NOT NULL THEN f.last_totalprice
+              ELSE c.c_acctbal END AS balance
+  FROM customer c FULL OUTER JOIN feed f ON c.c_custkey = f.c_custkey
+)
+SELECT segment, _action, count(*) AS n, round(sum(balance), 2) AS total_balance
+FROM merged GROUP BY segment, _action ORDER BY segment, _action
+""",
+)
+def customer_upsert_merge_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 MERGE via operators/joins.py::upsert_merge: each customer's
+    account balance is overwritten by their LATEST order's total
+    (update), customers with no orders pass through (keep), and a
+    deterministic out-of-keyspace slice of the feed lands as inserts —
+    per-(segment, action) row counts and balance sums are oracle-checked
+    so every merge branch is verified, not just the happy path."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_totalprice").alias("last_totalprice"),
+            F.col("o_orderpriority").alias("last_priority"),
+        )
+    )
+    # deterministic out-of-keyspace slice (key filter, not limit — limit
+    # order is not driver-stable) exercises the insert branch
+    inserts = latest.filter(F.col("c_custkey") < 20).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        "last_totalprice",
+        "last_priority",
+    )
+    # the feed skips every third customer so the keep branch is
+    # non-vacuous alongside update and insert
+    feed = latest.filter(F.col("c_custkey") % 3 != 0).unionByName(inserts)
+    merged = joins.upsert_merge(
+        cust, feed, "c_custkey", update_cols={"c_acctbal": "last_totalprice"}
+    )
+    return (
+        merged.select(
+            F.coalesce("c_mktsegment", F.lit("NEW")).alias("segment"),
+            "_action",
+            F.col("c_acctbal").alias("balance"),
+        )
+        .groupBy("segment", "_action")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("balance"), 2).alias("total_balance"),
+        )
+        .orderBy("segment", "_action")
+    )

@@ -48,10 +48,10 @@ PRIORITY: tuple[str, ...] = (
     # pricing (flagship first — also the entry() smoke query)
     "flagship_price_band_summary",
     "pricing_summary_report",
-    # relational core (oracle-backed)
-    "top10_part_brands",
-    "region_revenue",
-    "top_segment_order_stats",
+    # relational core (oracle-backed; top10_part_brands, region_revenue
+    # and top_segment_order_stats were hash-green in round 1 and cede
+    # their slots to round-2 oracles — cumulative driver-checked
+    # coverage strictly grows)
     "customers_without_orders",
     "order_price_five_number_summary",
     "iqr_capped_price_stats",
@@ -104,6 +104,9 @@ PRIORITY: tuple[str, ...] = (
     "doc_chunking_stats",
     "sequence_packing_stats",
     "doc_repetition_quality",
+    "eval_contamination_check",
+    "keyword_search_tfidf",
+    "customer_upsert_merge_accounting",
 )
 
 

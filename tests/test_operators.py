@@ -116,3 +116,23 @@ def test_model_save_load_roundtrip(spark, tmp_path):
     a = model.transform(df).select("prediction").collect()
     b = loaded.transform(df).select("prediction").collect()
     assert a == b
+
+
+def test_upsert_merge_branch_semantics(spark):
+    from bigdata_carprice_assignment_spark.operators.joins import upsert_merge
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, bal double"
+    )
+    source = spark.createDataFrame(
+        [(2, 99.0, "x"), (4, 40.0, "y")], "k long, new_bal double, tag string"
+    )
+    out = {
+        r["k"]: r
+        for r in upsert_merge(target, source, "k", {"bal": "new_bal"}).collect()
+    }
+    assert out[1]["_action"] == "keep" and out[1]["bal"] == 10.0 and out[1]["name"] == "a"
+    assert out[2]["_action"] == "update" and out[2]["bal"] == 99.0 and out[2]["name"] == "b"
+    assert out[3]["_action"] == "keep" and out[3]["bal"] == 30.0
+    assert out[4]["_action"] == "insert" and out[4]["bal"] == 40.0 and out[4]["name"] is None
+    assert out[2]["tag"] == "x" and out[1]["tag"] is None
