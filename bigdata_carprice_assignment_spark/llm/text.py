@@ -197,6 +197,46 @@ def repetition_metrics(col: str | Column) -> dict[str, Column]:
     }
 
 
+def repetition_metrics_df(df, text_col: str, id_col: str):
+    """Scale path of :func:`repetition_metrics`: the Column form
+    references the gram array twice in one projection (size +
+    size∘array_distinct), and CollapseProject re-inlines the whole
+    interpreted gram-construction tree into BOTH slots. Here each array
+    is built once and consumed by an explode, with count/count_distinct
+    as codegen'd aggregations. Identical ratios."""
+    lines = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("_l"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_nl"),
+            F.count_distinct("_l").alias("_dl"),
+        )
+    )
+    c = F.col(text_col)
+    tok = tokens(normalize_text(c))
+    k = F.greatest(F.size(tok) - 2, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(tok, i, 3))
+    )
+    gr = (
+        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_ng"),
+            F.count_distinct("_g").alias("_dg"),
+        )
+    )
+    return lines.join(gr, id_col).select(
+        id_col,
+        ((F.col("_nl") - F.col("_dl")) / F.col("_nl").cast("double")).alias(
+            "dup_line_ratio"
+        ),
+        ((F.col("_ng") - F.col("_dg")) / F.col("_ng").cast("double")).alias(
+            "dup_gram_ratio"
+        ),
+    )
+
+
 def hashed_shingle_features(col: str | Column, dim: int = 64, n: int = 3) -> Column:
     """Feature-hashing vectorizer (the 'hashing trick', cf. Weinberger et
     al. 2009): bucket-count histogram of word n-gram shingles, giving a

@@ -876,10 +876,16 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup-gram >20% filter would drop. Integer-ratio doubles keep the
     threshold and rounding engine-exact."""
     docs = load_table(spark, sf_dir, "documents")
-    m = TX.repetition_metrics("text")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    docs = docs.repartition(n_parts, "doc_id")
+    metrics = TX.repetition_metrics_df(docs, "text", "doc_id")
     return (
-        docs.select(
-            "source", m["dup_line_ratio"].alias("dlr"), m["dup_gram_ratio"].alias("dgr")
+        docs.select("doc_id", "source")
+        .join(metrics, "doc_id")
+        .select(
+            "source",
+            F.col("dup_line_ratio").alias("dlr"),
+            F.col("dup_gram_ratio").alias("dgr"),
         )
         .groupBy("source")
         .agg(
