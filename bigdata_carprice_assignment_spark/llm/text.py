@@ -25,12 +25,30 @@ STOPWORDS = {
 ENGLISH_STOPWORDS = STOPWORDS["en"]
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` exactly once per row and pass the VALUE to
+    ``fn`` as a lambda variable.
+
+    Why: referencing a Column expression inside a higher-order-function
+    lambda inlines the whole expression tree into the lambda body, which
+    the interpreter then re-evaluates on EVERY lambda call — e.g. a
+    token-array expression (two regexes + split) referenced from a
+    per-gram ``transform`` lambda re-tokenizes the document once per
+    gram (measured 3× the entire MinHash pipeline cost). Wrapping the
+    expression as the single element of a ``transform`` input array
+    binds its evaluated value to the lambda variable, so inner lambdas
+    reference a computed array, not the expression tree."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def tokens(col: str | Column) -> Column:
     """Whitespace tokenization (empty string → empty array, not [''])."""
     c = F.col(col) if isinstance(col, str) else col
-    trimmed = F.trim(c)
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
+    return bind_once(
+        F.trim(c),
+        lambda trimmed: F.when(
+            trimmed == "", F.array().cast("array<string>")
+        ).otherwise(F.split(trimmed, r"\s+")),
     )
 
 
@@ -125,14 +143,24 @@ def normalize_text(col: str | Column) -> Column:
 
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles over normalized text (distinct, for Jaccard
-    sets). Documents shorter than n tokens yield their full token join."""
-    tok = tokens(normalize_text(col))
-    k = F.greatest(F.size(tok) - (n - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
-    )
-    return F.array_distinct(grams)
+    sets). Documents shorter than n tokens yield their full token join.
+
+    The token array is bound ONCE per row (``bind_once``): the per-gram
+    lambda slices a computed array instead of re-inlining the
+    tokenization expression per gram index (which re-ran the regex
+    normalization O(tokens) times per document — measured 3× the cost
+    of the MinHash signature aggregation it feeds)."""
+
+    def build(t: Column) -> Column:
+        k = F.greatest(F.size(t) - (n - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        )
+
+    return bind_once(tokens(normalize_text(col)), build)
 
 
 def fingerprint(col: str | Column, n: int = 3) -> Column:
@@ -177,23 +205,30 @@ def chunk_starts(n_tokens: Column, chunk_tokens: int, overlap: int) -> Column:
     )
 
 
+def _grams_multiset(c: Column, n: int = 3) -> Column:
+    """Word n-grams WITH multiplicity (repetition measures need the
+    duplicates that ``shingles`` removes); token array bound once."""
+    return bind_once(
+        tokens(normalize_text(c)),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    )
+
+
 def repetition_metrics(col: str | Column) -> dict[str, Column]:
     """Gopher-style within-document repetition signals: the fraction of
     duplicate lines and duplicate word 3-grams (counted WITH
     multiplicity — array_distinct removes what repetition measures).
     Integer-ratio doubles, so thresholds and rounding are engine-exact."""
     c = F.col(col) if isinstance(col, str) else col
-    lines = F.split(c, "\n")
-    tok = tokens(normalize_text(c))
-    k = F.greatest(F.size(tok) - 2, F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(tok, i, 3))
+    dup_ratio = lambda arr: (  # noqa: E731 — (n − n_distinct) / n on the BOUND array
+        (F.size(arr) - F.size(F.array_distinct(arr))) / F.size(arr).cast("double")
     )
-    n_lines = F.size(lines).cast("double")
-    n_grams = F.size(grams).cast("double")
     return {
-        "dup_line_ratio": (n_lines - F.size(F.array_distinct(lines))) / n_lines,
-        "dup_gram_ratio": (n_grams - F.size(F.array_distinct(grams))) / n_grams,
+        "dup_line_ratio": bind_once(F.split(c, "\n"), dup_ratio),
+        "dup_gram_ratio": bind_once(_grams_multiset(c), dup_ratio),
     }
 
 
@@ -212,14 +247,8 @@ def repetition_metrics_df(df, text_col: str, id_col: str):
             F.count_distinct("_l").alias("_dl"),
         )
     )
-    c = F.col(text_col)
-    tok = tokens(normalize_text(c))
-    k = F.greatest(F.size(tok) - 2, F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(tok, i, 3))
-    )
     gr = (
-        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        df.select(F.col(id_col), F.explode(_grams_multiset(F.col(text_col))).alias("_g"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("_ng"),
@@ -253,12 +282,16 @@ def hashed_shingle_features(col: str | Column, dim: int = 64, n: int = 3) -> Col
     aggregate), which produces identical vectors with one small shuffle
     instead of an interpreted inner loop; measured ~12× faster at sf0.1."""
     assert dim & (dim - 1) == 0, "dim must be a power of two (bucket mask)"
-    grams = shingles(col, n)
-    buckets = F.transform(grams, lambda g: portable_hash60(g).bitwiseAND(F.lit(dim - 1)))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda b: F.size(F.filter(buckets, lambda h: h == b.cast("long"))).cast(
-            "double"
+    return bind_once(
+        F.transform(
+            shingles(col, n),
+            lambda g: portable_hash60(g).bitwiseAND(F.lit(dim - 1)),
+        ),
+        lambda buckets: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda b: F.size(F.filter(buckets, lambda h: h == b.cast("long"))).cast(
+                "double"
+            ),
         ),
     )
 
