@@ -93,6 +93,11 @@ HEADLINE: list[str] = [
     "eval_contamination_check",
     "keyword_search_tfidf",
     "customer_upsert_merge_accounting",
+    "quality_topq_by_lang",
+    "source_mixture_rebalance",
+    "embedding_centroid_by_label",
+    "near_dup_keep_best",
+    "keyword_search_bm25",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells
@@ -159,6 +164,19 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         plans[name] = plan_fingerprint(df)
 
+    # Second pass: steady-state timings. The first execution of each
+    # query pays one-time JVM costs — Janino compilation of the
+    # generated whole-stage code (measured ~constant even at sf0.001,
+    # i.e. plan-size-, not data-, dependent) — which a long-lived
+    # cluster amortizes across jobs. "queries" (cold, round-comparable)
+    # stays the headline metric; "queries_warm" isolates per-data engine
+    # cost from fixed compile cost.
+    warm: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).collect()
+        warm[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -167,6 +185,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "value_warm": round(sum(warm.values()), 3),
                 "plans": plans,
                 "sf": float(sf),
             }

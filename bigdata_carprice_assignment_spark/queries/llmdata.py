@@ -952,3 +952,352 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.max("ts_ms").alias("last_ts_ms"),
     ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Round-3 training-data operators (oracle-backed): per-language quality-
+# quantile filtering, deterministic source-mixture rebalancing, embedding
+# centroid pooling, near-dup canonicalization by quality, and BM25
+# retrieval. The quality score is replicated term-for-term in SQL (same
+# literal order of float operations) so threshold decisions match.
+# --------------------------------------------------------------------------
+
+# Mirror of llm/text.py::quality_score — identical operand order so both
+# engines produce bit-identical doubles from the same integer ratios.
+_DUCK_QUALITY = r"""
+qf AS (
+  SELECT doc_id, lang, source,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> lower(t) IN ('the','and','of','to','a','in','is','for','with','on')))
+           AS stop_hits,
+         length(regexp_replace(text, '[a-zA-Z0-9_\s]', '', 'g')) AS punct_chars,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang, source,
+         least(greatest(
+             0.4 * (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000
+                         THEN 1.0 ELSE 0.3 END)
+           + 0.3 * least(stop_hits / greatest(n_tokens, 1) * 4.0, 1.0)
+           + 0.2 * (1.0 - least(punct_chars / greatest(n_chars, 1) * 4.0, 1.0))
+           + 0.1 * (1.0 - least(digit_chars / greatest(n_chars, 1) * 4.0, 1.0)),
+           0.0), 1.0) AS score
+  FROM qf
+)
+"""
+
+
+@query(
+    "quality_topq_by_lang",
+    oracle="WITH " + _DUCK_QUALITY + r"""
+, r AS (
+  SELECT lang, score,
+         percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr
+  FROM q
+)
+SELECT lang,
+       count(*) AS n_docs,
+       count(*) FILTER (pr >= 0.75) AS n_kept,
+       round(avg(score) FILTER (pr >= 0.75), 6) AS avg_kept_score,
+       round(min(score) FILTER (pr >= 0.75), 6) AS min_kept_score
+FROM r GROUP BY lang ORDER BY lang
+""",
+)
+def quality_topq_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-quantile filter: keep each language's top
+    quartile by the heuristic quality score (percent_rank ≥ 0.75 within
+    the language partition — the per-stratum threshold a curriculum /
+    filtering pipeline applies so high-resource languages don't set the
+    bar for low-resource ones). Scores are doubles built from integer
+    ratios with the oracle's exact operand order, so the rank cut is
+    engine-identical. Scale shape: one narrow projection (score), one
+    window shuffle on lang, one hash agg — no joins."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("lang", TX.quality_score("text").alias("score"))
+    pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("score"))
+    kept = F.col("pr") >= 0.75
+    return (
+        scored.withColumn("pr", pr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.round(F.avg(F.when(kept, F.col("score"))), 6).alias("avg_kept_score"),
+            F.round(F.min(F.when(kept, F.col("score"))), 6).alias("min_kept_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "source_mixture_rebalance",
+    oracle=r"""
+WITH c AS (
+  SELECT source, count(*) AS n_before,
+         min(count(*)) OVER () AS min_n
+  FROM documents GROUP BY source
+),
+t AS (SELECT source, n_before, (min_n * 10000) // n_before AS thr FROM c),
+k AS (
+  SELECT d.source,
+         ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < t.thr
+           AS keep
+  FROM documents d JOIN t ON d.source = t.source
+)
+SELECT k.source,
+       count(*) AS n_before,
+       count(*) FILTER (keep) AS n_kept,
+       round(any_value(t.thr) / 10000.0, 4) AS keep_rate
+FROM k JOIN t ON k.source = t.source
+GROUP BY k.source ORDER BY k.source
+""",
+)
+def source_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing: downsample every source to the
+    smallest source's size (uniform target mixture) with the portable
+    deterministic row hash, so the kept SET — not just the rates — is
+    reproducible across engines, retries and partitionings. The
+    keep-threshold is integer arithmetic ((min_n·10⁴) div n_s), so no
+    float rounding can diverge. Scale shape: per-source counts are one
+    tiny aggregate broadcast back onto the scan; the keep decision is a
+    narrow projection (no shuffle of the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    from pyspark.sql import Window
+
+    counts = counts.withColumn(
+        "thr",
+        F.expr("(min(n_before) OVER () * 10000) div n_before"),
+    )
+    keep = (
+        TX.portable_hash60(F.col("doc_id").cast("string")) % 10_000 < F.col("thr")
+    )
+    return (
+        docs.join(F.broadcast(counts), "source")
+        .select("source", "n_before", "thr", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.first("n_before").alias("n_before"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.round(F.first("thr") / 10000.0, 4).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "embedding_centroid_by_label",
+    oracle=r"""
+WITH pe AS (
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) AS pos,
+         unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+  FROM embeddings
+),
+c AS (SELECT label, pos, avg(v) AS comp FROM pe GROUP BY label, pos),
+n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+SELECT c.label,
+       any_value(n.n_vecs) AS n_vecs,
+       count(*) AS dim,
+       round(sqrt(sum(comp * comp)), 6) AS centroid_norm,
+       round(avg(comp), 6) AS mean_component,
+       round(max(abs(comp)), 6) AS max_abs_component
+FROM c JOIN n ON c.label = n.label
+GROUP BY c.label ORDER BY c.label
+""",
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid (mean-pool) of the embedding column per label — the
+    aggregation a clustering/retrieval pipeline runs to build class
+    prototypes. posexplode → one (label, pos) hash aggregate (map-side
+    combine carries dim partial sums per task, never vectors), then a
+    per-label reduction of the dim component means into scalar shape
+    stats. Floats are cast to double BEFORE averaging on both engines;
+    6dp rounding absorbs partial-aggregation addition-order noise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pe = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("label", "pos", "v")
+    comp = pe.groupBy("label", "pos").agg(F.avg("v").alias("comp"))
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        comp.join(F.broadcast(n), "label")
+        .groupBy("label")
+        .agg(
+            F.first("n_vecs").alias("n_vecs"),
+            F.count(F.lit(1)).alias("dim"),
+            F.round(F.sqrt(F.sum(F.col("comp") * F.col("comp"))), 6).alias(
+                "centroid_norm"
+            ),
+            F.round(F.avg("comp"), 6).alias("mean_component"),
+            F.round(F.max(F.abs("comp")), 6).alias("max_abs_component"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "near_dup_keep_best",
+    oracle=_DUCK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1) + r"""
+, pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+),
+e2 AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM e2),
+conn(x, y) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT c.x, e.b FROM conn c JOIN e2 e ON c.y = e.a
+),
+comp AS (SELECT x AS node, min(y) AS component FROM conn GROUP BY x),
+""" + _DUCK_QUALITY.strip().rstrip(")").rstrip() + r"""
+),
+m AS (
+  SELECT comp.component, comp.node, q.score
+  FROM comp JOIN q ON q.doc_id = comp.node
+),
+r AS (
+  SELECT component, node, score,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY score DESC, node ASC) AS rn,
+         count(*) OVER (PARTITION BY component) AS n_members
+  FROM m
+)
+SELECT component, n_members, node AS kept_doc_id, round(score, 6) AS kept_quality
+FROM r WHERE rn = 1 ORDER BY component
+""",
+)
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization, quality-aware: MinHash+LSH candidates
+    → exact-Jaccard verify (t=0.8) → connected components → keep the
+    HIGHEST-QUALITY member of each duplicate cluster (ties by id) — the
+    step real corpus pipelines run instead of keep-first. The oracle
+    recomputes components from brute-force all-pairs Jaccard with a
+    recursive transitive closure, making this the hard driver check for
+    the connected-components operator itself (previously rows-only)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "text", "doc_id", num_hashes=64)
+    pairs = D.minhash_band_pairs(sigs, "doc_id", bands=16)
+    verified = D.jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.8)
+    comp = D.connected_components(verified.select("a", "b"))
+    scored = docs.select(
+        F.col("doc_id").alias("node"), TX.quality_score("text").alias("score")
+    )
+    m = comp.join(scored, "node")
+    w = Window.partitionBy("component").orderBy(F.desc("score"), F.asc("node"))
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("node").alias("kept_doc_id"),
+            F.round("score", 6).alias("kept_quality"),
+        )
+        .orderBy("component")
+    )
+
+
+@query(
+    "keyword_search_bm25",
+    oracle=r"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+dl AS (
+  SELECT doc_id,
+         len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id,
+         count(*) FILTER (w = 'vector') AS tv,
+         count(*) FILTER (w = 'join')   AS tj,
+         count(*) FILTER (w = 'stream') AS ts
+  FROM tk WHERE w IN ('vector', 'join', 'stream') GROUP BY doc_id
+),
+df AS (
+  SELECT count(DISTINCT doc_id) FILTER (w = 'vector') AS dv,
+         count(DISTINCT doc_id) FILTER (w = 'join')   AS dj,
+         count(DISTINCT doc_id) FILTER (w = 'stream') AS ds
+  FROM tk WHERE w IN ('vector', 'join', 'stream')
+),
+n AS (SELECT count(*) AS n_docs, avg(dl.dl) AS avgdl FROM dl)
+SELECT tf.doc_id,
+       round(
+         ln(1.0 + (n.n_docs - df.dv + 0.5) / (df.dv + 0.5))
+           * ((tf.tv * 2.2) / (tf.tv + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl)))
+       + ln(1.0 + (n.n_docs - df.dj + 0.5) / (df.dj + 0.5))
+           * ((tf.tj * 2.2) / (tf.tj + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl)))
+       + ln(1.0 + (n.n_docs - df.ds + 0.5) / (df.ds + 0.5))
+           * ((tf.ts * 2.2) / (tf.ts + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl))),
+       6) AS score
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id, df, n
+ORDER BY score DESC, tf.doc_id ASC LIMIT 10
+""",
+)
+def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson-style idf, k1=1.2, b=0.75) for the same
+    fixed 3-term query as the TF-IDF variant, top-10. Per-doc term
+    frequencies are FIXED columns (score addition order is literal and
+    engine-identical); document length and avgdl come from a narrow
+    projection and a 1-row broadcast aggregate. Every float expression
+    is written with the oracle's exact operand order."""
+    terms = ["vector", "join", "stream"]
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    base = docs.repartition(n_parts, "doc_id")
+    dl = base.select(
+        "doc_id", F.size(TX.tokens(TX.normalize_text(F.col("text")))).alias("dl")
+    )
+    toks = base.select(
+        "doc_id", F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w")
+    ).filter(F.col("w").isin(terms))
+    tf = toks.groupBy("doc_id").agg(
+        *[F.sum((F.col("w") == t).cast("long")).alias(f"tf_{t}") for t in terms]
+    )
+    dfreq = toks.groupBy().agg(
+        *[
+            F.count_distinct(F.when(F.col("w") == t, F.col("doc_id"))).alias(f"df_{t}")
+            for t in terms
+        ]
+    )
+    stats = dl.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    def term_score(t: str) -> F.Column:
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        tfn = (F.col(f"tf_{t}") * (k1 + 1.0)) / (
+            F.col(f"tf_{t}") + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl"))
+        )
+        return idf * tfn
+
+    score = term_score(terms[0]) + term_score(terms[1]) + term_score(terms[2])
+    return (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(dfreq))
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )

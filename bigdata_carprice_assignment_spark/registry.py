@@ -47,12 +47,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 PRIORITY: tuple[str, ...] = (
     # pricing (flagship first — also the entry() smoke query)
     "flagship_price_band_summary",
-    "pricing_summary_report",
+    # round-3 training-data oracles take the slots of r01-hash-green
+    # pricing_summary_report and customers_without_orders (cumulative
+    # driver-checked coverage strictly grows); near_dup_keep_best is the
+    # first hard driver check of the connected-components operator
+    "near_dup_keep_best",
+    "quality_topq_by_lang",
     # relational core (oracle-backed; top10_part_brands, region_revenue
     # and top_segment_order_stats were hash-green in round 1 and cede
     # their slots to round-2 oracles — cumulative driver-checked
     # coverage strictly grows)
-    "customers_without_orders",
     "order_price_five_number_summary",
     "iqr_capped_price_stats",
     "fixed_bucket_order_counts",
@@ -107,6 +111,11 @@ PRIORITY: tuple[str, ...] = (
     "eval_contamination_check",
     "keyword_search_tfidf",
     "customer_upsert_merge_accounting",
+    # positions 51+: first in line if the driver's window exceeds 50
+    # (all locally oracle-verified at sf0.001 and sf0.01)
+    "source_mixture_rebalance",
+    "embedding_centroid_by_label",
+    "keyword_search_bm25",
 )
 
 
