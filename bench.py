@@ -98,6 +98,10 @@ HEADLINE: list[str] = [
     "embedding_centroid_by_label",
     "near_dup_keep_best",
     "keyword_search_bm25",
+    "lang_sampling_temperature",
+    "vocab_zipf_top20",
+    "incremental_dedup_accounting",
+    "pii_pseudonymize_customers",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

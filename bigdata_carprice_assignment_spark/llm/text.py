@@ -141,6 +141,28 @@ def normalize_text(col: str | Column) -> Column:
     return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
 
 
+def scrub_pii(col: str | Column) -> Column:
+    """Pattern-based PII scrub for free text: emails, IPv4 addresses and
+    phone numbers are replaced by typed placeholder tokens (the standard
+    pre-training privacy pass). Pure codegen'd regexp_replace chain —
+    a narrow projection at any scale. Order matters: emails first (they
+    contain dots and digits), then IPs, then phones (whose pattern
+    requires separator punctuation, so it cannot re-match an IP
+    remnant). Keyed pseudonymization for identifier columns is the
+    sha256 expression in ``queries/corpus.py::pii_pseudonymize_customers``."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(
+        c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"
+    )
+    c = F.regexp_replace(c, r"\b\d{1,3}(\.\d{1,3}){3}\b", "[IP]")
+    c = F.regexp_replace(
+        c,
+        r"(\+?\d{1,2}[\s.-])?(\(\d{3}\)[\s.-]?|\b\d{3}[\s.-])\d{3}[\s.-]\d{4}\b",
+        "[PHONE]",
+    )
+    return c
+
+
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles over normalized text (distinct, for Jaccard
     sets). Documents shorter than n tokens yield their full token join.

@@ -1,0 +1,239 @@
+"""Corpus-management queries for large-scale training-data pipelines:
+temperature-based language mixture weights, vocabulary/Zipf statistics,
+incremental (delta-vs-base) dedup accounting, and PII pseudonymization
+accounting. All oracle-backed: every float expression is written with
+the DuckDB oracle's exact operand order, and every keep/split decision
+uses the engine-portable md5 row hash so the decided SET replicates.
+
+Reference parity: the reference repo has no corpus-management layer
+(it is a 205-row car-price study); these are the driver-mandated
+training-data extensions (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import text as TX
+from ..registry import query
+from ..sources.readers import load_table
+
+# Shared token normalization (identical to the BM25/TF-IDF chain):
+# lowercase → non-[a-z0-9_] to space → collapse runs → trim → split.
+_DUCK_TOKENS = r"""string_split(trim(regexp_replace(regexp_replace(lower(text),
+    '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')"""
+
+
+@query(
+    "lang_sampling_temperature",
+    oracle=r"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT lang, n, sum(n) OVER () AS total FROM c),
+w AS (SELECT lang, n, total, power(n / total, 0.3) AS wt FROM t)
+SELECT lang,
+       n AS n_docs,
+       round(n / total, 6) AS p_raw,
+       round(wt / sum(wt) OVER (), 6) AS p_sampled,
+       round((wt / sum(wt) OVER ()) / (n / total), 6) AS boost
+FROM w ORDER BY lang
+""",
+)
+def lang_sampling_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language sampling weights (the mC4/multilingual
+    rebalance: p_l^alpha renormalized, alpha=0.3), reporting the raw and
+    sampled mixture plus the low-resource boost factor. Scale shape: one
+    hash aggregate collapses the corpus to |langs| rows; the windows run
+    on that k-row frame, never on the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    whole = Window.partitionBy()
+    total = F.sum("n").over(whole)
+    t = c.select("lang", "n", total.alias("total"))
+    wt = F.pow(F.col("n") / F.col("total"), F.lit(0.3))
+    w = t.select("lang", "n", "total", wt.alias("wt"))
+    sum_wt = F.sum("wt").over(whole)
+    return w.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.round(F.col("n") / F.col("total"), 6).alias("p_raw"),
+        F.round(F.col("wt") / sum_wt, 6).alias("p_sampled"),
+        F.round(
+            (F.col("wt") / sum_wt) / (F.col("n") / F.col("total")), 6
+        ).alias("boost"),
+    ).orderBy("lang")
+
+
+@query(
+    "vocab_zipf_top20",
+    oracle=r"""
+WITH tk AS (
+  SELECT unnest(""" + _DUCK_TOKENS + r""") AS w FROM documents
+),
+c AS (SELECT w, count(*) AS n_occurrences FROM tk WHERE w <> '' GROUP BY w),
+tot AS (SELECT sum(n_occurrences) AS total FROM c)
+SELECT row_number() OVER (ORDER BY n_occurrences DESC, w ASC) AS rank,
+       w AS token,
+       n_occurrences,
+       round(n_occurrences / tot.total, 6) AS freq_share
+FROM c, tot
+ORDER BY rank LIMIT 20
+""",
+)
+def vocab_zipf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-20 tokens by occurrence count
+    with their Zipf rank and share of all token occurrences. Scale
+    shape: explode → hash-aggregate to vocab size (map-side partials do
+    the heavy lifting), total via a 1-row broadcast aggregate — the
+    rank window runs only on the top-k candidate frame, never the
+    corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w")
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    total = counts.groupBy().agg(F.sum("n_occurrences").alias("total"))
+    rank_w = Window.partitionBy().orderBy(
+        F.desc("n_occurrences"), F.asc("w")
+    )
+    # top-(20+ties) candidate cut BEFORE the unpartitioned rank window:
+    # the window sees at most a driver-bounded candidate frame.
+    top = (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("w"))
+        .limit(64)
+        .withColumn("rank", F.row_number().over(rank_w))
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            F.col("w").alias("token"),
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("total"), 6).alias(
+                "freq_share"
+            ),
+        )
+        .orderBy("rank")
+        .limit(20)
+    )
+
+
+@query(
+    "incremental_dedup_accounting",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS digest,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 < 7
+           AS in_base
+  FROM documents
+),
+b AS (SELECT DISTINCT digest FROM d WHERE in_base),
+delta AS (SELECT doc_id, digest FROM d WHERE NOT in_base),
+flag AS (
+  SELECT delta.doc_id, delta.digest, b.digest IS NOT NULL AS known
+  FROM delta LEFT JOIN b ON delta.digest = b.digest
+)
+SELECT (SELECT count(*) FROM d WHERE in_base) AS n_base,
+       count(*) AS n_delta,
+       count(*) FILTER (known) AS already_in_base,
+       count(DISTINCT digest) FILTER (NOT known) AS new_unique,
+       count(*) FILTER (NOT known)
+         - count(DISTINCT digest) FILTER (NOT known) AS delta_internal_dups
+FROM flag
+""",
+)
+def incremental_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: split the corpus into an existing BASE
+    (70%, by the portable row hash — standing in for yesterday's corpus)
+    and a DELTA batch, then account for the delta against the base by
+    exact content digest: rows already present in the base, genuinely
+    new uniques, and within-batch duplicates. This is the daily-crawl
+    shape: the base is only touched as a digest set (shuffle hash join
+    on digest — never re-shingled, never re-scanned per delta row), and
+    the split decision is a narrow projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("digest"),
+        (TX.portable_hash60(F.col("doc_id").cast("string")) % 10 < 7).alias(
+            "in_base"
+        ),
+    )
+    base = d.filter("in_base").select("digest").distinct()
+    delta = d.filter(~F.col("in_base")).select("doc_id", "digest")
+    flag = delta.join(
+        base.withColumn("known", F.lit(True)), "digest", "left"
+    ).select("digest", F.coalesce("known", F.lit(False)).alias("known"))
+    n_base = d.filter("in_base").groupBy().agg(
+        F.count(F.lit(1)).alias("n_base")
+    )
+    acc = flag.groupBy().agg(
+        F.count(F.lit(1)).alias("n_delta"),
+        F.sum(F.col("known").cast("long")).alias("already_in_base"),
+        F.count_distinct(
+            F.when(~F.col("known"), F.col("digest"))
+        ).alias("new_unique"),
+        (
+            F.sum((~F.col("known")).cast("long"))
+            - F.count_distinct(F.when(~F.col("known"), F.col("digest")))
+        ).alias("delta_internal_dups"),
+    )
+    return F.broadcast(n_base).crossJoin(acc).select(
+        "n_base", "n_delta", "already_in_base", "new_unique",
+        "delta_internal_dups",
+    )
+
+
+@query(
+    "pii_pseudonymize_customers",
+    oracle=r"""
+WITH p AS (
+  SELECT c_mktsegment,
+         substr(sha256(c_custkey::VARCHAR || '|' || c_name), 1, 16)
+           AS pseudonym
+  FROM customer
+)
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       count(DISTINCT pseudonym) AS n_pseudonyms,
+       min(pseudonym) AS min_pseudonym,
+       max(pseudonym) AS max_pseudonym
+FROM p GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def pii_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pseudonymization accounting: replace customer identity with a
+    keyed deterministic sha256 pseudonym (key = custkey|name — the
+    salt-with-a-secret variant is the same expression with a key
+    column) and prove the mapping is collision-free and deterministic
+    per segment (n_pseudonyms = n_customers; min/max pin the exact
+    mapping for the hash check). The pattern-based scrubber for free
+    text is ``llm.text.scrub_pii`` (unit-tested on synthetic PII — the
+    synthetic corpus is digit-free, so a corpus query would be
+    vacuously zero). Scale shape: narrow projection + one hash agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    pseudonym = F.substring(
+        F.sha2(
+            F.concat(
+                F.col("c_custkey").cast("string"), F.lit("|"), F.col("c_name")
+            ),
+            256,
+        ),
+        1,
+        16,
+    )
+    return (
+        cust.select("c_mktsegment", pseudonym.alias("pseudonym"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count_distinct("pseudonym").alias("n_pseudonyms"),
+            F.min("pseudonym").alias("min_pseudonym"),
+            F.max("pseudonym").alias("max_pseudonym"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -116,6 +116,10 @@ PRIORITY: tuple[str, ...] = (
     "source_mixture_rebalance",
     "embedding_centroid_by_label",
     "keyword_search_bm25",
+    "lang_sampling_temperature",
+    "vocab_zipf_top20",
+    "incremental_dedup_accounting",
+    "pii_pseudonymize_customers",
 )
 
 
@@ -125,6 +129,7 @@ def load_all() -> None:
     global QUERIES
     from .queries import (  # noqa: F401
         carprice,
+        corpus,
         events,
         llmdata,
         mining,

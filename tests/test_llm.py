@@ -104,6 +104,24 @@ def test_quality_score_ranks_prose_over_noise(spark):
     assert all(0.0 <= v <= 1.0 for v in scores.values())
 
 
+def test_scrub_pii_replaces_typed_patterns(spark):
+    rows = [
+        (0, "reach me at jane.doe+spam@example.co.uk or (555) 867-5309"),
+        (1, "server 10.0.12.7 answered; backup at 192.168.1.254 did not"),
+        (2, "call +1 555.867.5309 or 555-867-5309 x12"),
+        (3, "no pii here, just 42 plain words and v1.2 version strings"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", TX.scrub_pii("text").alias("t")).collect()
+    }
+    assert out[0] == "reach me at [EMAIL] or [PHONE]"
+    assert out[1] == "server [IP] answered; backup at [IP] did not"
+    assert out[2] == "call [PHONE] or [PHONE] x12"
+    assert out[3] == rows[3][1]
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame(
         [(0, "one two  three"), (1, ""), (2, "  "), (3, "a,b.c")],
