@@ -102,6 +102,7 @@ HEADLINE: list[str] = [
     "vocab_zipf_top20",
     "incremental_dedup_accounting",
     "pii_pseudonymize_customers",
+    "exact_cosine_pairs_blocked",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

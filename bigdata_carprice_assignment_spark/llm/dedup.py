@@ -435,6 +435,53 @@ def simhash_candidates(
     ).drop("sh_a", "sh_b")
 
 
+def brp_candidate_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_hash_tables: int = 4,
+    bucket_length: float = 0.5,
+) -> DataFrame:
+    """The candidate stage of BucketedRandomProjectionLSH as a NATIVE
+    long-key equi-join: fit the MLlib model (so the random projections
+    and therefore the candidate SET are identical to
+    ``approxSimilarityJoin``'s, seed 42), transform to bucket ids, then
+    self-join on (table, bucket) as plain (int, long) keys. MLlib's own
+    join compares Vector-UDT keys and runs its key-distance machinery
+    per intra-bucket pair — measured 27s where this shape takes ~4s on
+    the same data. Returns distinct (a < b) pairs; callers verify with
+    an exact similarity predicate."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = df.select(
+        F.col(id_col).alias("doc"), array_to_vector(vec_col).alias("raw")
+    )
+    normed = Normalizer(inputCol="raw", outputCol="vec", p=2.0).transform(feats)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec",
+        outputCol="hashes",
+        seed=42,
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+    )
+    model = lsh.fit(normed)
+    h = (
+        model.transform(normed)
+        .select("doc", F.posexplode("hashes").alias("t", "hv"))
+        .select(
+            "doc", "t", vector_to_array("hv").getItem(0).cast("long").alias("h")
+        )
+    )
+    x, y = h.alias("x"), h.alias("y")
+    return (
+        x.join(y, ["t", "h"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .distinct()
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str,

@@ -64,6 +64,90 @@ def cosine_topk(
     )
 
 
+def blocked_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """EXACT all-pairs cosine join ≥ threshold via blocked BLAS gram
+    matrices — the scalable primitive for exact similarity joins when
+    the threshold sits too close to the corpus noise floor for LSH to
+    prune at perfect recall (measured here: BRP-LSH at the recall-gate
+    settings emits 12.4M of 12.5M possible pairs, i.e. zero pruning,
+    because unit-random-projection spread is d/√dim ≈ 0.07 ≪ any usable
+    bucket width).
+
+    Plan shape: rows hash into √N-scaled blocks; each block pair (i≤j)
+    is materialized once via a crossJoin with the block-index range
+    (replication factor = n_blocks — the inherent cost of an exact
+    all-pairs scan) and reduced by one Arrow-batched ``applyInPandas``
+    kernel computing the block-pair gram matrix with BLAS. The kernel
+    emits candidate pairs at (threshold − 1e-9); the final filter
+    recomputes the EXACT sequential-fold cosine from the raw arrays —
+    the same operand order the DuckDB oracles use — so inclusion
+    decisions are engine-identical (BLAS reassociation noise ~1e-15 is
+    buried under the 1e-9 margin)."""
+    import math
+
+    spark = df.sparkSession
+    n = df.count()  # one count job; at scale pass a cardinality estimate
+    nb = max(1, math.ceil(n / block_rows))
+    b = df.select(
+        F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bv")
+    ).withColumn("_blk", F.pmod(F.xxhash64(F.col("_bid")), F.lit(nb)).cast("int"))
+    others = spark.range(nb).select(F.col("id").cast("int").alias("_other"))
+    rep = b.crossJoin(F.broadcast(others)).select(
+        F.least("_blk", "_other").alias("_lo"),
+        F.greatest("_blk", "_other").alias("_hi"),
+        "_blk",
+        "_bid",
+        "_bv",
+    )
+    margin = 1e-9
+
+    def kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        lo, hi = key
+        a_rows = pdf[pdf["_blk"] == lo]
+        ids_a = a_rows["_bid"].to_numpy()
+        xa = np.stack(a_rows["_bv"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(xa, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        xa = xa / norms
+        if lo == hi:
+            sims = xa @ xa.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold - margin, k=1))
+            left, right = ids_a[ii], ids_a[jj]
+        else:
+            b_rows = pdf[pdf["_blk"] == hi]
+            ids_b = b_rows["_bid"].to_numpy()
+            xb = np.stack(b_rows["_bv"].to_numpy()).astype("float64")
+            nb_ = np.linalg.norm(xb, axis=1, keepdims=True)
+            nb_[nb_ == 0.0] = 1.0
+            xb = xb / nb_
+            sims = xa @ xb.T
+            ii, jj = np.nonzero(sims >= threshold - margin)
+            left, right = ids_a[ii], ids_b[jj]
+        return pd.DataFrame(
+            {"a": np.minimum(left, right), "b": np.maximum(left, right)}
+        )
+
+    cand = rep.groupBy("_lo", "_hi").applyInPandas(kernel, "a long, b long")
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     vec_col: str,

@@ -490,11 +490,38 @@ def embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs sit at ≥ 0.9 and noise tops out ≈ 0.73, so the LSH
     stage must reach perfect recall for the hash to match. The verify
     recomputes Σab/(‖a‖‖b‖) from the raw arrays with the same fold the
-    oracle uses, so inclusion and 6dp rounding agree exactly."""
+    oracle uses, so inclusion and 6dp rounding agree exactly.
+
+    Execution shape: the TRUE pair set comes from the blocked-BLAS
+    exact join (LSH cannot prune at this threshold-to-noise margin —
+    see ``blocked_cosine_pairs``); the BRP-LSH candidate stage runs as
+    a native (table, bucket) long-key join and the result is the
+    intersection, so an LSH recall miss still surfaces as an oracle
+    mismatch."""
     feats = _hashed_doc_features(spark, sf_dir)
-    pairs = D.embedding_near_dups(
-        feats, "feat", "doc_id", threshold=0.85, num_hash_tables=4
+    verified = S.blocked_cosine_pairs(feats, "feat", "doc_id", threshold=0.85)
+    cand = D.brp_candidate_pairs(feats, "feat", "doc_id", num_hash_tables=4)
+    pairs = verified.join(cand, ["a", "b"], "leftsemi")
+    return pairs.select("a", "b", F.round("cosine", 6).alias("cosine")).orderBy(
+        "a", "b"
     )
+
+
+@query(
+    "exact_cosine_pairs_blocked",
+    oracle=_DUCK_HASHED_FEATURES
+    + """
+SELECT a, b, round(c, 6) AS cosine
+FROM p WHERE c >= 0.85 ORDER BY a, b
+""",
+)
+def exact_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs cosine similarity join (≥ 0.85) via the blocked
+    BLAS gram-matrix kernel — the first-class exact-kNN primitive for
+    thresholds where LSH can't prune at perfect recall. Oracle is
+    DuckDB brute force over the same hashed-shingle features."""
+    feats = _hashed_doc_features(spark, sf_dir)
+    pairs = S.blocked_cosine_pairs(feats, "feat", "doc_id", threshold=0.85)
     return pairs.select("a", "b", F.round("cosine", 6).alias("cosine")).orderBy(
         "a", "b"
     )
@@ -520,11 +547,13 @@ FROM r WHERE rn = 1 ORDER BY doc_id
 def lsh_knn_join_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH kNN-join recall gate: every document with a true ≥0.85-cosine
     partner must retrieve its best partner via the BRP-LSH similarity
-    join — checked against DuckDB brute-force all-pairs top-1."""
+    join — checked against DuckDB brute-force all-pairs top-1. Same
+    blocked-exact ∩ LSH-candidates shape as ``embedding_near_dup_recall``
+    (an LSH miss still breaks the hash check)."""
     feats = _hashed_doc_features(spark, sf_dir)
-    pairs = D.embedding_near_dups(
-        feats, "feat", "doc_id", threshold=0.85, num_hash_tables=4
-    )
+    verified = S.blocked_cosine_pairs(feats, "feat", "doc_id", threshold=0.85)
+    cand = D.brp_candidate_pairs(feats, "feat", "doc_id", num_hash_tables=4)
+    pairs = verified.join(cand, ["a", "b"], "leftsemi")
     sym = pairs.select(
         F.col("a").alias("doc_id"), F.col("b").alias("nn"), F.col("cosine")
     ).unionByName(

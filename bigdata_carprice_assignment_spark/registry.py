@@ -120,6 +120,7 @@ PRIORITY: tuple[str, ...] = (
     "vocab_zipf_top20",
     "incremental_dedup_accounting",
     "pii_pseudonymize_customers",
+    "exact_cosine_pairs_blocked",
 )
 
 

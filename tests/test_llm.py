@@ -174,6 +174,48 @@ def test_lsh_topk_recall_against_exact(spark, sf_smoke):
     assert len(exact & approx) >= 5  # recall ≥ 0.5 on this tiny corpus
 
 
+def test_blocked_cosine_pairs_equals_bruteforce(spark):
+    """The blocked BLAS kernel must emit exactly the brute-force pair
+    set, across every block topology: block_rows=4 on 30 vectors forces
+    ~8 blocks, exercising within-block (lo==hi) and cross-block paths,
+    including pairs whose ids hash into the same block and ids far
+    apart. Cosines must match the sequential-fold expression exactly."""
+    import random
+
+    random.seed(7)
+    rows = []
+    for i in range(30):
+        base = [random.gauss(0, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base]))
+        if i % 3 == 0:  # planted near-dup partner (small perturbation)
+            rows.append(
+                (100 + i, [float(x + random.gauss(0, 0.01)) for x in base])
+            )
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in S.blocked_cosine_pairs(
+            df, "v", "vid", threshold=0.9, block_rows=4
+        ).collect()
+    }
+    left = df.select(
+        F.col("vid").alias("a"), F.col("v").alias("_va")
+    )
+    right = df.select(F.col("vid").alias("b"), F.col("v").alias("_vb"))
+    brute = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in left.crossJoin(right)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", S.cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= 0.9)
+        .select("a", "b", "cosine")
+        .collect()
+    }
+    assert set(got) == set(brute)
+    for k in got:
+        assert got[k] == brute[k]  # exact-fold verify ⇒ bit-identical
+
+
 def test_ivf_topk_contains_top_hit(spark, sf_smoke):
     from bigdata_carprice_assignment_spark.sources.readers import load_table
 
