@@ -86,7 +86,7 @@ WITH ordered AS (
 flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN prev_ts IS NULL
-                   OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
   FROM ordered
 ),
 sessions AS (
@@ -121,13 +121,19 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("prev_ts", F.lag("ts").over(w))
         .withColumn(
             "new_session",
-            # gap computed on FRACTIONAL epoch seconds (timestamp→double),
-            # matching the oracle's epoch() precision — unix_timestamp
-            # would truncate to whole seconds and can split a session
-            # differently on a sub-second boundary near the threshold
+            # gap compared on MICROSECOND LONGS on both engines (Spark
+            # unix_micros vs DuckDB epoch_us) — integer math, no float or
+            # whole-second truncation, so a sub-second boundary near the
+            # 1800s threshold sessionizes identically across engines.
+            # ts is TIMESTAMP_NTZ; cast→timestamp is exact under the
+            # session's pinned UTC zone (session.py).
             F.when(
                 F.col("prev_ts").isNull()
-                | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 1800),
+                | (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                    > 1_800_000_000
+                ),
                 1,
             ).otherwise(0),
         )
