@@ -18,32 +18,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events schema as normalized by sources.readers (ts: micros timestamp).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts normalized the
-    same way as the batch reader)."""
+    """File-source stream over the events parquet, ts normalized to a
+    session-UTC ``timestamp`` exactly like the batch reader.
+
+    The corpus's ts physical type has shipped as both TIMESTAMP(NANOS)
+    (read as long under ``nanosAsLong``) and TIMESTAMP(MICROS) NTZ, so
+    the stream schema is derived from a zero-row batch probe of the same
+    file rather than hardcoded — a hardcoded long schema silently
+    reinterprets micros as nanos and compresses event time 1000×."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe_type = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    )
     # the file source requires a directory; pathGlobFilter selects only
     # the events table out of the corpus dir
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(probe_type))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return _normalize_ts(stream, probe_type)
+
+
+def _normalize_ts(df: DataFrame, ts_type: T.DataType) -> DataFrame:
+    if isinstance(ts_type, T.LongType):  # raw nanos → micros timestamp
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

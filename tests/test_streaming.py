@@ -88,11 +88,12 @@ def test_dedup_stream_drops_replayed_events(spark, sf_smoke, tmp_path):
     src.mkdir()
     shutil.copy(f"{sf_smoke}/events.parquet", src / "events_a.parquet")
     shutil.copy(f"{sf_smoke}/events.parquet", src / "events_b.parquet")
-    stream = (
-        spark.readStream.schema(jobs.EVENTS_SCHEMA)
+    ts_type = spark.read.parquet(f"{sf_smoke}/events.parquet").schema["ts"].dataType
+    stream = jobs._normalize_ts(
+        spark.readStream.schema(jobs._events_schema(ts_type))
         .format("parquet")
-        .load(str(src))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .load(str(src)),
+        ts_type,
     )
     out = jobs.run_to_completion(
         jobs.dedup_stream(stream), "t_dedup", "append"
