@@ -1,0 +1,200 @@
+"""Multi-join analytical queries (TPC-H Q3/Q7/Q16 shapes) on the driver
+corpus — the engine's big-join breadth beyond the reference's single-table
+workload (the reference joins nothing larger than its 205-row frame;
+these exercise the fact-fact and fact-dim-dim join planner paths a
+100 TB deployment lives on).
+
+Scale notes per query are inline. Shared conventions: dimension tables
+(region/nation, and part/supplier at our star-schema ratios) broadcast;
+fact-fact joins (orders⋈lineitem) shuffle on the join key and are
+AQE-planned; dates are compared as timestamps and emitted as formatted
+strings so the driver's value hash is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.readers import load_table
+
+
+@query(
+    "top_unshipped_orders",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, order_date, l_orderkey
+LIMIT 10
+""",
+)
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers ⋈ orders ⋈ lineitem,
+    revenue of items not yet shipped at the cutoff, top 10 orders.
+
+    Scale: both date filters and the segment filter push to the parquet
+    scans (verified in test_plans); customer⋈orders shuffles on custkey,
+    orders⋈lineitem on orderkey — at TPC-H ratios the segment-filtered
+    customer side is 1/5 of customers and NOT broadcastable at 100 TB,
+    so no broadcast hint: AQE picks broadcast when the filtered side
+    fits, shuffle join when it doesn't. Top-10 is a TakeOrdered, not a
+    global sort."""
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "order_date", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "nation_trade_flows",
+    oracle="""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(l_shipdate) AS ship_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+""",
+)
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border revenue between two nations by ship
+    year — the 6-table join path (fact ⋈ fact ⋈ dim ⋈ dim ⋈ dim ⋈ dim).
+
+    Scale: nation (25 rows) broadcasts twice; supplier and the
+    nation-filtered customer broadcast at our ratios (hinted — they are
+    1/25th slices of already-small dims; at 100 TB supplier/customer
+    slices still fit the 8GB broadcast cap until ~SF30k). The only big
+    shuffle is lineitem⋈orders on orderkey, with the shipdate range
+    pushed to the lineitem scan."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-12-31 00:00:00").cast("timestamp")
+    nations = ("NATION_1", "NATION_2")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .filter(F.col("n_name").isin(*nations))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .filter(F.col("n_name").isin(*nations))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").between(lo, hi))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@query(
+    "brand_supplier_variety",
+    oracle="""
+SELECT p_brand, p_type,
+       count(DISTINCT l_suppkey) AS supplier_cnt,
+       count(*) AS n_items
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size IN (1, 2, 3, 4, 5)
+GROUP BY p_brand, p_type
+HAVING count(DISTINCT l_suppkey) >= 2
+ORDER BY supplier_cnt DESC, p_brand, p_type
+""",
+)
+def brand_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers stock each surviving
+    (brand, type) combination — NOT-filter + IN-filter + exact
+    countDistinct + HAVING.
+
+    Scale: part is the broadcast side of the fact join (dim⋈fact);
+    exact countDistinct expands to a two-phase aggregate (partial
+    distinct on (group, suppkey), then count) — Spark plans this
+    without a driver-side distinct; HAVING is a post-agg filter."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 2, 3, 4, 5)
+        )
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter(F.col("supplier_cnt") >= 2)
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )

@@ -237,3 +237,84 @@ def pii_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "boilerplate_ngram_stats",
+    oracle="""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT doc_id, source, array_to_string(t[i:i+5], ' ') AS g
+          FROM toks,
+               LATERAL unnest(generate_series(1, greatest(len(t)-5, 0))) AS u(i)),
+freq AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+boiler AS (SELECT g FROM freq WHERE nd >= 2),
+tot AS (SELECT source, count(*) AS total_grams FROM grams GROUP BY source),
+hits AS (SELECT source, count(*) AS boiler_hits, count(DISTINCT g) AS n_boiler_grams
+         FROM grams WHERE g IN (SELECT g FROM boiler) GROUP BY source)
+SELECT tot.source,
+       total_grams,
+       coalesce(boiler_hits, 0) AS boiler_hits,
+       coalesce(n_boiler_grams, 0) AS n_boiler_grams,
+       round(coalesce(boiler_hits, 0) / total_grams, 6) AS boiler_ratio
+FROM tot LEFT JOIN hits ON tot.source = hits.source
+ORDER BY tot.source
+""",
+)
+def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (RefinedWeb/CCNet-style line
+    dedup, adapted to the corpus's token-stream docs): a 6-token shingle
+    occurring in >= 2 DISTINCT documents is "boilerplate"; report, per
+    source, how much of its gram mass that boilerplate covers.
+
+    Scale: the distinct-docs-per-gram count is two-phase — distinct
+    (gram, doc_id) pairs first (map-side partial), then a count per
+    gram — never a driver-side set; the boilerplate set flows back via
+    a LEFT SEMI join on the gram hash (no row widening). One explode,
+    two shuffles on the gram key, one on source. The gram explode is
+    ~L× row growth, the reason this stays a single projected (doc_id,
+    source, gram) triple and never carries text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size(toks) >= 6,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(5)),
+                    lambda i: F.array_join(F.slice(toks, i, 6), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    boiler = (
+        grams.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    tot = grams.groupBy("source").agg(F.count(F.lit(1)).alias("total_grams"))
+    hits = (
+        grams.join(boiler, "g", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("boiler_hits"),
+            F.countDistinct("g").alias("n_boiler_grams"),
+        )
+    )
+    return (
+        tot.join(hits, "source", "left")
+        .select(
+            "source",
+            "total_grams",
+            F.coalesce("boiler_hits", F.lit(0)).alias("boiler_hits"),
+            F.coalesce("n_boiler_grams", F.lit(0)).alias("n_boiler_grams"),
+            F.round(
+                F.coalesce("boiler_hits", F.lit(0)) / F.col("total_grams"), 6
+            ).alias("boiler_ratio"),
+        )
+        .orderBy("source")
+    )

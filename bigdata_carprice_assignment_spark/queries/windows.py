@@ -301,3 +301,61 @@ def event_rank_and_share_per_user(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", "event_type", "n", F.round("share", 6).alias("share"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "order_priority_islands",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn,
+         row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+                            ORDER BY o_orderdate, o_orderkey) AS rn_pri
+  FROM orders
+),
+islands AS (
+  SELECT o_custkey, o_orderpriority, rn - rn_pri AS grp, count(*) AS run_len
+  FROM seq GROUP BY o_custkey, o_orderpriority, rn - rn_pri
+)
+SELECT o_custkey AS custkey,
+       count(*) AS n_runs,
+       max(run_len) AS longest_run,
+       round(avg(run_len), 4) AS avg_run_len
+FROM islands GROUP BY o_custkey ORDER BY custkey
+""",
+)
+def order_priority_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (SCD2-style change collapsing): collapse each
+    customer's order sequence into runs of identical o_orderpriority via
+    the two-row_number difference trick, then summarize run structure
+    per customer.
+
+    Scale: both row_numbers share the same partition key (o_custkey), so
+    Catalyst plans ONE shuffle + one in-partition sort — the island
+    group id is computed without a second exchange; the run/summary
+    aggregations are partial-aggregated map-side on the same
+    partitioning. The classic driver-side "iterate and compare previous
+    row" is what this replaces."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_all = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_pri = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        (F.row_number().over(w_all) - F.row_number().over(w_pri)).alias("grp"),
+    )
+    islands = seq.groupBy("o_custkey", "o_orderpriority", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        islands.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").alias("longest_run"),
+            F.round(F.avg("run_len"), 4).alias("avg_run_len"),
+        )
+        .orderBy("custkey")
+    )

@@ -121,6 +121,14 @@ PRIORITY: tuple[str, ...] = (
     "incremental_dedup_accounting",
     "pii_pseudonymize_customers",
     "exact_cosine_pairs_blocked",
+    # round-2 additions (multi-join analytics, gaps-and-islands,
+    # cross-doc boilerplate) — all locally oracle-verified; rotate into
+    # the head window in a later round once the current head is green
+    "top_unshipped_orders",
+    "nation_trade_flows",
+    "brand_supplier_variety",
+    "order_priority_islands",
+    "boilerplate_ngram_stats",
 )
 
 
@@ -129,6 +137,7 @@ def load_all() -> None:
     pin the PRIORITY queries to the front of the registration order."""
     global QUERIES
     from .queries import (  # noqa: F401
+        analytics,
         carprice,
         corpus,
         events,
