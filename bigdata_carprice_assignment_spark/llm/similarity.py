@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -183,23 +184,112 @@ def cosine_topk_lsh(
     ).orderBy(F.desc("cosine"), F.asc(id_col))
 
 
-def ivf_index(
-    df: DataFrame, vec_col: str, n_cells: int = 16, seed: int = 42, max_iter: int = 10
-) -> tuple:
-    """IVF coarse quantizer: k-means over the corpus; each vector is
-    assigned to its nearest centroid cell. Returns (kmeans_model,
-    assigned_df). At scale the assignment is written out partitioned by
-    cell so a probe reads only nprobe/n_cells of the data — the fit is
-    INDEX BUILD cost, amortized over every subsequent lookup (a coarse
-    quantizer doesn't need convergence, hence the bounded max_iter)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+class _CoarseQuantizer:
+    """Driver-trained coarse quantizer (numpy centroids). Mirrors the
+    MLlib KMeansModel surface the probe path needs."""
 
-    feats = df.withColumn("_vec", array_to_vector(vec_col))
-    model = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_vec", predictionCol="_cell"
-    ).fit(feats)
-    return model, model.transform(feats)
+    def __init__(self, centroids) -> None:
+        self._centroids = centroids  # np.ndarray (n_cells × dim)
+
+    def clusterCenters(self):
+        return list(self._centroids)
+
+
+def _cell_ranking_udf(centroids):
+    """Arrow pandas_udf: per vector, ALL cell ids ordered by ascending
+    centroid distance (one BLAS matmul per batch — the vectorized dual
+    of the interpreted per-row zip_with distance fold)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def rank_cells(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+        order = np.argsort(d2, axis=1, kind="stable").astype(np.int32)
+        return pd.Series(list(order))
+
+    return rank_cells
+
+
+def ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    id_col: str | None = None,
+    train_cap: int = 100_000,
+    n_init: int = 4,
+) -> tuple:
+    """IVF coarse quantizer, FAISS-style: train k-means on a bounded
+    DRIVER SAMPLE (deterministic hash-sample on ``id_col`` when the
+    corpus exceeds ``train_cap``), broadcast the n_cells×dim centroids,
+    and assign every vector its full centroid-distance cell ranking in
+    ONE Arrow-vectorized pass. Returns (quantizer, assigned_df) where
+    assigned_df carries ``_cells`` (ranked cell ids) and ``_cell``
+    (nearest). At scale the assignment is written out partitioned by
+    ``_cell`` so a probe reads only nprobe/n_cells of the data — the
+    quantizer never needs a distributed iterative fit (a coarse
+    quantizer doesn't need convergence, only locality; training it on a
+    ≤train_cap sample is the standard IVF build), so the index build is
+    sample-collect + numpy Lloyd + one narrow projection instead of
+    max_iter distributed k-means jobs."""
+    import numpy as np
+
+    # One materialization barrier: the input is read four times downstream
+    # (sample count, sample collect, probe side, corpus side) — without
+    # this an expensive upstream feature pipeline re-executes per read.
+    df = df.localCheckpoint()
+    sample = df.select(vec_col)
+    if id_col is not None:
+        n = df.count()
+        if n > train_cap:
+            frac_pm = max(1, int(10_000 * train_cap / n))
+            sample = df.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(10_000)) < frac_pm
+            ).select(vec_col)
+    X = np.asarray(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
+
+    # kmeans++ seeding + bounded Lloyd, n_init deterministic restarts
+    # (seed, seed+1, …) keeping the lowest-inertia fit — restarts matter
+    # on small train sets where one unlucky seeding costs real recall
+    best_inertia, centroids = None, None
+    for restart in range(max(1, n_init)):
+        rng = np.random.default_rng(seed + restart)
+        C = np.empty((n_cells, X.shape[1]))
+        C[0] = X[rng.integers(len(X))]
+        d2 = ((X - C[0]) ** 2).sum(axis=1)
+        for j in range(1, n_cells):
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            C[j] = X[rng.choice(len(X), p=p)]
+            d2 = np.minimum(d2, ((X - C[j]) ** 2).sum(axis=1))
+        for _ in range(max_iter):
+            dist = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[
+                None, :
+            ]
+            lbl = dist.argmin(axis=1)
+            new = np.array(
+                [
+                    X[lbl == j].mean(axis=0) if (lbl == j).any() else C[j]
+                    for j in range(n_cells)
+                ]
+            )
+            if np.allclose(new, C):
+                break
+            C = new
+        dist = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        inertia = float(dist.min(axis=1).sum())
+        if best_inertia is None or inertia < best_inertia:
+            best_inertia, centroids = inertia, C
+
+    rank_cells = _cell_ranking_udf(centroids)
+    assigned = df.withColumn("_cells", rank_cells(F.col(vec_col))).withColumn(
+        "_cell", F.col("_cells")[0]
+    )
+    return _CoarseQuantizer(centroids), assigned
 
 
 def ivf_knn_join(
@@ -214,35 +304,19 @@ def ivf_knn_join(
     the ``nprobe`` cells nearest to it — the shape a 100 TB ANN lookup
     actually runs as (no per-query driver round trip).
 
-    Plan: centroids (k_cells × dim scalars) become a broadcast side;
-    per-vector cell ranking is a narrow projection + windowed top-nprobe;
-    candidates come from one shuffle join on the cell id (pruning
-    1 − nprobe/n_cells of the corpus); exact cosine + per-vector top-k
-    window finishes it. No UDF, no collect of data-sized results."""
+    Plan: the quantizer's ranked ``_cells`` column (computed once in the
+    index build's Arrow pass) already holds each vector's probe list —
+    the probe side is explode(slice(_cells, 1, nprobe)), no crossJoin
+    and no interpreted distance fold; candidates come from one shuffle
+    join on the cell id (pruning 1 − nprobe/n_cells of the corpus);
+    exact cosine (BLAS per cell) + per-vector top-k window finishes it.
+    No collect of data-sized results."""
     from pyspark.sql import Window
 
-    spark = assigned.sparkSession
-    centers = [
-        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    cdf = spark.createDataFrame(centers, "_cell int, _centroid array<double>")
-    vecs = assigned.select(
-        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
-    )
-    sqdist = F.aggregate(
-        F.zip_with(
-            "_qvec", "_centroid", lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w_cell = Window.partitionBy("_qid").orderBy(F.asc("_d"), F.asc("_cell"))
-    probes = (
-        vecs.crossJoin(F.broadcast(cdf))
-        .withColumn("_d", sqdist)
-        .withColumn("_rank", F.row_number().over(w_cell))
-        .filter(F.col("_rank") <= nprobe)
-        .select("_qid", "_qvec", "_cell")
+    probes = assigned.select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(F.slice(F.col("_cells"), 1, nprobe)).alias("_cell"),
     )
     corpus = assigned.select(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"), "_cell"
@@ -261,6 +335,12 @@ def ivf_knn_join(
 
         if len(qpdf) == 0 or len(cpdf) == 0:
             return pd.DataFrame({"_qid": [], "_cid": [], "_cos": []})
+        # candidate side sorted by id so the stable argsort below breaks
+        # equal-cosine ties (duplicate docs!) toward the SMALLEST id —
+        # the same (cos DESC, id ASC) order as the global window and the
+        # oracle; argpartition's arbitrary tie choice can drop the
+        # id-ascending winner inside the cell before the window sees it
+        cpdf = cpdf.sort_values("_cid", kind="mergesort")
         Q = np.asarray(qpdf["_qvec"].tolist(), dtype=np.float64)
         C = np.asarray(cpdf["_cvec"].tolist(), dtype=np.float64)
         qids = qpdf["_qid"].to_numpy()
@@ -270,7 +350,7 @@ def ivf_knn_join(
         )
         cos[qids[:, None] == cids[None, :]] = -np.inf  # mask self-match
         kk = min(k, cos.shape[1])
-        top = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
         rows_q = np.repeat(qids, kk)
         rows_c = cids[top.ravel()]
         rows_v = np.take_along_axis(cos, top, axis=1).ravel()

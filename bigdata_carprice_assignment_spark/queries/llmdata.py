@@ -229,7 +229,7 @@ def ivf_topk_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style coarse-quantized probe (scale path) — rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    model, assigned = S.ivf_index(emb, "embedding", n_cells=8)
+    model, assigned = S.ivf_index(emb, "embedding", n_cells=8, id_col="vec_id")
     return (
         S.ivf_topk(model, assigned.filter(F.col("vec_id") != 0), "embedding", "vec_id", qvec, k=10, nprobe=3)
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
@@ -581,7 +581,7 @@ def ivf_knn_join_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     (near-dup vectors land in nearby cells — real locality, verified on
     this corpus) — checked against the same brute-force top-1 oracle."""
     feats = _hashed_doc_features(spark, sf_dir)
-    model, assigned = S.ivf_index(feats, "feat", n_cells=8)
+    model, assigned = S.ivf_index(feats, "feat", n_cells=8, id_col="doc_id")
     top1 = S.ivf_knn_join(model, assigned, "feat", "doc_id", k=1, nprobe=4)
     return (
         top1.filter(F.col("cosine") >= 0.85)
