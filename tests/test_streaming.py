@@ -102,3 +102,37 @@ def test_dedup_stream_drops_replayed_events(spark, sf_smoke, tmp_path):
     got = out.count()
     assert got == n_unique, (got, n_unique)
     assert out.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, sf_smoke):
+    """Stream-stream click→purchase join must produce exactly the batch
+    inner-join pairs under the same time-bound condition."""
+    clicks = jobs.read_event_stream(spark, sf_smoke).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = jobs.read_event_stream(spark, sf_smoke).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = jobs.run_to_completion(
+        jobs.attribution_join_stream(clicks, purchases), "t_attr", "append"
+    )
+    ev = load_table(spark, sf_smoke, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+    )
+    got = {(r["click_id"], r["purchase_id"]) for r in out.collect()}
+    want = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
