@@ -1,0 +1,84 @@
+"""Physical data layout for scan pruning at scale.
+
+Parquet row-group (and file) skipping works off min/max column
+statistics; it only bites when the data is CLUSTERED so each row group
+covers a narrow value range. A single-column sort clusters one
+dimension perfectly and leaves every other dimension unclustered; a
+Z-order (Morton) sort interleaves the bits of several columns so ALL
+participating dimensions get locality — the standard multi-dimensional
+clustering trick (Delta Lake ZORDER BY, Databricks OPTIMIZE).
+
+Implemented as pure Column expressions (bit shifts + masks, whole-stage
+codegen) — no UDF, no driver pass; the sort is Spark's ordinary
+range-partitioned sort, so the write scales like any global sort.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _minmax_scaled(col: str, lo: float, hi: float, bits: int) -> Column:
+    """Linear-scale the column into [0, 2^bits) given its min/max (one
+    shared agg pass computes these — NOT a global-window rank, which
+    would funnel the whole table through one task). Heavily skewed
+    dimensions waste interleave bits under linear scaling; pre-transform
+    them (log, bucketize) before z-ordering."""
+    span = (hi - lo) or 1.0
+    scaled = (F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * (1 << bits)
+    return F.least(
+        F.greatest(F.floor(scaled).cast("long"), F.lit(0)),
+        F.lit((1 << bits) - 1),
+    )
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+    """Morton key over ``cols``: bit i of column j lands at position
+    i·n_cols + j. Inputs are min/max-scaled to ``bits`` bits each (one
+    agg job over ``df``); total key width bits·n_cols must fit a long
+    (≤ 63)."""
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"zorder key would need {bits * n} bits (> 63)")
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_lo{j}") for j, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"_hi{j}") for j, c in enumerate(cols)],
+    ).first()
+    scaled = [
+        _minmax_scaled(c, bounds[f"_lo{j}"], bounds[f"_hi{j}"], bits)
+        for j, c in enumerate(cols)
+    ]
+    terms = [
+        scaled[j].bitwiseAND(F.lit(1 << i)).cast("long")
+        * F.lit(1 << (i * (n - 1) + j))  # shift bit i to i·n + j, minus the i it has
+        for i in range(bits)
+        for j in range(n)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    rows_per_group: int = 10_000,
+) -> None:
+    """Sort by the Morton key and write parquet with bounded row groups,
+    so min/max stats on every ``cols`` member are narrow per group and
+    a predicate on ANY of them prunes. ``repartitionByRange`` on the key
+    keeps the sort distributed (no single-task global sort)."""
+    keyed = df.withColumn("_zkey", zorder_key(df, cols, bits))
+    (
+        keyed.repartitionByRange(
+            max(df.sparkSession.sparkContext.defaultParallelism, 8), "_zkey"
+        )
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_group)
+        .parquet(path)
+    )

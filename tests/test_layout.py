@@ -1,0 +1,74 @@
+"""Z-order layout: multi-dimensional clustering must let file/row-group
+min-max statistics prune on EVERY participating dimension, where a
+single-column sort only prunes on its own dimension."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from bigdata_carprice_assignment_spark.sources.layout import zorder_key, zorder_write
+from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+
+def _overlapping_files(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+    """(files whose [min,max] stats overlap [lo,hi], total files) — the
+    same decision a stats-based scan pruner makes."""
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        if not (fmax < lo or fmin > hi):
+            hit += 1
+    return hit, len(files)
+
+
+def test_zorder_prunes_both_dims(spark, sf_smoke, tmp_path):
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zdir = str(tmp_path / "zorder")
+    ldir = str(tmp_path / "linear")
+    zorder_write(li, zdir, ["l_partkey", "l_suppkey"], bits=8, rows_per_group=400)
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 400)
+        .parquet(ldir)
+    )
+
+    lo_p, hi_p = 1, 20  # narrow box on each dimension
+    lo_s, hi_s = 1, 5
+
+    z_part, z_total = _overlapping_files(zdir, "l_partkey", lo_p, hi_p)
+    z_supp, _ = _overlapping_files(zdir, "l_suppkey", lo_s, hi_s)
+    l_part, l_total = _overlapping_files(ldir, "l_partkey", lo_p, hi_p)
+    l_supp, _ = _overlapping_files(ldir, "l_suppkey", lo_s, hi_s)
+
+    assert z_total >= 8 and l_total >= 8  # enough granules for pruning to exist
+    # the linear layout prunes its own sort dimension…
+    assert l_part < l_total
+    # …but is blind on the other; z-order must beat it there
+    assert l_supp == l_total
+    assert z_supp < l_supp
+    # and still prune (imperfectly, but really) on the first dimension
+    assert z_part < z_total
+
+
+def test_zorder_key_is_deterministic_and_bounded(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    keyed = li.select(zorder_key(li, ["l_partkey", "l_suppkey"], bits=8).alias("z"))
+    row = keyed.agg(
+        F.min("z").alias("lo"), F.max("z").alias("hi"), F.count("z").alias("n")
+    ).first()
+    assert row["n"] == li.count()
+    assert 0 <= row["lo"] <= row["hi"] < (1 << 16)
