@@ -107,6 +107,25 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan. Explicit schema strongly preferred: schemaless
+    JSON costs a full inference pass AND parses every field of every
+    record; with a schema, Spark's Jackson parser projects only the
+    requested fields (the closest JSON gets to column pruning)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan: same columnar pushdown/pruning properties as parquet
+    (vectorized reader, min/max stripe skipping)."""
+    return spark.read.orc(path)
+
+
 def read_carprice_csv(spark: SparkSession, path: str) -> DataFrame:
     """Typed scan of the canonical CarPrice CSV (S1, BigDataProject.R:41)."""
     return read_csv(spark, path, schema=CARPRICE_SCHEMA)

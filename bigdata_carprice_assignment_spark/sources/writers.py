@@ -30,6 +30,22 @@ def write_csv_single(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
 
 
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (interchange format — one object per line, gzip
+    per part). Timestamps serialize ISO-8601; round-trip with an
+    explicit schema on read."""
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (zlib): the columnar alternative where the downstream
+    stack is Hive/Trino-flavored."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

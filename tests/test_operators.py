@@ -13,6 +13,7 @@ from bigdata_carprice_assignment_spark.functions.scalars import (
     un_onehot,
 )
 from bigdata_carprice_assignment_spark.operators import cleaning
+from bigdata_carprice_assignment_spark.sources.readers import load_table
 
 
 def test_bucket_label_right_closed_include_lowest(spark):
@@ -136,3 +137,31 @@ def test_upsert_merge_branch_semantics(spark):
     assert out[3]["_action"] == "keep" and out[3]["bal"] == 30.0
     assert out[4]["_action"] == "insert" and out[4]["bal"] == 40.0 and out[4]["name"] is None
     assert out[2]["tag"] == "x" and out[1]["tag"] is None
+
+
+def test_jsonl_roundtrip_with_schema(spark, sf_smoke, tmp_path):
+    from bigdata_carprice_assignment_spark.sources.readers import read_jsonl
+    from bigdata_carprice_assignment_spark.sources.writers import write_jsonl
+
+    orders = load_table(spark, sf_smoke, "orders").limit(200)
+    path = str(tmp_path / "orders_jsonl")
+    write_jsonl(orders, path)
+    back = read_jsonl(spark, path, schema=orders.schema)
+    assert back.schema == orders.schema
+    a = sorted(map(tuple, orders.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_orc_roundtrip(spark, sf_smoke, tmp_path):
+    from bigdata_carprice_assignment_spark.sources.readers import read_orc
+    from bigdata_carprice_assignment_spark.sources.writers import write_orc
+
+    li = load_table(spark, sf_smoke, "lineitem").limit(500)
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    assert dict(back.dtypes) == dict(li.dtypes)
+    assert back.count() == li.count()
+    assert back.agg(F.round(F.sum("l_extendedprice"), 2).alias("s")).first()["s"] == \
+        li.agg(F.round(F.sum("l_extendedprice"), 2).alias("s")).first()["s"]
