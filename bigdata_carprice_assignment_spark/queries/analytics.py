@@ -198,3 +198,96 @@ def brand_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supplier_cnt") >= 2)
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       coalesce(year(o_orderdate)::VARCHAR, 'ALL') AS order_year,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (r_name, n_name), (year(o_orderdate)))
+ORDER BY region, nation, order_year
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form rollup/cube specialize: three
+    explicitly-chosen aggregation granularities ((region), (region,
+    nation), (year)) in ONE pass over the joined fact.
+
+    Scale: Catalyst expands grouping sets into a single Expand + hash
+    aggregate (rows duplicated once per set they participate in, partial
+    aggregation map-side) — one shuffle, not one job per granularity;
+    both dims broadcast onto orders."""
+    from ..sql import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       coalesce(CAST(year(o_orderdate) AS STRING), 'ALL') AS order_year,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (r_name, n_name), (year(o_orderdate)))
+ORDER BY region, nation, order_year
+"""
+    )
+
+
+@query(
+    "lineitem_unpivot_measure_stats",
+    oracle="""
+SELECT l_returnflag, measure,
+       round(avg(value), 6) AS avg_value,
+       round(sum(value), 2) AS total_value,
+       count(*) AS n
+FROM (
+  UNPIVOT (SELECT l_returnflag,
+                  l_quantity::DOUBLE AS quantity,
+                  l_extendedprice::DOUBLE AS extendedprice,
+                  l_discount::DOUBLE AS discount
+           FROM lineitem)
+  ON quantity, extendedprice, discount
+  INTO NAME measure VALUE value
+)
+GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+""",
+)
+def lineitem_unpivot_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (R pivot_longer dual of the engine's pivot): three
+    measure columns become (measure, value) rows, then per (flag,
+    measure) stats.
+
+    Scale: unpivot is a zero-shuffle Expand (3× row growth, narrow) —
+    the agg that follows is the only shuffle; never a per-column loop
+    of jobs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+    melted = li.unpivot(
+        ["l_returnflag"], ["quantity", "extendedprice", "discount"], "measure", "value"
+    )
+    return (
+        melted.groupBy("l_returnflag", "measure")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )

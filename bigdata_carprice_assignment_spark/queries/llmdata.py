@@ -1330,3 +1330,70 @@ def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "quality_weighted_sample",
+    oracle="WITH " + _DUCK_QUALITY + r"""
+, keyed AS (
+  SELECT lang, score,
+         pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 + 0.5)
+             / 1000000.0,
+             1.0 / greatest(score, 0.001)) AS wkey
+  FROM q
+),
+r AS (
+  SELECT lang, score,
+         row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, score DESC) AS rn
+  FROM keyed
+)
+SELECT lang,
+       count(*) AS n_docs,
+       count(*) FILTER (rn <= 50) AS n_sampled,
+       round(avg(score), 6) AS avg_score_all,
+       round(avg(score) FILTER (rn <= 50), 6) AS avg_score_sampled
+FROM r GROUP BY lang ORDER BY lang
+""",
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): key = u^(1/w) with u from the portable row hash and
+    w the quality score; the top-50 keys PER LANGUAGE are the sample.
+    The oracle replicates key construction term-for-term, so the sampled
+    SET is engine-identical — the audited quality-weighted subcorpus
+    selection a training pipeline wants instead of rand(). Sampled docs
+    skew higher-quality than the stratum average (asserted in tests).
+
+    Scale: narrow projection (score+key), one window shuffle on lang,
+    one hash agg — same shape as quality_topq_by_lang; the 'sample
+    n per stratum' never collects or rand()s."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (TX.portable_hash60(F.col("doc_id").cast("string")) % 1_000_000 + 0.5)
+        / 1_000_000.0
+    )
+    score = TX.quality_score("text")
+    keyed = docs.select(
+        "lang",
+        score.alias("score"),
+        F.pow(u, 1.0 / F.greatest(score, F.lit(0.001))).alias("wkey"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("wkey"), F.desc("score"))
+    )
+    sampled = F.col("rn") <= 50
+    return (
+        keyed.withColumn("rn", rn)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(sampled.cast("long")).alias("n_sampled"),
+            F.round(F.avg("score"), 6).alias("avg_score_all"),
+            F.round(F.avg(F.when(sampled, F.col("score"))), 6).alias(
+                "avg_score_sampled"
+            ),
+        )
+        .orderBy("lang")
+    )

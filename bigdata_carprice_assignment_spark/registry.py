@@ -129,6 +129,9 @@ PRIORITY: tuple[str, ...] = (
     "brand_supplier_variety",
     "order_priority_islands",
     "boilerplate_ngram_stats",
+    "grouping_sets_revenue",
+    "lineitem_unpivot_measure_stats",
+    "quality_weighted_sample",
 )
 
 
