@@ -103,6 +103,14 @@ HEADLINE: list[str] = [
     "incremental_dedup_accounting",
     "pii_pseudonymize_customers",
     "exact_cosine_pairs_blocked",
+    "top_unshipped_orders",
+    "nation_trade_flows",
+    "brand_supplier_variety",
+    "order_priority_islands",
+    "grouping_sets_revenue",
+    "lineitem_unpivot_measure_stats",
+    "boilerplate_ngram_stats",
+    "quality_weighted_sample",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells
@@ -154,6 +162,18 @@ def main() -> None:
     spark.range(1000).repartition(32).mapInPandas(
         _noop, schema="id long"
     ).collect()
+    # …and the OTHER Arrow codepaths (each is a distinct Exec node with
+    # its own first-use serializer/codegen cost): cogrouped
+    # applyInPandas (the ANN cell kernels) and scalar pandas_udf
+    a = spark.range(256).withColumn("k", F.pmod("id", F.lit(4)))
+    b = spark.range(256).withColumn("k", F.pmod("id", F.lit(4)))
+    a.groupBy("k").cogroup(b.groupBy("k")).applyInPandas(
+        lambda left, right: left.head(1), schema="id long, k long"
+    ).collect()
+    import pandas as pd  # noqa: F401
+
+    ident = F.pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(ident("id")).collect()
 
     # One untimed run of the first timed query: its timing was otherwise
     # inflated by first-real-query costs (scan/broadcast warm paths) that
