@@ -277,9 +277,33 @@ def fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("lift"), "antecedent", "consequent")
 
 
-@query("fpgrowth_rules_pruned")
+@query(
+    "fpgrowth_rules_pruned",
+    oracle=_FPG_RULES_SQL
+    + """
+, filtered AS (
+  SELECT * FROM rules WHERE support >= 0.02 AND confidence >= 0.1
+)
+SELECT r.antecedent, r.consequent,
+       round(r.support, 6) AS support,
+       round(r.confidence, 6) AS confidence,
+       round(r.lift, 6) AS lift
+FROM filtered r
+LEFT JOIN filtered g
+  ON g.consequent = r.consequent
+ AND len(string_split(g.antecedent, ',')) < len(string_split(r.antecedent, ','))
+ AND list_has_all(string_split(r.antecedent, ','), string_split(g.antecedent, ','))
+ AND g.confidence >= r.confidence
+WHERE g.antecedent IS NULL
+ORDER BY lift DESC, r.antecedent, r.consequent
+""",
+)
 def fpgrowth_rules_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M15: redundancy pruning over the FPGrowth rule set."""
+    """M15: redundancy pruning over the FPGrowth rule set (is.redundant:
+    drop R when a more-general same-consequent rule has ≥ confidence).
+    The oracle replays the pruning as a NOT EXISTS subset join over the
+    SQL-reconstructed rule universe, so M15 is hash-checked end-to-end,
+    not just soundness-tested."""
     tx = part_transactions(spark, sf_dir)
     _, rules = R.mine_rules(tx, min_support=0.02, min_confidence=0.1)
     return (

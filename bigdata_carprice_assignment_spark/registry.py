@@ -132,6 +132,7 @@ PRIORITY: tuple[str, ...] = (
     "grouping_sets_revenue",
     "lineitem_unpivot_measure_stats",
     "quality_weighted_sample",
+    "fpgrowth_rules_pruned",
 )
 
 
