@@ -291,3 +291,75 @@ def lineitem_unpivot_measure_stats(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("l_returnflag", "measure")
     )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, count(*) AS n_customers
+FROM per_cust
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+""",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: double aggregation — orders per customer
+    INCLUDING zero-order customers (left join, count of the nullable
+    side), then the distribution of those counts.
+
+    Scale: count(o_orderkey) skips nulls natively so no fill-step; the
+    first agg shuffles on custkey, the second on the (tiny-domain)
+    count value — AQE coalesces the second shuffle's partitions."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+WITH part_avg AS (
+  SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT count(*) AS n_items,
+       round(sum(l_extendedprice) / 7.0, 2) AS avg_weekly_loss
+FROM lineitem JOIN part_avg ON l_partkey = pk
+WHERE l_quantity < threshold
+""",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (items below half
+    their part's average quantity), decorrelated as agg + equi-join —
+    the rewrite Catalyst itself applies to correlated subqueries.
+
+    Scale: both sides scan the same lineitem; the per-part average is
+    grouped on the join key, so AQE plans agg + join in one shuffle
+    partitioning of l_partkey (no second exchange), never a per-row
+    subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("threshold")
+    )
+    return (
+        li.join(part_avg, li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly_loss"),
+        )
+    )

@@ -133,6 +133,8 @@ PRIORITY: tuple[str, ...] = (
     "lineitem_unpivot_measure_stats",
     "quality_weighted_sample",
     "fpgrowth_rules_pruned",
+    "customer_order_distribution",
+    "small_quantity_revenue",
 )
 
 
