@@ -111,6 +111,9 @@ HEADLINE: list[str] = [
     "lineitem_unpivot_measure_stats",
     "boilerplate_ngram_stats",
     "quality_weighted_sample",
+    "fpgrowth_rules_pruned",
+    "customer_order_distribution",
+    "small_quantity_revenue",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

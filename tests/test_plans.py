@@ -81,3 +81,43 @@ def test_semi_join_filter_is_broadcast(spark, sf_smoke):
     plan = X.formatted_plan(semi)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert orders is not None
+
+
+def test_q3_pushes_filters_and_takes_ordered(spark, sf_smoke):
+    """Q3 shape: date + segment filters reach the scans; top-10 compiles
+    to TakeOrderedAndProject, not a global Sort."""
+    from bigdata_carprice_assignment_spark.queries.analytics import top_unshipped_orders
+
+    df = top_unshipped_orders(spark, sf_smoke)
+    assert X.has_pushed_filter(df, "o_orderdate"), X.formatted_plan(df)
+    assert X.has_pushed_filter(df, "l_shipdate"), X.formatted_plan(df)
+    assert X.has_pushed_filter(df, "c_mktsegment"), X.formatted_plan(df)
+    assert "TakeOrderedAndProject" in X.formatted_plan(df), X.formatted_plan(df)
+
+
+def test_q7_broadcasts_dims_and_pushes_range(spark, sf_smoke):
+    from bigdata_carprice_assignment_spark.queries.analytics import nation_trade_flows
+
+    df = nation_trade_flows(spark, sf_smoke)
+    assert X.uses_broadcast_join(df), X.formatted_plan(df)
+    assert X.has_pushed_filter(df, "l_shipdate"), X.formatted_plan(df)
+
+
+def test_grouping_sets_single_expand(spark, sf_smoke):
+    """GROUPING SETS: one Expand node, not one aggregation per set."""
+    from bigdata_carprice_assignment_spark.queries.analytics import grouping_sets_revenue
+
+    df = grouping_sets_revenue(spark, sf_smoke)
+    plan = X.formatted_plan(df)
+    assert plan.count(") Expand") == 1, plan
+
+
+def test_unpivot_has_no_extra_shuffle(spark, sf_smoke):
+    """Unpivot is an Expand projection; the agg is the only shuffle
+    (plus the presentation orderBy's range exchange)."""
+    from bigdata_carprice_assignment_spark.queries.analytics import (
+        lineitem_unpivot_measure_stats,
+    )
+
+    df = lineitem_unpivot_measure_stats(spark, sf_smoke)
+    assert X.count_exchanges(df) <= 2, X.formatted_plan(df)
