@@ -1361,8 +1361,9 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w the quality score; the top-50 keys PER LANGUAGE are the sample.
     The oracle replicates key construction term-for-term, so the sampled
     SET is engine-identical — the audited quality-weighted subcorpus
-    selection a training pipeline wants instead of rand(). Sampled docs
-    skew higher-quality than the stratum average (asserted in tests).
+    selection a training pipeline wants instead of rand(). Where the
+    sample is a minority of its stratum, sampled docs skew
+    higher-quality than the stratum average (asserted in tests).
 
     Scale: narrow projection (score+key), one window shuffle on lang,
     one hash agg — same shape as quality_topq_by_lang; the 'sample

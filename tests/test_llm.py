@@ -256,3 +256,19 @@ def test_multimodal_real_decode_raises(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(NotImplementedError):
         MM.extract_features(MM.documents_as_media(df), decode="real")
+
+
+def test_weighted_sample_skews_toward_quality(spark, sf_smoke):
+    """A-ES weighted sampling must pull the sampled stratum average
+    above the stratum average (w = quality score)."""
+    from bigdata_carprice_assignment_spark.queries.llmdata import (
+        quality_weighted_sample,
+    )
+
+    rows = quality_weighted_sample(spark, sf_smoke).collect()
+    assert rows
+    # the skew is only resolvable where the sample is a minority of the
+    # stratum (sampling 50 of 71 is near-exhaustive — noise dominates)
+    informative = [r for r in rows if r["n_docs"] >= 2 * r["n_sampled"]]
+    assert informative
+    assert all(r["avg_score_sampled"] > r["avg_score_all"] for r in informative)
