@@ -275,18 +275,25 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, gram) triple and never carries text."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    grams = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.when(
-                F.size(toks) >= 6,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - F.lit(5)),
-                    lambda i: F.array_join(F.slice(toks, i, 6), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    grams = (
+        docs.repartition(n_parts, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(
+                    F.size(toks) >= 6,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - F.lit(5)),
+                        lambda i: F.array_join(F.slice(toks, i, 6), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        # materialize once: three consumers (distinct-doc counts, totals,
+        # boilerplate hits) would each re-run the explode otherwise
+        .localCheckpoint()
     )
     boiler = (
         grams.select("g", "doc_id")
