@@ -114,6 +114,7 @@ HEADLINE: list[str] = [
     "fpgrowth_rules_pruned",
     "customer_order_distribution",
     "small_quantity_revenue",
+    "customer_peak_week_spend",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

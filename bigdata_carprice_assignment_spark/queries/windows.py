@@ -359,3 +359,47 @@ def order_priority_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "customer_peak_week_spend",
+    oracle="""
+WITH t AS (
+  SELECT o_custkey,
+         sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate::DATE)
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+         ) AS trail_spend
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+       round(max(trail_spend), 2) AS peak_7day_spend
+FROM t GROUP BY o_custkey ORDER BY custkey
+""",
+)
+def customer_peak_week_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (vs the ROWS frames elsewhere): trailing
+    7-DAY revenue per customer ordered by day number — RANGE pools
+    same-day orders and spans VALUE distance, not row count, which a
+    rows-frame cannot express when order days are irregular. Result:
+    each customer's peak trailing week.
+
+    Scale: one shuffle on custkey serves both the window and the max
+    aggregation (same partitioning); the day-number order key keeps the
+    frame bound integer arithmetic, no interval comparison per row."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey", F.sum("o_totalprice").over(w).alias("trailing")
+        )
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.round(F.max("trailing"), 2).alias("peak_7day_spend"))
+        .orderBy("custkey")
+    )

@@ -135,6 +135,7 @@ PRIORITY: tuple[str, ...] = (
     "fpgrowth_rules_pruned",
     "customer_order_distribution",
     "small_quantity_revenue",
+    "customer_peak_week_spend",
 )
 
 
