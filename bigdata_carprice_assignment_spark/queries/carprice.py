@@ -236,3 +236,42 @@ def carprice_rules_top_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(20)
     )
+
+
+@query("carprice_loess_smooth")
+def carprice_loess_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loess curve for the price~horsepower scatter — the data behind
+    geom_smooth(method="loess") (BigDataProject.R:140-144), the one
+    reference output previously declared viz-out-of-scope. Tricube-
+    weighted local LINEAR fits (degree 1; R's default is degree 2 —
+    documented fidelity delta) at 40 evaluation points, span 0.75.
+
+    Report-sized by construction (205 points, like write_csv_single):
+    the fit runs driver-side numpy on the collected pairs; a data-sized
+    smoother would bin x and fit per-bin partial sums distributed."""
+    import numpy as np
+
+    pdf = (
+        _cleaned(spark)
+        .select("horsepower", "price")
+        .dropna()
+        .toPandas()
+        .sort_values("horsepower")
+    )
+    x = pdf["horsepower"].to_numpy(dtype=float)
+    y = pdf["price"].to_numpy(dtype=float)
+    n = len(x)
+    k = max(2, int(np.ceil(0.75 * n)))  # span window size
+    grid = np.linspace(x.min(), x.max(), 40)
+    rows = []
+    for g in grid:
+        d = np.abs(x - g)
+        h = np.partition(d, k - 1)[k - 1] or 1.0
+        w = np.clip(1 - (d / h) ** 3, 0, None) ** 3  # tricube
+        W = w.sum()
+        xm = (w * x).sum() / W
+        ym = (w * y).sum() / W
+        sxx = (w * (x - xm) ** 2).sum()
+        slope = 0.0 if sxx == 0 else (w * (x - xm) * (y - ym)).sum() / sxx
+        rows.append((float(g), float(round(ym + slope * (g - xm), 2))))
+    return spark.createDataFrame(rows, "horsepower double, smoothed_price double")

@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from bigdata_carprice_assignment_spark.pipelines import carprice
 
@@ -168,3 +169,22 @@ def test_iqr_cap_idempotent(spark):
     ).toPandas()
     for c in carprice.numeric_cols(df):
         assert np.allclose(once[c].values, twice[c].values, atol=1e-12), c
+
+
+def test_loess_smooth_tracks_data(spark):
+    """The loess curve must stay inside the data's price envelope and
+    rise from the low-hp to the high-hp end (the reference scatter's
+    visible trend)."""
+    from bigdata_carprice_assignment_spark.queries.carprice import (
+        carprice_loess_smooth,
+        _cleaned,
+    )
+
+    curve = carprice_loess_smooth(spark, "").collect()
+    assert len(curve) == 40
+    prices = [r["smoothed_price"] for r in curve]
+    stats = _cleaned(spark).agg(
+        F.min("price").alias("lo"), F.max("price").alias("hi")
+    ).first()
+    assert all(stats["lo"] <= p <= stats["hi"] for p in prices)
+    assert prices[-1] > prices[0] * 2  # strong positive hp→price trend
