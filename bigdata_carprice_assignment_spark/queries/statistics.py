@@ -266,3 +266,166 @@ def hypothesis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tukey_hsd_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return stats.tukey_hsd(orders, "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "mann_whitney_components",
+    oracle="""
+WITH s AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS in1
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+by_v AS (
+  SELECT v, count(*) AS t, sum(in1) AS t1 FROM s GROUP BY v
+),
+ranked AS (
+  SELECT v, t, t1,
+         sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t AS below,
+         (2 * (sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t) + t + 1)
+           / 2.0 AS midrank
+  FROM by_v
+),
+agg AS (
+  SELECT sum(t1 * midrank) AS r1,
+         sum(t1) AS n1,
+         sum(t - t1) AS n2,
+         sum(t * t * t - t) AS tie_term,
+         sum(t) AS n
+  FROM ranked
+)
+SELECT n1, n2,
+       round(r1, 2) AS rank_sum_1,
+       round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u1,
+       round(n1 * n2 - (r1 - n1 * (n1 + 1) / 2.0), 2) AS u2,
+       round(n1 * n2 / 2.0, 2) AS mu_u,
+       round(sqrt(n1 * n2 / 12.0 * ((n + 1) - tie_term / (n * (n - 1.0)))), 6)
+         AS sigma_u
+FROM agg
+""",
+)
+def mann_whitney_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) components — the nonparametric
+    dual of welch_t_components on the same URGENT-vs-LOW contrast.
+    Mid-ranks are computed from per-VALUE counts (group by value first,
+    cumulative count, midrank = below + (ties+1)/2), so tied values get
+    identical ranks in both engines regardless of intra-tie row order;
+    sigma carries the tie correction. z = (U - mu_u)/sigma_u; the
+    normal-approx p-value is driver-side math like the other H-family
+    tests (components are the oracle-checked part).
+
+    Scale: one filter-scan, one groupBy(value), one ordered cumulative
+    window, one 1-row agg — ranks never materialize per input row. The
+    cumulative runs on the VALUE-COMPRESSED domain (distinct values,
+    not rows); if even that domain outgrows one task, range-partition
+    it and add per-partition prefix offsets (two passes, same result)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("in1"),
+    )
+    by_v = s.groupBy("v").agg(
+        F.count(F.lit(1)).alias("t"), F.sum("in1").alias("t1")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = by_v.withColumn("cum", F.sum("t").over(w)).select(
+        "v",
+        "t",
+        "t1",
+        ((2 * (F.col("cum") - F.col("t")) + F.col("t") + 1) / 2.0).alias("midrank"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("t1") * F.col("midrank")).alias("r1"),
+        F.sum("t1").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).alias("n2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_term"),
+        F.sum("t").alias("n"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    return agg.select(
+        "n1",
+        "n2",
+        F.round("r1", 2).alias("rank_sum_1"),
+        F.round(u1, 2).alias("u1"),
+        F.round(F.col("n1") * F.col("n2") - u1, 2).alias("u2"),
+        F.round(F.col("n1") * F.col("n2") / 2.0, 2).alias("mu_u"),
+        F.round(
+            F.sqrt(
+                F.col("n1")
+                * F.col("n2")
+                / 12.0
+                * (
+                    (F.col("n") + 1)
+                    - F.col("tie_term") / (F.col("n") * (F.col("n") - 1.0))
+                )
+            ),
+            6,
+        ).alias("sigma_u"),
+    )
+
+
+@query(
+    "ks_statistic_priority",
+    oracle="""
+WITH s AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS in1
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+by_v AS (
+  SELECT v, sum(in1) AS t1, count(*) - sum(in1) AS t2 FROM s GROUP BY v
+),
+c AS (
+  SELECT v,
+         sum(t1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+           / (SELECT sum(t1) FROM by_v) AS f1,
+         sum(t2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+           / (SELECT sum(t2) FROM by_v) AS f2
+  FROM by_v
+)
+SELECT (SELECT sum(t1) FROM by_v) AS n1,
+       (SELECT sum(t2) FROM by_v) AS n2,
+       round(max(abs(f1 - f2)), 6) AS ks_d
+FROM c
+""",
+)
+def ks_statistic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (URGENT vs LOW order
+    values): D = sup|F1 − F2| over the pooled distinct values. ECDFs
+    are cumulative per-VALUE counts, so ties contribute one step on
+    both engines.
+
+    Scale: groupBy(value) + one ordered cumulative window + a 1-row
+    max — the ECDF comparison never leaves the cluster; the distinct
+    grid is the data's own support, no binning error. Same
+    value-compressed-domain caveat as mann_whitney_components."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("in1"),
+    )
+    by_v = s.groupBy("v").agg(
+        F.sum("in1").alias("t1"),
+        (F.count(F.lit(1)) - F.sum("in1")).alias("t2"),
+    )
+    tot = by_v.agg(
+        F.sum("t1").alias("n1"), F.sum("t2").alias("n2")
+    ).first()
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = by_v.select(
+        (F.sum("t1").over(w) / F.lit(float(tot["n1"]))).alias("f1"),
+        (F.sum("t2").over(w) / F.lit(float(tot["n2"]))).alias("f2"),
+    )
+    return c.agg(
+        F.lit(tot["n1"]).alias("n1"),
+        F.lit(tot["n2"]).alias("n2"),
+        F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 6).alias("ks_d"),
+    )

@@ -70,3 +70,29 @@ def test_welch_ttest_against_hand_computation(spark):
     assert got["t_stat"] == pytest.approx(t, rel=1e-12)
     assert got["df"] == pytest.approx(dof, rel=1e-12)
     assert 0.0 <= got["p_value"] <= 1.0
+
+
+def test_mann_whitney_and_ks_on_known_sample(spark, tmp_path):
+    """Hand-computed example: URGENT=[1,2,3], LOW=[4,5,6] ⇒ U1=0, U2=9,
+    mu=4.5, sigma=√(9/12·7)=2.291288 (no ties), KS D=1.0 — pins the
+    formulas, while the DuckDB oracle pins cross-engine parity."""
+    import pandas as pd
+
+    from bigdata_carprice_assignment_spark.queries.statistics import (
+        ks_statistic_priority,
+        mann_whitney_components,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "o_totalprice": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            "o_orderpriority": ["1-URGENT"] * 3 + ["5-LOW"] * 3,
+        }
+    )
+    pdf.to_parquet(tmp_path / "orders.parquet")
+    r = mann_whitney_components(spark, str(tmp_path)).first()
+    assert (r["n1"], r["n2"]) == (3, 3)
+    assert r["rank_sum_1"] == 6.0 and r["u1"] == 0.0 and r["u2"] == 9.0
+    assert r["mu_u"] == 4.5 and abs(r["sigma_u"] - 2.291288) < 1e-6
+    k = ks_statistic_priority(spark, str(tmp_path)).first()
+    assert k["ks_d"] == 1.0
