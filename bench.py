@@ -115,6 +115,8 @@ HEADLINE: list[str] = [
     "customer_order_distribution",
     "small_quantity_revenue",
     "customer_peak_week_spend",
+    "mann_whitney_components",
+    "ks_statistic_priority",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

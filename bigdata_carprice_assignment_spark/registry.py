@@ -136,6 +136,8 @@ PRIORITY: tuple[str, ...] = (
     "customer_order_distribution",
     "small_quantity_revenue",
     "customer_peak_week_spend",
+    "mann_whitney_components",
+    "ks_statistic_priority",
 )
 
 
