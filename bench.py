@@ -117,6 +117,8 @@ HEADLINE: list[str] = [
     "customer_peak_week_spend",
     "mann_whitney_components",
     "ks_statistic_priority",
+    "signup_funnel_conversion",
+    "weekly_cohort_retention",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

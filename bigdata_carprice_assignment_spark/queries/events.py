@@ -204,3 +204,126 @@ def event_type_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "signup_funnel_conversion",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'signup') AS t_signup,
+         min(ts) FILTER (event_type = 'click') AS t_click,
+         min(ts) FILTER (event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+),
+flags AS (
+  SELECT user_id,
+         t_signup IS NOT NULL AS s1,
+         t_signup IS NOT NULL AND t_click > t_signup AS s2,
+         t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click AS s3
+  FROM stages
+)
+SELECT count(*) AS n_users,
+       count(*) FILTER (s1) AS reached_signup,
+       count(*) FILTER (s2) AS reached_click,
+       count(*) FILTER (s3) AS reached_purchase,
+       round(count(*) FILTER (s3) / greatest(count(*) FILTER (s1), 1), 6)
+         AS conversion
+FROM flags
+""",
+)
+def signup_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → first later click → first later
+    purchase): a user advances a stage only if the next event's FIRST
+    occurrence is strictly after the previous stage's. min-FILTER per
+    stage then ordering comparisons — the funnel never self-joins the
+    event stream (the naive per-stage join is S× the fact scan).
+
+    Scale: one groupBy(user) with three conditional mins (map-side
+    partial), one 1-row agg. NULL comparisons propagate false via SQL
+    three-valued logic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s1.cast("long")).alias("reached_signup"),
+        F.sum(F.coalesce(s2, F.lit(False)).cast("long")).alias("reached_click"),
+        F.sum(F.coalesce(s3, F.lit(False)).cast("long")).alias("reached_purchase"),
+        F.round(
+            F.sum(F.coalesce(s3, F.lit(False)).cast("long"))
+            / F.greatest(F.sum(s1.cast("long")), F.lit(1)),
+            6,
+        ).alias("conversion"),
+    )
+
+
+@query(
+    "weekly_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         f.cohort_week,
+         date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       week_offset,
+       count(*) AS active_users
+FROM activity
+WHERE week_offset <= 4
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted once per (cohort, week-offset) they were active in — the
+    standard growth-analytics rollup.
+
+    Scale: first-week per user is one agg; the offset join is on
+    user_id (broadcast-able once cohorts ≪ events, else shuffle on the
+    key both sides already group by); DISTINCT before the count keeps
+    multi-event weeks from inflating retention."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(
+                        F.date_trunc("week", "ts").cast("date"),
+                        F.col("cohort_week").cast("date"),
+                    )
+                    / 7
+                )
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 4)
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

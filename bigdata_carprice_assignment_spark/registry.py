@@ -138,6 +138,8 @@ PRIORITY: tuple[str, ...] = (
     "customer_peak_week_spend",
     "mann_whitney_components",
     "ks_statistic_priority",
+    "signup_funnel_conversion",
+    "weekly_cohort_retention",
 )
 
 
