@@ -119,6 +119,7 @@ HEADLINE: list[str] = [
     "ks_statistic_priority",
     "signup_funnel_conversion",
     "weekly_cohort_retention",
+    "click_purchase_attribution",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

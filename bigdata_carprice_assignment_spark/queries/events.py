@@ -327,3 +327,80 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "click_purchase_attribution",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT c.user_id, value,
+         epoch_us(purchase_ts) - epoch_us(click_ts) AS lag_us
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND click_ts <= purchase_ts
+   AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+),
+bucketed AS (
+  SELECT CASE WHEN lag_us < 600000000 THEN '00-10m'
+              WHEN lag_us < 1800000000 THEN '10-30m'
+              ELSE '30-60m' END AS lag_bucket,
+         value, lag_us
+  FROM pairs
+)
+SELECT lag_bucket,
+       count(*) AS n_pairs,
+       round(avg(value), 4) AS avg_purchase_value,
+       round(avg(lag_us) / 60000000.0, 4) AS avg_lag_min
+FROM bucketed GROUP BY lag_bucket ORDER BY lag_bucket
+""",
+)
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch dual of streaming/jobs.py::attribution_join_stream (the one
+    streaming job previously without an oracle-checked dual): click →
+    purchase pairs within 1 hour per user, bucketed by attribution lag.
+    Lags compared as microsecond longs on both engines (same discipline
+    as user_sessionization).
+
+    Scale: both sides are type-filtered projections of one fact scan;
+    the join shuffles on user_id with the time-range as a join-level
+    residual — at 100 TB add a coarse time-bucket equi-key (day) to the
+    join so the range residual only scans within-bucket pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    pairs = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "value", (us("purchase_ts") - us("click_ts")).alias("lag_us")
+    )
+    bucket = (
+        F.when(F.col("lag_us") < 600_000_000, "00-10m")
+        .when(F.col("lag_us") < 1_800_000_000, "10-30m")
+        .otherwise("30-60m")
+    )
+    return (
+        pairs.groupBy(bucket.alias("lag_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("value"), 4).alias("avg_purchase_value"),
+            F.round(F.avg("lag_us") / 60_000_000.0, 4).alias("avg_lag_min"),
+        )
+        .orderBy("lag_bucket")
+    )

@@ -140,6 +140,7 @@ PRIORITY: tuple[str, ...] = (
     "ks_statistic_priority",
     "signup_funnel_conversion",
     "weekly_cohort_retention",
+    "click_purchase_attribution",
 )
 
 
