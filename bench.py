@@ -212,6 +212,20 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # Driver contract: stdout gets EXACTLY one compact JSON line, printed
+    # last (round 2's combined cold+warm+plans line was truncated by the
+    # driver's tail capture → "parsed": null, losing the round's perf
+    # signal). Warm timings and plan fingerprints go to bench_detail.json.
+    detail = {
+        "queries_warm": warm,
+        "value_warm": round(sum(warm.values()), 3),
+        "plans": plans,
+        "sf": float(sf),
+    }
+    Path(__file__).resolve().parent.joinpath("bench_detail.json").write_text(
+        json.dumps(detail, indent=1) + "\n"
+    )
+    spark.stop()
     print(
         json.dumps(
             {
@@ -219,14 +233,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_warm": warm,
-                "value_warm": round(sum(warm.values()), 3),
-                "plans": plans,
                 "sf": float(sf),
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

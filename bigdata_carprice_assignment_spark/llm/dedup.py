@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.materialize import pinned
 from .text import content_hash, normalize_text, shingles, tokens
 
 
@@ -117,7 +118,9 @@ def minhash_band_pairs(
     # materialize once: the self-join below would otherwise recompute the
     # full signature expression tree on both branches (2× the dominant
     # cost); the banded table is (docs × bands) rows of three scalars.
-    banded = banded.localCheckpoint()
+    # pinned (pooled persist), not localCheckpoint: repeated builds on a
+    # long-lived session must free the previous generation's blocks.
+    banded = pinned(banded, "minhash_banded")
     sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
     banded = banded.join(
         sizes.filter(F.col("sz") <= max_bucket).select("band", "bucket"),
@@ -152,8 +155,8 @@ def jaccard_verify(
         .join(F.broadcast(cand_ids), "_id", "left_semi")
         .repartition(n_parts, "_id")  # parallelize the shingle compute
         .select("_id", shingles("_t", shingle_n).alias("_sh"))
-        .localCheckpoint()  # reused by both sides of the pair join
     )
+    sh = pinned(sh, "jaccard_shingles")  # reused by both sides of the pair join
     a = sh.select(F.col("_id").alias("a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -404,7 +407,7 @@ def simhash_candidates(
     sh = df.repartition(n_parts, id_col).select(
         F.col(id_col).alias("doc"), simhash(text_col, bits, token_hash).alias("sh")
     )
-    sh = sh.localCheckpoint()  # simhash is the dominant cost; compute once
+    sh = pinned(sh, "simhash")  # simhash is the dominant cost; compute once
     banded = sh.select(
         "doc",
         "sh",

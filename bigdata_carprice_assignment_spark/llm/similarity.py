@@ -239,18 +239,28 @@ def ivf_index(
     max_iter distributed k-means jobs."""
     import numpy as np
 
+    from ..plans.materialize import pinned
+
     # One materialization barrier: the input is read four times downstream
     # (sample count, sample collect, probe side, corpus side) — without
     # this an expensive upstream feature pipeline re-executes per read.
-    df = df.localCheckpoint()
-    sample = df.select(vec_col)
+    # Pooled persist, not localCheckpoint: repeated index builds on a
+    # long-lived session must release the previous build's blocks
+    # (round-2 bench showed warm ANN runs slower than cold from exactly
+    # this accumulation).
+    df = pinned(df, "ivf_index")
     if id_col is not None:
+        sample = df.select(vec_col)
         n = df.count()
         if n > train_cap:
             frac_pm = max(1, int(10_000 * train_cap / n))
             sample = df.filter(
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(10_000)) < frac_pm
             ).select(vec_col)
+    else:
+        # no id to hash-sample on: bound the driver collect explicitly —
+        # an unbounded toPandas of the full corpus OOMs the driver
+        sample = df.select(vec_col).limit(train_cap)
     X = np.asarray(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
 
     # kmeans++ seeding + bounded Lloyd, n_init deterministic restarts

@@ -26,6 +26,93 @@ def running_total(
     return df.withColumn("running_total", F.sum(value).over(w))
 
 
+def range_partitioned_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Globally-ordered cumulative sums WITHOUT a global single-task
+    window — the 100 TB-safe replacement for
+    ``Window.orderBy(...)`` with no partition spec.
+
+    Two passes over one range exchange:
+    1. ``repartitionByRange(order_cols)`` puts each key range in its own
+       partition (equal keys co-located, partition ids monotone in key);
+       an intra-partition window computes local prefix sums in parallel.
+    2. Per-partition totals (``num_ranges`` rows) are prefix-summed into
+       offsets on a bounded aggregate and broadcast-joined back.
+
+    cum = local prefix + partition offset, exactly the global ordered
+    cumsum. Emits ``cum_<c>`` for each ``c`` in ``sum_cols``; input
+    column types are preserved (sum(long) stays long). Both branches
+    share the same range Exchange subtree, so Spark computes the shuffle
+    once (ReusedExchange) and the partition ids are consistent.
+    """
+    part = df.repartitionByRange(
+        num_ranges, *[F.asc(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = part.select(
+        "*", *[F.sum(c).over(w_in).alias(f"_wcum_{c}") for c in sum_cols]
+    )
+    ptot = part.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_pt_{c}") for c in sum_cols]
+    )
+    # offsets window runs over the num_ranges-row per-partition totals —
+    # bounded by construction, so a single (constant-keyed) partition is
+    # deliberate, not a data-sized global sort
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = ptot.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_pt_{c}").over(w_off), F.lit(0)).alias(f"_off_{c}")
+            for c in sum_cols
+        ],
+    )
+    return within.join(F.broadcast(off), "_pid").select(
+        *df.columns,
+        *[
+            (F.col(f"_wcum_{c}") + F.col(f"_off_{c}")).alias(f"cum_{c}")
+            for c in sum_cols
+        ],
+    )
+
+
+def range_partitioned_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_tiles: int,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """``ntile(n)`` over a global ordering without the single-task global
+    sort: global rank via :func:`range_partitioned_cumsum` of ones, then
+    the exact ntile bucket formula (first ``n mod n_tiles`` buckets get
+    ``ceil(n/n_tiles)`` rows). ``order_cols`` must be a total order
+    (include a unique tiebreak) for cross-engine determinism. Adds
+    column ``tile`` (long)."""
+    d0 = df.withColumn("_one", F.lit(1).cast("long"))
+    ranked = range_partitioned_cumsum(d0, order_cols, ["_one"], num_ranges)
+    tot = df.agg(F.count(F.lit(1)).alias("_n"))
+    r = ranked.crossJoin(F.broadcast(tot))
+    q = F.floor(F.col("_n") / n_tiles)
+    rem = F.col("_n") % n_tiles
+    threshold = rem * (q + 1)
+    rank = F.col("cum__one")
+    tile = F.when(rank <= threshold, F.ceil(rank / (q + 1))).otherwise(
+        rem + F.ceil((rank - threshold) / q)
+    )
+    return r.select(*df.columns, tile.cast("long").alias("tile"))
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,

@@ -145,7 +145,11 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
@@ -261,6 +265,7 @@ FROM (
   ON quantity, extendedprice, discount
   INTO NAME measure VALUE value
 )
+WHERE value IS NOT NULL
 GROUP BY l_returnflag, measure
 ORDER BY l_returnflag, measure
 """,
@@ -279,9 +284,12 @@ def lineitem_unpivot_measure_stats(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("l_extendedprice").cast("double").alias("extendedprice"),
         F.col("l_discount").cast("double").alias("discount"),
     )
+    # Spark's unpivot RETAINS null measure values where DuckDB's UNPIVOT
+    # excludes them by default — filter explicitly so both engines agree
+    # the moment a null measure appears (oracle carries the same WHERE)
     melted = li.unpivot(
         ["l_returnflag"], ["quantity", "extendedprice", "discount"], "measure", "value"
-    )
+    ).filter(F.col("value").isNotNull())
     return (
         melted.groupBy("l_returnflag", "measure")
         .agg(

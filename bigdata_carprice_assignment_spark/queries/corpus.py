@@ -105,7 +105,7 @@ def vocab_zipf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         counts.orderBy(F.desc("n_occurrences"), F.asc("w"))
         .limit(64)
-        .withColumn("rank", F.row_number().over(rank_w))
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
     )
     return (
         top.crossJoin(F.broadcast(total))
@@ -293,8 +293,10 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize once: three consumers (distinct-doc counts, totals,
         # boilerplate hits) would each re-run the explode otherwise
-        .localCheckpoint()
     )
+    from ..plans.materialize import pinned
+
+    grams = pinned(grams, "boilerplate_grams")
     boiler = (
         grams.select("g", "doc_id")
         .distinct()

@@ -470,9 +470,14 @@ p AS (
 def _hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    return TX.hashed_shingle_features_df(
-        docs.repartition(n_parts, "doc_id"), "text", "doc_id"
-    ).localCheckpoint()  # vectorize once; reused on both sides of joins
+    from ..plans.materialize import pinned
+
+    return pinned(
+        TX.hashed_shingle_features_df(
+            docs.repartition(n_parts, "doc_id"), "text", "doc_id"
+        ),
+        "hashed_doc_features",
+    )  # vectorize once; reused on both sides of joins; pooled lifecycle
 
 
 @query(
@@ -613,7 +618,7 @@ WITH d AS (
 SELECT lang,
        count(*) AS n_total,
        count(*) FILTER (keep) AS n_kept,
-       coalesce(sum(n_tokens) FILTER (keep), 0) AS kept_tokens
+       coalesce(sum(n_tokens) FILTER (keep), 0)::BIGINT AS kept_tokens
 FROM d GROUP BY lang ORDER BY lang
 """,
 )
@@ -662,7 +667,7 @@ c AS (
 )
 SELECT doc_id,
        count(*) AS n_chunks,
-       sum(chunk_tokens) AS sum_chunk_tokens,
+       sum(chunk_tokens)::BIGINT AS sum_chunk_tokens,
        min(chunk_tokens) AS min_chunk_tokens
 FROM c GROUP BY doc_id ORDER BY doc_id
 """,
@@ -711,7 +716,7 @@ o AS (
 SELECT shard,
        count(*) AS n_docs,
        count(DISTINCT off // 512) AS n_sequences,
-       sum(n_tokens) AS total_tokens,
+       sum(n_tokens)::BIGINT AS total_tokens,
        round(sum(n_tokens)::DOUBLE / (count(DISTINCT off // 512) * 512), 6)
          AS utilization
 FROM o GROUP BY shard ORDER BY shard

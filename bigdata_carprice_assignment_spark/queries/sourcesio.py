@@ -1,0 +1,92 @@
+"""Source/sink round-trip queries (SURVEY.md §2.1 S1-S3 driver
+coverage): the typed CSV scan and the JSONL scan, proven by writing
+testdata OUT through the sink and aggregating what the typed reader
+parses BACK — the oracle aggregates the original parquet, so any type-
+parsing loss (long, double shortest-round-trip, string) breaks the hash.
+
+Reference consumption sites: ``readr::read_csv`` (BigDataProject.R:41),
+``write_csv`` (BigDataProject.R:544).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.readers import load_table, read_csv, read_jsonl
+from ..sources.writers import write_csv, write_jsonl
+
+# keep round-trip scratch inside the repo tree (driver sandboxes cwd)
+_SCRATCH = Path(__file__).resolve().parents[2] / "spark-warehouse" / "roundtrip"
+
+
+@query(
+    "csv_roundtrip_order_stats",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       sum(o_orderkey)::BIGINT AS key_checksum,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def csv_roundtrip_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S3 in one gate: orders → distributed CSV sink → typed CSV
+    scan (explicit schema probed from the source — never hardcoded,
+    testdata physical types drift between rounds) → aggregate. The
+    oracle reads the ORIGINAL parquet, so the hash only matches if the
+    long/double/string round-trip through CSV text is lossless.
+
+    Scale: the sink writes one part per task and the scan reads them
+    parallel; schema-on-read means zero inference passes."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = str(_SCRATCH / f"orders_csv_{Path(sf_dir).name}")
+    write_csv(src, path)
+    back = read_csv(spark, path, schema=src.schema)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "jsonl_roundtrip_part_stats",
+    oracle="""
+SELECT p_brand,
+       count(*) AS n_parts,
+       sum(p_partkey)::BIGINT AS key_checksum,
+       round(sum(p_retailprice), 2) AS retail_total
+FROM part GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def jsonl_roundtrip_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink → schema'd JSONL scan round-trip on part (the
+    interchange format for document pipelines), same oracle-on-parquet
+    construction as the CSV gate. Explicit read schema — the Jackson
+    parser then projects only requested fields instead of full
+    inference."""
+    src = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    path = str(_SCRATCH / f"part_jsonl_{Path(sf_dir).name}")
+    write_jsonl(src, path)
+    back = read_jsonl(spark, path, schema=src.schema)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("p_partkey").alias("key_checksum"),
+            F.round(F.sum("p_retailprice"), 2).alias("retail_total"),
+        )
+        .orderBy("p_brand")
+    )

@@ -79,7 +79,9 @@ comp AS (
          sum((g.n - 1) * g.v) AS ssw
   FROM g, tot GROUP BY tot.k, tot.n
 )
-SELECT k, n, round(ssb, 2) AS ss_between, round(ssw, 2) AS ss_within,
+SELECT k, n::BIGINT AS n,
+       round(ssb / 1e6, 2) AS ss_between_m,
+       round(ssw / 1e6, 2) AS ss_within_m,
        round((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
 FROM comp
 """,
@@ -96,11 +98,15 @@ def anova_f_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.pow(F.col("mean") - F.col("grand"), 2)).alias("ssb"),
         F.sum((F.col("n") - 1) * F.col("var")).alias("ssw"),
     )
+    # sums-of-squares are ~1e14 at bench SF: summation-order noise across
+    # engines exceeds a 0.01 rounding quantum on the raw value, so emit
+    # them in millions (noise ~1e-8 of the scaled value) — magnitude-safe
+    # on both sides; f_stat is scale-free and unaffected
     return comp.select(
         "k",
         F.col("n_total").alias("n"),
-        F.round("ssb", 2).alias("ss_between"),
-        F.round("ssw", 2).alias("ss_within"),
+        F.round(F.col("ssb") / F.lit(1e6), 2).alias("ss_between_m"),
+        F.round(F.col("ssw") / F.lit(1e6), 2).alias("ss_within_m"),
         F.round(
             (F.col("ssb") / (F.col("k") - 1))
             / (F.col("ssw") / (F.col("n_total") - F.col("k"))),
@@ -294,7 +300,7 @@ agg AS (
          sum(t) AS n
   FROM ranked
 )
-SELECT n1, n2,
+SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
        round(r1, 2) AS rank_sum_1,
        round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u1,
        round(n1 * n2 - (r1 - n1 * (n1 + 1) / 2.0), 2) AS u2,
@@ -314,12 +320,12 @@ def mann_whitney_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     normal-approx p-value is driver-side math like the other H-family
     tests (components are the oracle-checked part).
 
-    Scale: one filter-scan, one groupBy(value), one ordered cumulative
-    window, one 1-row agg — ranks never materialize per input row. The
-    cumulative runs on the VALUE-COMPRESSED domain (distinct values,
-    not rows); if even that domain outgrows one task, range-partition
-    it and add per-partition prefix offsets (two passes, same result)."""
-    from pyspark.sql import Window
+    Scale: one filter-scan, one groupBy(value), then the cumulative rank
+    over the VALUE-COMPRESSED domain runs as a range-partitioned
+    two-pass prefix sum (parallel local cumsums + broadcast partition
+    offsets) — no global single-task window anywhere, ranks never
+    materialize per input row."""
+    from ..operators.windows import range_partitioned_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
     s = orders.filter(
@@ -331,8 +337,9 @@ def mann_whitney_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_v = s.groupBy("v").agg(
         F.count(F.lit(1)).alias("t"), F.sum("in1").alias("t1")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = by_v.withColumn("cum", F.sum("t").over(w)).select(
+    ranked = range_partitioned_cumsum(by_v, ["v"], ["t"]).withColumnRenamed(
+        "cum_t", "cum"
+    ).select(
         "v",
         "t",
         "t1",
@@ -387,8 +394,8 @@ c AS (
            / (SELECT sum(t2) FROM by_v) AS f2
   FROM by_v
 )
-SELECT (SELECT sum(t1) FROM by_v) AS n1,
-       (SELECT sum(t2) FROM by_v) AS n2,
+SELECT (SELECT sum(t1) FROM by_v)::BIGINT AS n1,
+       (SELECT sum(t2) FROM by_v)::BIGINT AS n2,
        round(max(abs(f1 - f2)), 6) AS ks_d
 FROM c
 """,
@@ -399,11 +406,14 @@ def ks_statistic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     are cumulative per-VALUE counts, so ties contribute one step on
     both engines.
 
-    Scale: groupBy(value) + one ordered cumulative window + a 1-row
-    max — the ECDF comparison never leaves the cluster; the distinct
-    grid is the data's own support, no binning error. Same
-    value-compressed-domain caveat as mann_whitney_components."""
-    from pyspark.sql import Window
+    Scale: groupBy(value), then the ECDF cumulatives over the
+    value-compressed domain run as a range-partitioned two-pass prefix
+    sum — no global single-task window, no driver-side eager job: the
+    totals stay in-plan via a broadcast crossJoin of the 1-row
+    aggregate, so the whole query is one lazy plan and n1/n2 are stable
+    bigints at any scale (empty input yields one all-null row on both
+    engines)."""
+    from ..operators.windows import range_partitioned_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
     s = orders.filter(
@@ -417,15 +427,21 @@ def ks_statistic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("in1")).alias("t2"),
     )
     tot = by_v.agg(
-        F.sum("t1").alias("n1"), F.sum("t2").alias("n2")
-    ).first()
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    c = by_v.select(
-        (F.sum("t1").over(w) / F.lit(float(tot["n1"]))).alias("f1"),
-        (F.sum("t2").over(w) / F.lit(float(tot["n2"]))).alias("f2"),
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum("t2").cast("long").alias("n2"),
+    )
+    c = range_partitioned_cumsum(by_v, ["v"], ["t1", "t2"]).crossJoin(
+        F.broadcast(tot)
     )
     return c.agg(
-        F.lit(tot["n1"]).alias("n1"),
-        F.lit(tot["n2"]).alias("n2"),
-        F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 6).alias("ks_d"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_t1") / F.col("n1") - F.col("cum_t2") / F.col("n2")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
     )

@@ -48,14 +48,19 @@ FROM d GROUP BY decile ORDER BY decile
 """,
 )
 def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ntile is a single-task sort at 100 TB — fine here because
-    the windowed set is the orders table's price column only and the
-    result is 10 rows; the scale path would two-phase via range
-    partitioning (repartitionByRange + per-partition offsets)."""
+    """Decile assignment over a global ordering — computed WITHOUT the
+    single-task global sort ntile implies: global rank comes from a
+    range-partitioned two-pass cumsum (parallel local prefix sums +
+    broadcast per-partition offsets), then the exact ntile bucket
+    formula. Identical output to ``ntile(10) OVER (ORDER BY ...)``
+    (the oracle keeps that form), but every stage is partition-parallel
+    at 100 TB."""
     orders = load_table(spark, sf_dir, "orders")
-    d = orders.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).cast("long")
-    )
+    d = W.range_partitioned_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        10,
+    ).withColumnRenamed("tile", "decile")
     return (
         d.groupBy("decile")
         .agg(

@@ -45,18 +45,56 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Names listed here are pinned to the front in this exact order; any
 # query not listed keeps its module registration order afterwards.
 PRIORITY: tuple[str, ...] = (
-    # pricing (flagship first — also the entry() smoke query)
+    # ---- round-3 window head: every oracle-backed query NOT yet
+    # driver-hash-green. The r1/r2-green queries they displace keep
+    # counting (cumulative driver-checked coverage strictly grows);
+    # tuned_nonlinear_regressor_metrics is evicted behind the window
+    # (it can only ever report err:no_oracle — a wasted slot).
+    # r2 reds fixed this round (HUGEINT ::BIGINT casts; ANOVA SS
+    # re-emitted in millions):
+    "anova_f_components",
+    "stratified_sample_by_lang",
+    "doc_chunking_stats",
+    "sequence_packing_stats",
+    # latent HUGEINT carriers, fixed before their first driver check:
+    "mann_whitney_components",
+    "ks_statistic_priority",
+    # locally-green queries that sat at positions 51+ in round 2:
+    "source_mixture_rebalance",
+    "embedding_centroid_by_label",
+    "keyword_search_bm25",
+    "lang_sampling_temperature",
+    "vocab_zipf_top20",
+    "incremental_dedup_accounting",
+    "pii_pseudonymize_customers",
+    "exact_cosine_pairs_blocked",
+    "top_unshipped_orders",
+    "nation_trade_flows",
+    "brand_supplier_variety",
+    "order_priority_islands",
+    "boilerplate_ngram_stats",
+    "grouping_sets_revenue",
+    "lineitem_unpivot_measure_stats",
+    "quality_weighted_sample",
+    "fpgrowth_rules_pruned",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "customer_peak_week_spend",
+    "signup_funnel_conversion",
+    "weekly_cohort_retention",
+    "click_purchase_attribution",
+    # round-3 additions (S1/S2/S3 scan+sink round-trips — first driver
+    # coverage of the CSV/JSONL paths):
+    "csv_roundtrip_order_stats",
+    "jsonl_roundtrip_part_stats",
+    # re-check: plan changed this round (global ntile → range-partitioned
+    # two-pass rank), value-identical by construction:
+    "order_value_deciles",
+    # ---- ballast to slot 50: r1/r2 hash-green queries re-confirmed;
+    # displaced one-for-one as new round-3 oracle queries land above
     "flagship_price_band_summary",
-    # round-3 training-data oracles take the slots of r01-hash-green
-    # pricing_summary_report and customers_without_orders (cumulative
-    # driver-checked coverage strictly grows); near_dup_keep_best is the
-    # first hard driver check of the connected-components operator
     "near_dup_keep_best",
     "quality_topq_by_lang",
-    # relational core (oracle-backed; top10_part_brands, region_revenue
-    # and top_segment_order_stats were hash-green in round 1 and cede
-    # their slots to round-2 oracles — cumulative driver-checked
-    # coverage strictly grows)
     "order_price_five_number_summary",
     "iqr_capped_price_stats",
     "fixed_bucket_order_counts",
@@ -72,75 +110,35 @@ PRIORITY: tuple[str, ...] = (
     "nation_set_operations",
     "salted_user_event_totals",
     "modal_priority_by_status",
+    # ---- positions 51+: previously driver-hash-green (r1∪r2) or
+    # rows-only; first in line if the driver's window ever exceeds 50
     "median_imputed_event_values",
     "account_holders_union",
     "avg_log_price_by_segment",
     "lineitem_profile_summary",
     "lineitem_correlation_matrix",
     "null_profile_events",
-    # statistical-test components (oracle-backed)
     "welch_t_components",
-    "anova_f_components",
     "tukey_pairwise_components",
     "pearson_r_components",
     "chi2_independence_components",
-    # window functions (oracle-backed)
     "customer_running_spend",
-    "order_value_deciles",
     "big_spenders_vs_segment",
     "asof_last_event_before_order",
     "gap_filled_hourly_events",
     "segment_spend_regression_slope",
     "user_value_moving_avg",
     "event_rank_and_share_per_user",
-    # approximate-pipeline recall oracles (brute-force-checked)
     "minhash_lsh_recall_pairs",
     "simhash_hamming_pairs_exact",
     "embedding_near_dup_recall",
     "lsh_knn_join_top1",
     "ivf_knn_join_top1",
-    # M8 tuned-model slot (rows-only — CV internals aren't SQL)
-    "tuned_nonlinear_regressor_metrics",
-    # training-data pipeline oracles (sampling/chunking/packing/quality);
-    # the event-stream oracles these displace were hash-green in round 1,
-    # so cumulative driver-checked coverage strictly grows
-    "stratified_sample_by_lang",
-    "doc_chunking_stats",
-    "sequence_packing_stats",
     "doc_repetition_quality",
     "eval_contamination_check",
     "keyword_search_tfidf",
     "customer_upsert_merge_accounting",
-    # positions 51+: first in line if the driver's window exceeds 50
-    # (all locally oracle-verified at sf0.001 and sf0.01)
-    "source_mixture_rebalance",
-    "embedding_centroid_by_label",
-    "keyword_search_bm25",
-    "lang_sampling_temperature",
-    "vocab_zipf_top20",
-    "incremental_dedup_accounting",
-    "pii_pseudonymize_customers",
-    "exact_cosine_pairs_blocked",
-    # round-2 additions (multi-join analytics, gaps-and-islands,
-    # cross-doc boilerplate) — all locally oracle-verified; rotate into
-    # the head window in a later round once the current head is green
-    "top_unshipped_orders",
-    "nation_trade_flows",
-    "brand_supplier_variety",
-    "order_priority_islands",
-    "boilerplate_ngram_stats",
-    "grouping_sets_revenue",
-    "lineitem_unpivot_measure_stats",
-    "quality_weighted_sample",
-    "fpgrowth_rules_pruned",
-    "customer_order_distribution",
-    "small_quantity_revenue",
-    "customer_peak_week_spend",
-    "mann_whitney_components",
-    "ks_statistic_priority",
-    "signup_funnel_conversion",
-    "weekly_cohort_retention",
-    "click_purchase_attribution",
+    "tuned_nonlinear_regressor_metrics",
 )
 
 
@@ -158,6 +156,7 @@ def load_all() -> None:
         mlmodels,
         pricing,
         relational,
+        sourcesio,
         statistics,
         windows,
     )

@@ -30,6 +30,13 @@ def write_csv_single(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
 
 
+def write_csv(df: DataFrame, path: str) -> None:
+    """Distributed CSV sink (header per part-file): the scale form of the
+    CSV sink — one part per task, no single-task funnel. Doubles are
+    written in shortest-round-trip form, so a typed re-read is lossless."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
 def write_jsonl(df: DataFrame, path: str) -> None:
     """JSON-lines sink (interchange format — one object per line, gzip
     per part). Timestamps serialize ISO-8601; round-trip with an

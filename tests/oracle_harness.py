@@ -49,15 +49,36 @@ def _cell_equal(a, b) -> bool:
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        # the driver hashes exact values: both sides round their doubles,
+        # so post-round values must be bit-equal (tiny absolute epsilon
+        # only for float-repr noise) — a relative tolerance here would
+        # hide real driver-hash divergence at large magnitudes
+        return fa == fb or abs(fa - fb) <= 1e-12
     return a == b
 
 
 def compare(spark_df, oracle_pd: pd.DataFrame, name: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty = match)."""
-    got = normalize(spark_df.toPandas())
-    want = normalize(oracle_pd)
+    """Return a list of mismatch descriptions (empty = match).
+
+    Type-strict: the driver's value hash is type-sensitive (round 2:
+    DuckDB ``sum(BIGINT)`` → HUGEINT hash-red against Spark long with
+    bit-equal values), so dtype mismatches fail BEFORE value compare —
+    local green must predict driver green."""
+    got_raw, want_raw = spark_df.toPandas(), oracle_pd
     problems: list[str] = []
+    for c in sorted(set(got_raw.columns) & set(want_raw.columns)):
+        gd, wd = got_raw[c].dtype, want_raw[c].dtype
+        if pd.api.types.is_datetime64_any_dtype(gd) and pd.api.types.is_datetime64_any_dtype(wd):
+            continue
+        if str(gd) != str(wd):
+            problems.append(
+                f"{name}.{c}: dtype mismatch spark={gd} oracle={wd} "
+                "(driver hash is type-sensitive — cast the oracle or the query)"
+            )
+    if problems:
+        return problems
+    got = normalize(got_raw)
+    want = normalize(want_raw)
     if list(got.columns) != list(want.columns):
         return [f"{name}: schema mismatch spark={list(got.columns)} oracle={list(want.columns)}"]
     if len(got) != len(want):
