@@ -120,6 +120,14 @@ HEADLINE: list[str] = [
     "signup_funnel_conversion",
     "weekly_cohort_retention",
     "click_purchase_attribution",
+    "csv_roundtrip_order_stats",
+    "jsonl_roundtrip_part_stats",
+    "regional_same_nation_revenue",
+    "top_returned_customers",
+    "orders_monthly_yoy",
+    "customer_rfm_segments",
+    "event_transition_counts",
+    "doc_unigram_entropy",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

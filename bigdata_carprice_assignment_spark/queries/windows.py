@@ -408,3 +408,61 @@ def customer_peak_week_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.max("trailing"), 2).alias("peak_7day_spend"))
         .orderBy("custkey")
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+WITH m AS (
+  SELECT o_custkey AS c_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS n_orders,
+         sum(o_totalprice) AS monetary
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT c_custkey,
+         ntile(4) OVER (ORDER BY last_order, c_custkey) AS r_tile,
+         ntile(4) OVER (ORDER BY n_orders, c_custkey) AS f_tile,
+         ntile(4) OVER (ORDER BY monetary, c_custkey) AS m_tile
+  FROM m
+)
+SELECT r_tile::BIGINT AS r_tile, f_tile::BIGINT AS f_tile,
+       m_tile::BIGINT AS m_tile, count(*) AS n_customers
+FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency/frequency/monetary quartiles), the
+    classic customer-scoring rollup — and the production consumer of
+    :func:`range_partitioned_ntile`: all three quartile assignments run
+    as range-partitioned two-pass ranks, no single-task global sort
+    anywhere (the oracle states the same semantics with plain ntile).
+    Each ordering carries the custkey tiebreak, so tile boundaries are
+    engine-deterministic even on tied metrics.
+
+    Scale: one shuffle to the per-customer aggregate, then three range
+    exchanges over customer-cardinality rows; the segment rollup is ≤64
+    rows."""
+    from ..operators.windows import range_partitioned_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    t = m
+    for metric, out in (
+        ("last_order", "r_tile"),
+        ("n_orders", "f_tile"),
+        ("monetary", "m_tile"),
+    ):
+        t = range_partitioned_ntile(
+            t, [metric, "c_custkey"], 4
+        ).withColumnRenamed("tile", out)
+    return (
+        t.groupBy("r_tile", "f_tile", "m_tile")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_tile", "f_tile", "m_tile")
+    )

@@ -90,6 +90,15 @@ PRIORITY: tuple[str, ...] = (
     # re-check: plan changed this round (global ntile → range-partitioned
     # two-pass rank), value-identical by construction:
     "order_value_deciles",
+    # round-3 additions, wave 2 (TPC-H Q5/Q10 shapes, calendar YoY,
+    # RFM quartiles on the range-partitioned ntile, event transition
+    # matrix, per-doc unigram entropy):
+    "regional_same_nation_revenue",
+    "top_returned_customers",
+    "orders_monthly_yoy",
+    "customer_rfm_segments",
+    "event_transition_counts",
+    "doc_unigram_entropy",
     # ---- ballast to slot 50: r1/r2 hash-green queries re-confirmed;
     # displaced one-for-one as new round-3 oracle queries land above
     "flagship_price_band_summary",
@@ -104,14 +113,14 @@ PRIORITY: tuple[str, ...] = (
     "largest_order_per_customer",
     "returnflag_linestatus_crosstab",
     "qty_pivot_by_linestatus",
+    # ---- positions 51+: previously driver-hash-green (r1∪r2) or
+    # rows-only; first in line if the driver's window ever exceeds 50
     "nation_distinct_suppliers",
     "rollup_revenue_region_nation",
     "cube_qty_by_flag_status",
     "nation_set_operations",
     "salted_user_event_totals",
     "modal_priority_by_status",
-    # ---- positions 51+: previously driver-hash-green (r1∪r2) or
-    # rows-only; first in line if the driver's window ever exceeds 50
     "median_imputed_event_values",
     "account_holders_union",
     "avg_log_price_by_segment",

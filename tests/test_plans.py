@@ -121,3 +121,29 @@ def test_unpivot_has_no_extra_shuffle(spark, sf_smoke):
 
     df = lineitem_unpivot_measure_stats(spark, sf_smoke)
     assert X.count_exchanges(df) <= 2, X.formatted_plan(df)
+
+
+def test_no_partitionless_windows_in_registered_queries(spark, sf_smoke):
+    """Scale gate: every window in every oracle-backed registered query
+    declares a partition spec. A partitionless ``Window.orderBy`` funnels
+    the whole input through ONE task — the round-2 scale-killers (global
+    ntile, pooled-rank, ECDF cumsum) are now range-partitioned two-pass
+    cumsums. Deliberate bounded single-partition windows (offsets over a
+    num_ranges-row aggregate, a LIMIT-k candidate frame) are marked in
+    code with ``partitionBy(F.lit(0))``, which the analyzed plan shows as
+    a constant partition key — so this gate scans the ANALYZED plan,
+    where the convention is visible before constant folding erases it."""
+    import re
+
+    from bigdata_carprice_assignment_spark import registry
+
+    registry.load_all()
+    offenders: list[str] = []
+    for name in sorted(registry.ORACLES):
+        df = registry.QUERIES[name](spark, sf_smoke)
+        txt = df._jdf.queryExecution().analyzed().toString()
+        for m in re.finditer(r"windowspecdefinition\(([^,]*),", txt):
+            first_arg = m.group(1)
+            if re.search(r"(ASC NULLS|DESC NULLS)", first_arg):
+                offenders.append(f"{name}: windowspecdefinition({first_arg}, ...")
+    assert not offenders, "\n".join(offenders)
