@@ -128,6 +128,18 @@ HEADLINE: list[str] = [
     "customer_rfm_segments",
     "event_transition_counts",
     "doc_unigram_entropy",
+    "hll_distinct_check",
+    "approx_quantile_check",
+    "ship_lag_quantiles_by_priority",
+    "idle_suppliers_recent",
+    "revenue_share_within_region",
+    "part_type_brand_rank",
+    "brand_name_edit_distances",
+    "daily_new_and_cumulative_users",
+    "last_event_type_per_user",
+    "session_entry_conversion",
+    "hourly_count_anomalies",
+    "doc_length_bands_by_source",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

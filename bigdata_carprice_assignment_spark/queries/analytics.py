@@ -539,3 +539,290 @@ def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mo")
     )
+
+
+@query(
+    "hll_distinct_check",
+    oracle="""
+SELECT count(DISTINCT l_partkey)::BIGINT AS exact_distinct_parts,
+       count(DISTINCT l_suppkey)::BIGINT AS exact_distinct_suppliers,
+       true AS parts_approx_within_5pct,
+       true AS suppliers_approx_within_5pct
+FROM lineitem
+""",
+)
+def hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch gate for approximate distinct counting: Spark's
+    HyperLogLog++ (``approx_count_distinct``, rsd=0.01) must land within
+    5% of the exact distinct count, asserted IN the result so the driver
+    hash fails if the sketch ever drifts — the exact counts ride along.
+    (The oracle can't reproduce Spark's HLL registers; it states the
+    exact counts and the expected-true gates. HLL merge is commutative,
+    so the approx value is partitioning-independent and deterministic.)
+
+    Scale: this is the operator you reach for FIRST at 100 TB — one
+    map-side sketch per partition, constant memory, no shuffle of keys;
+    the exact count here is the audit, not the product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(approx - exact) <= 0.05 * exact
+    )
+    return li.agg(
+        F.count_distinct(F.col("l_partkey")).alias("exact_distinct_parts"),
+        F.count_distinct(F.col("l_suppkey")).alias("exact_distinct_suppliers"),
+        within(
+            F.approx_count_distinct("l_partkey", 0.01),
+            F.count_distinct(F.col("l_partkey")),
+        ).alias("parts_approx_within_5pct"),
+        within(
+            F.approx_count_distinct("l_suppkey", 0.01),
+            F.count_distinct(F.col("l_suppkey")),
+        ).alias("suppliers_approx_within_5pct"),
+    )
+
+
+@query(
+    "approx_quantile_check",
+    oracle="""
+SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS exact_median,
+       round(quantile_cont(o_totalprice, 0.95), 2) AS exact_p95,
+       true AS median_approx_within_1pct,
+       true AS p95_approx_within_1pct
+FROM orders
+""",
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch gate for approximate quantiles: ``percentile_approx``
+    (Greenwald-Khanna, accuracy 10000) must land within 1% of the exact
+    type-7 percentile, asserted in-result like hll_distinct_check. The
+    exact median/p95 are the audit values the oracle reproduces with
+    ``quantile_cont``.
+
+    Scale: GK sketches merge associatively — single pass, bounded
+    memory, no sort; the exact percentile is the verification path."""
+    orders = load_table(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, array(0.5, 0.95))")
+    approx = F.expr("percentile_approx(o_totalprice, array(0.5, 0.95), 10000)")
+    a = orders.agg(exact.alias("ex"), approx.alias("ap"))
+    within = lambda i: (  # noqa: E731
+        F.abs(F.col("ap")[i] - F.col("ex")[i]) <= 0.01 * F.col("ex")[i]
+    )
+    return a.select(
+        F.round(F.col("ex")[0], 2).alias("exact_median"),
+        F.round(F.col("ex")[1], 2).alias("exact_p95"),
+        within(0).alias("median_approx_within_1pct"),
+        within(1).alias("p95_approx_within_1pct"),
+    )
+
+
+@query(
+    "ship_lag_quantiles_by_priority",
+    oracle="""
+WITH lag AS (
+  SELECT o_orderpriority,
+         date_diff('day', o_orderdate, l_shipdate) AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(quantile_cont(lag_days, 0.25), 4) AS p25,
+       round(quantile_cont(lag_days, 0.50), 4) AS p50,
+       round(quantile_cont(lag_days, 0.75), 4) AS p75,
+       round(quantile_cont(lag_days, 0.95), 4) AS p95
+FROM lag GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def ship_lag_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship fulfillment lag (days) with exact per-priority
+    quantiles — date arithmetic on the fact-fact join plus the exact
+    type-7 percentile reduction (interpolation arithmetic is exact on
+    integer day counts, so 4dp rounding is engine-stable).
+
+    Scale: orders⋈lineitem shuffles on orderkey; exact percentile
+    aggregates per group (5 groups) — at 100 TB swap in the GK sketch
+    gate (approx_quantile_check) if the per-group sort memory bites."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lag_days"),
+    )
+    q = F.expr("percentile(lag_days, array(0.25, 0.5, 0.75, 0.95))")
+    a = lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"), q.alias("q")
+    )
+    return a.select(
+        "o_orderpriority",
+        "n_items",
+        F.round(F.col("q")[0], 4).alias("p25"),
+        F.round(F.col("q")[1], 4).alias("p50"),
+        F.round(F.col("q")[2], 4).alias("p75"),
+        F.round(F.col("q")[3], 4).alias("p95"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "idle_suppliers_recent",
+    oracle="""
+SELECT count(*) AS n_idle,
+       round(sum(s_acctbal), 2) AS idle_acctbal_total
+FROM supplier s
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey
+    AND l.l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+)
+""",
+)
+def idle_suppliers_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with NO shipment after the cutoff — NOT EXISTS as a
+    LEFT ANTI join (the decorrelated form Catalyst rewrites to).
+
+    Scale: the shipdate filter pushes to the lineitem scan and the
+    anti join needs only the filtered side's distinct suppkeys; AQE
+    broadcasts that side when it fits (it is |suppliers|-bounded)."""
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    supp = load_table(spark, sf_dir, "supplier")
+    active = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(active, supp.s_suppkey == active.l_suppkey, "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_idle"),
+            F.round(F.sum("s_acctbal"), 2).alias("idle_acctbal_total"),
+        )
+    )
+
+
+@query(
+    "revenue_share_within_region",
+    oracle="""
+WITH nr AS (
+  SELECT r_name, n_name,
+         sum(o_totalprice) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       round(rev, 2) AS revenue,
+       round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS region_share
+FROM nr ORDER BY r_name, n_name
+""",
+)
+def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup: nation revenue and its share of the
+    region total — the window-over-aggregate share pattern (no second
+    scan, no join back of totals).
+
+    Scale: dims broadcast onto orders, one shuffle to the 25-row
+    (region, nation) grain; the share window runs on that grain."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    dim = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+    nr = (
+        orders.join(F.broadcast(cust.join(F.broadcast(dim), cust.c_nationkey == dim.n_nationkey)),
+                    F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return nr.select(
+        "r_name",
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("region_share"),
+    ).orderBy("r_name", "n_name")
+
+
+@query(
+    "part_type_brand_rank",
+    oracle="""
+WITH tb AS (
+  SELECT p_type, p_brand,
+         round(sum(l_extendedprice), 2) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, p_brand
+),
+r AS (
+  SELECT p_type, p_brand, revenue,
+         (dense_rank() OVER (PARTITION BY p_type
+              ORDER BY revenue DESC, p_brand))::BIGINT AS brand_rank
+  FROM tb
+)
+SELECT p_type, p_brand, revenue, brand_rank
+FROM r WHERE brand_rank <= 3
+ORDER BY p_type, brand_rank, p_brand
+""",
+)
+def part_type_brand_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 brands by revenue within each part type — dense_rank over
+    the (type, brand) aggregate, ranked on the ROUNDED revenue with a
+    brand tiebreak so the cut is engine-deterministic.
+
+    Scale: part broadcasts onto lineitem; the rank window partitions by
+    p_type over the |types|×|brands| aggregate, never the fact table."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    tb = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("p_type").orderBy(F.desc("revenue"), "p_brand")
+    return (
+        tb.withColumn("brand_rank", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("brand_rank") <= 3)
+        .orderBy("p_type", "brand_rank", "p_brand")
+    )
+
+
+@query(
+    "brand_name_edit_distances",
+    oracle="""
+WITH b AS (SELECT DISTINCT p_brand FROM part)
+SELECT a.p_brand AS brand_a, c.p_brand AS brand_b,
+       levenshtein(a.p_brand, c.p_brand)::BIGINT AS edit_distance
+FROM b a JOIN b c ON a.p_brand < c.p_brand
+WHERE levenshtein(a.p_brand, c.p_brand) <= 2
+ORDER BY brand_a, brand_b
+""",
+)
+def brand_name_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-hygiene fuzzy matching: brand-name pairs within
+    Levenshtein distance 2 (typo/variant candidates) over the DISTINCT
+    brand domain — the entity-resolution primitive for dimension
+    cleanup.
+
+    Scale: the distinct reduces to the brand domain (dozens) BEFORE the
+    quadratic self-join, so the edit-distance compute is
+    |brands|²-bounded regardless of fact size; at genuinely large
+    domains swap in banded q-gram blocking first (same candidate→verify
+    shape as the dedup family)."""
+    b = load_table(spark, sf_dir, "part").select("p_brand").distinct()
+    a = b.select(F.col("p_brand").alias("brand_a"))
+    c = b.select(F.col("p_brand").alias("brand_b"))
+    dist = F.levenshtein(F.col("brand_a"), F.col("brand_b"))
+    return (
+        a.join(c, F.col("brand_a") < F.col("brand_b"))
+        .filter(dist <= 2)
+        .select(
+            "brand_a", "brand_b", dist.cast("long").alias("edit_distance")
+        )
+        .orderBy("brand_a", "brand_b")
+    )

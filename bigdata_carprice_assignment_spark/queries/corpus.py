@@ -391,3 +391,61 @@ def doc_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "doc_length_bands_by_source",
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.50) AS q2,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents
+),
+banded AS (
+  SELECT source,
+         CASE WHEN n_chars <= q1 THEN 'Q1_short'
+              WHEN n_chars <= q2 THEN 'Q2'
+              WHEN n_chars <= q3 THEN 'Q3'
+              ELSE 'Q4_long' END AS length_band,
+         n_chars
+  FROM documents, q
+)
+SELECT source, length_band,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars
+FROM banded GROUP BY source, length_band ORDER BY source, length_band
+""",
+)
+def doc_length_bands_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length quartile bands per source (the length-balance
+    report a corpus mix is tuned against): exact global quartile cut
+    points, a CASE ladder band assignment, per-(source, band) rollup.
+    Same two-pass shape as the flagship price-band query — cut points
+    from one exact-percentile aggregate broadcast back, NO global sort.
+
+    Boundary semantics are `<=` on exact type-7 cut points computed from
+    integer n_chars, identical on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.agg(
+        F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))").alias("q")
+    ).select(
+        F.col("q")[0].alias("q1"), F.col("q")[1].alias("q2"), F.col("q")[2].alias("q3")
+    )
+    banded = docs.crossJoin(F.broadcast(q)).select(
+        "source",
+        "n_chars",
+        F.when(F.col("n_chars") <= F.col("q1"), "Q1_short")
+        .when(F.col("n_chars") <= F.col("q2"), "Q2")
+        .when(F.col("n_chars") <= F.col("q3"), "Q3")
+        .otherwise("Q4_long")
+        .alias("length_band"),
+    )
+    return (
+        banded.groupBy("source", "length_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("source", "length_band")
+    )

@@ -439,3 +439,220 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "daily_new_and_cumulative_users",
+    oracle="""
+WITH fs AS (
+  SELECT user_id, min(ts::DATE) AS first_day FROM events GROUP BY user_id
+),
+d AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY first_day)
+SELECT strftime(first_day, '%Y-%m-%d') AS day,
+       new_users,
+       (sum(new_users) OVER (ORDER BY first_day
+            ROWS UNBOUNDED PRECEDING))::BIGINT AS cumulative_users
+FROM d ORDER BY day
+""",
+)
+def daily_new_and_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-growth accounting: each user's first-seen day, daily new
+    users, and the cumulative user count — the running-distinct problem
+    solved the scale-correct way (min-per-user first, so the cumulative
+    window runs over |days| rows, never a distinct-over-window on the
+    event stream).
+
+    The bounded cumulative uses the constant-key partition convention
+    (input is the per-day aggregate — tens of rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    d = fs.groupBy("first_day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("cumulative_users", F.sum("new_users").over(w))
+        .select(
+            F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            "cumulative_users",
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "last_event_type_per_user",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type AS last_type, count(*) AS n_users
+FROM r WHERE rn = 1 GROUP BY last_type ORDER BY last_type
+""",
+)
+def last_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user latest event via the MAX_BY aggregate (argmax as ONE
+    hash aggregate with map-side partials — no window, no sort; the
+    aggregate dual of the window-based largest_order_per_customer). The
+    ordering key is a (ts, event_id) struct, so ties resolve identically
+    across engines; the oracle states the same semantics as a
+    row_number() argmax."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                "event_type", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("last_type")
+        )
+        .groupBy("last_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("last_type")
+    )
+
+
+@query(
+    "session_entry_conversion",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+entry AS (
+  SELECT user_id, session_id, event_type AS entry_type,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rn
+  FROM sess
+),
+conv AS (
+  SELECT user_id, session_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM sess GROUP BY user_id, session_id
+),
+per AS (
+  SELECT e.entry_type, c.converted
+  FROM entry e JOIN conv c USING (user_id, session_id)
+  WHERE e.rn = 1
+)
+SELECT entry_type,
+       count(*) AS n_sessions,
+       sum(converted)::BIGINT AS n_converted,
+       round(sum(converted) / count(*), 6) AS conversion_rate
+FROM per GROUP BY entry_type ORDER BY entry_type
+""",
+)
+def session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by session ENTRY event: sessionize (30-min gap,
+    microsecond-long math), take each session's first event as the
+    entry, flag sessions containing a purchase, and rate by entry type —
+    the landing-page-conversion shape over the sessionizer.
+
+    Scale: the session assignment is the user-partitioned window pair
+    from user_sessionization; the entry/conversion reduction is one
+    MIN_BY/MAX aggregate per session (no second window), and the final
+    rollup is |event_types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                    > 1_800_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(run))
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", F.struct(F.col("ts"), F.col("event_id"))).alias(
+            "entry_type"
+        ),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("converted"),
+    )
+    return (
+        per.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").alias("n_converted"),
+            F.round(F.sum("converted") / F.count(F.lit(1)), 6).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("entry_type")
+    )
+
+
+@query(
+    "hourly_count_anomalies",
+    oracle="""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+  FROM events GROUP BY event_type, hr
+),
+s AS (
+  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+  FROM h GROUP BY event_type
+)
+SELECT h.event_type AS event_type,
+       strftime(h.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       n AS n_events,
+       round((n - mu) / sd, 4) AS z_score
+FROM h JOIN s ON h.event_type = s.event_type
+WHERE abs((n - mu) / sd) > 2.5
+ORDER BY 1, 2
+""",
+)
+def hourly_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type, z-scored
+    against that type's own hourly distribution, flagging |z| > 2.5 —
+    the monitoring rollup a pipeline runs on its ingest stream.
+
+    Scale: one hash aggregate to (type, hour) grain, a |types|-row
+    stats aggregate broadcast back, and a scan-thin filter; no windows
+    at all."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    s = h.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        h.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("n").alias("n_events"),
+            F.round(z, 4).alias("z_score"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -99,8 +99,24 @@ PRIORITY: tuple[str, ...] = (
     "customer_rfm_segments",
     "event_transition_counts",
     "doc_unigram_entropy",
-    # ---- ballast to slot 50: r1/r2 hash-green queries re-confirmed;
-    # displaced one-for-one as new round-3 oracle queries land above
+    # round-3 additions, wave 3 (sketch gates, date-math quantiles,
+    # anti-join accounting, percent-of-parent shares, fuzzy matching,
+    # growth accounting, argmax aggregates, sessionized conversion,
+    # anomaly z-scores, doc length bands):
+    "hll_distinct_check",
+    "approx_quantile_check",
+    "ship_lag_quantiles_by_priority",
+    "idle_suppliers_recent",
+    "revenue_share_within_region",
+    "part_type_brand_rank",
+    "brand_name_edit_distances",
+    "daily_new_and_cumulative_users",
+    "last_event_type_per_user",
+    "session_entry_conversion",
+    "hourly_count_anomalies",
+    "doc_length_bands_by_source",
+    # ---- positions 51+: previously driver-hash-green (r1∪r2) or
+    # rows-only; first in line if the driver's window ever exceeds 50
     "flagship_price_band_summary",
     "near_dup_keep_best",
     "quality_topq_by_lang",
@@ -113,8 +129,6 @@ PRIORITY: tuple[str, ...] = (
     "largest_order_per_customer",
     "returnflag_linestatus_crosstab",
     "qty_pivot_by_linestatus",
-    # ---- positions 51+: previously driver-hash-green (r1∪r2) or
-    # rows-only; first in line if the driver's window ever exceeds 50
     "nation_distinct_suppliers",
     "rollup_revenue_region_nation",
     "cube_qty_by_flag_status",
