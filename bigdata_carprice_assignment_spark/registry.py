@@ -116,7 +116,10 @@ PRIORITY: tuple[str, ...] = (
     "hourly_count_anomalies",
     "doc_length_bands_by_source",
     # ---- positions 51+: previously driver-hash-green (r1∪r2) or
-    # rows-only; first in line if the driver's window ever exceeds 50
+    # rows-only; first in line if the driver's window ever exceeds 50.
+    # events_near_order_activity (bucketed interval join) is newest —
+    # rotate it into the head in round 4.
+    "events_near_order_activity",
     "flagship_price_band_summary",
     "near_dup_keep_best",
     "quality_topq_by_lang",
