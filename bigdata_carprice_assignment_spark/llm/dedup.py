@@ -248,7 +248,14 @@ def connected_components(
     re-join onto themselves so a chain halves every iteration —
     O(log diameter) rounds, the large-star/small-star idea from
     Kiveris et al. 2014). Raises RuntimeError if the loop exits without
-    converging — never silently returns split components."""
+    converging — never silently returns split components.
+
+    Lifecycle note: each iteration's localCheckpoint pins label-table
+    blocks (two longs per node) until session GC — bounded by the
+    O(log diameter) iteration count within one call, and unlike the
+    non-iterative barriers (which use plans/materialize.pinned) these
+    CANNOT be pooled: freeing a checkpoint invalidates every plan built
+    on it, so the blocks must outlive the returned DataFrame."""
     n_edges = edges.count()
     if n_edges <= local_threshold:
         parent: dict = {}
