@@ -123,6 +123,51 @@ def test_unpivot_has_no_extra_shuffle(spark, sf_smoke):
     assert X.count_exchanges(df) <= 2, X.formatted_plan(df)
 
 
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_smoke):
+    """100 TB regime check: when a selective dim side CANNOT broadcast
+    (the fact-fact case), Spark injects a runtime Bloom filter from the
+    filtered creation side into the application side's scan — rows that
+    can't join are dropped BEFORE the shuffle. Locally the fact scan is
+    far below the 10 GB application-side threshold, so the test lowers
+    it to emulate the big-fact regime and disables broadcast to get the
+    shuffle join; at scale both conditions hold naturally (the conf is
+    on by default in our session factory's Spark version). The inverse
+    is asserted too: a broadcast join gets NO bloom filter — broadcast
+    already prunes at the probe, so the filter would be pure overhead."""
+    from pyspark.sql import functions as F
+
+    def build():
+        # rebuilt per conf change — a Dataset caches its QueryExecution,
+        # so a plan constructed before conf changes never re-optimizes
+        orders = load_table(spark, sf_smoke, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_smoke, "lineitem")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+
+    def optimized(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().lower()
+
+    assert "bloom" not in optimized(build())  # broadcast path: no filter
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        plan = optimized(build())
+        assert "bloom" in plan, plan[:2000]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+
+
 def test_no_partitionless_windows_in_registered_queries(spark, sf_smoke):
     """Scale gate: every window in every oracle-backed registered query
     declares a partition spec. A partitionless ``Window.orderBy`` funnels
