@@ -141,6 +141,7 @@ HEADLINE: list[str] = [
     "hourly_count_anomalies",
     "doc_length_bands_by_source",
     "events_near_order_activity",
+    "doc_bigram_logprob_quality",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

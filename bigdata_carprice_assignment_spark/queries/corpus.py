@@ -449,3 +449,102 @@ def doc_length_bands_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "length_band")
     )
+
+
+@query(
+    "doc_bigram_logprob_quality",
+    oracle=r"""
+WITH tk AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> toks[i] || ' ' || toks[i+1])) AS bigram,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> toks[i])) AS w1
+  FROM tk WHERE len(toks) >= 2
+),
+bc AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY bigram),
+uc AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+scored AS (
+  SELECT bg.doc_id, bg.lang,
+         ln(bc.cb / uc.cu) AS lp
+  FROM bg JOIN bc ON bg.bigram = bc.bigram
+          JOIN uc ON bg.w1 = uc.w1
+),
+per_doc AS (
+  SELECT doc_id, lang, avg(lp) + 0.0 AS doc_lp, count(*) AS n_bigrams
+  FROM scored GROUP BY doc_id, lang
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_bigrams)::BIGINT AS total_bigrams,
+       round(avg(doc_lp), 6) AS avg_logprob,
+       round(min(doc_lp), 6) AS min_logprob
+FROM per_doc GROUP BY lang ORDER BY lang
+""",
+)
+def doc_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet idea with a bigram LM
+    trained on the corpus itself): every document's mean conditional
+    bigram log-probability ln P(w2|w1) = ln(c(w1 w2)/c(w1)), rolled up
+    per language. Low scores flag incoherent token soup; repeated
+    boilerplate scores artificially HIGH — use with the entropy and
+    repetition signals, not instead of them.
+
+    Scale: two count aggregates over the exploded bigram stream (map-
+    side partials), joined back on the bigram/unigram keys — the
+    self-train + score pipeline is three shuffles on n-gram keys, no
+    model state, no driver. Counts are conditioned on the bigram
+    stream's OWN w1 occurrences (last token of each doc drops out), so
+    probabilities are properly normalized without smoothing: every
+    scored bigram exists in the counts by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    tk = docs.select("doc_id", "lang", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = tk.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                    ).alias("bigram"),
+                    F.element_at("toks", i).alias("w1"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", "p.bigram", "p.w1")
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    scored = (
+        bg.join(bc, "bigram")
+        .join(uc, "w1")
+        .select(
+            "doc_id",
+            "lang",
+            F.log(F.col("cb") / F.col("cu")).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        (F.avg("lp") + F.lit(0.0)).alias("doc_lp"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+            F.round(F.avg("doc_lp"), 6).alias("avg_logprob"),
+            F.round(F.min("doc_lp"), 6).alias("min_logprob"),
+        )
+        .orderBy("lang")
+    )

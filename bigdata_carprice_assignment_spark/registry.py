@@ -120,6 +120,7 @@ PRIORITY: tuple[str, ...] = (
     # events_near_order_activity (bucketed interval join) is newest —
     # rotate it into the head in round 4.
     "events_near_order_activity",
+    "doc_bigram_logprob_quality",
     "flagship_price_band_summary",
     "near_dup_keep_best",
     "quality_topq_by_lang",
