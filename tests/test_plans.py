@@ -123,6 +123,29 @@ def test_unpivot_has_no_extra_shuffle(spark, sf_smoke):
     assert X.count_exchanges(df) <= 2, X.formatted_plan(df)
 
 
+def test_q10_pushes_returnflag_and_broadcasts_nation(spark, sf_smoke):
+    from bigdata_carprice_assignment_spark.queries.analytics import (
+        top_returned_customers,
+    )
+
+    df = top_returned_customers(spark, sf_smoke)
+    assert X.has_pushed_filter(df, "l_returnflag"), X.formatted_plan(df)
+    assert X.uses_broadcast_join(df), X.formatted_plan(df)
+
+
+def test_q5_broadcasts_region_pruned_dims(spark, sf_smoke):
+    from bigdata_carprice_assignment_spark.queries.analytics import (
+        regional_same_nation_revenue,
+    )
+
+    df = regional_same_nation_revenue(spark, sf_smoke)
+    plan = X.formatted_plan(df)
+    assert X.uses_broadcast_join(df), plan
+    # the same-nation predicate rides the supplier broadcast join — no
+    # extra exchange beyond the two fact shuffles + final agg/sort
+    assert X.count_exchanges(df) <= 4, plan
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_smoke):
     """100 TB regime check: when a selective dim side CANNOT broadcast
     (the fact-fact case), Spark injects a runtime Bloom filter from the
