@@ -140,7 +140,7 @@ HEADLINE: list[str] = [
     "session_entry_conversion",
     "hourly_count_anomalies",
     "doc_length_bands_by_source",
-    "events_near_order_activity",
+    "clicks_near_purchase_activity",
     "doc_bigram_logprob_quality",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as

@@ -659,76 +659,71 @@ def hourly_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_near_order_activity",
+    "clicks_near_purchase_activity",
     oracle="""
-WITH per AS (
-  SELECT o.o_orderkey, o.o_orderpriority,
-         (SELECT count(*) FROM events e
-          WHERE e.user_id = o.o_custkey
-            AND abs(epoch_us(e.ts) - epoch_us(o.o_orderdate))
-                  <= 86400000000) AS n_nearby
-  FROM orders o
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+per AS (
+  SELECT p.event_id, p.user_id,
+         (SELECT count(*) FROM events c
+          WHERE c.user_id = p.user_id AND c.event_type = 'click'
+            AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 7200000000) AS n_nearby
+  FROM p
 )
-SELECT o_orderpriority,
-       count(*) AS n_orders,
-       sum(CASE WHEN n_nearby > 0 THEN 1 ELSE 0 END)::BIGINT
-         AS n_with_activity,
-       sum(n_nearby)::BIGINT AS total_nearby_events,
-       round(avg(n_nearby), 6) AS avg_nearby_events
-FROM per GROUP BY o_orderpriority ORDER BY o_orderpriority
+SELECT n_nearby AS n_nearby_clicks,
+       count(*) AS n_purchases
+FROM per GROUP BY n_nearby ORDER BY n_nearby
 """,
 )
-def events_near_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERVAL JOIN at scale: per order, count the user's events within
-    ±24 h of the order timestamp. The naive form is an inequality
-    (range) join — quadratic within each user. The scale form here is
-    BUCKETED: timestamps bucket to days, each order probes its day ±1
-    (explode of 3 candidate days), the join runs as a plain equi-join
-    on (user, day) — pruning all events outside a 3-day window — and
-    the exact ±24 h predicate filters the candidates. Microsecond-long
-    integer arithmetic on both engines; the oracle states the naive
-    correlated range join.
+def clicks_near_purchase_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL JOIN at scale: for every purchase, count the same
+    user's clicks within ±2 h, then histogram purchases by that count.
+    The naive form is an inequality (range) join — quadratic within
+    each user. The scale form here is BUCKETED: timestamps bucket to
+    2-hour cells, each purchase probes its cell ±1 (explode of 3
+    candidate cells), the join runs as a plain equi-join on
+    (user, cell) — pruning all clicks outside a 6-hour band — and the
+    exact ±2 h microsecond-long predicate filters the candidates.
 
     At 100 TB this is the pattern for any time-proximity join (ad
     attribution, sensor alignment): bucket width trades candidate
     volume against probe fan-out, and the equi-join shuffles hash-
-    partition instead of exploding ranges."""
-    day_us = 86_400_000_000
+    partition instead of exploding ranges. The oracle states the naive
+    correlated range join."""
+    win_us = 7_200_000_000
     ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
         "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("e_us"),
-    ).withColumn("day", F.expr(f"e_us div {day_us}"))
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.col("o_custkey").alias("user_id"),
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_us"),
-    ).withColumn("o_day", F.expr(f"o_us div {day_us}"))
-    probes = orders.select(
-        "o_orderkey",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
-        "o_us",
+        F.col("us").alias("c_us"),
+        F.expr(f"us div {win_us}").alias("cell"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("us").alias("p_us"),
+        F.expr(f"us div {win_us}").alias("p_cell"),
+    )
+    probes = purchases.select(
+        "event_id",
+        "user_id",
+        "p_us",
         F.explode(
-            F.array(F.col("o_day") - 1, F.col("o_day"), F.col("o_day") + 1)
-        ).alias("day"),
+            F.array(F.col("p_cell") - 1, F.col("p_cell"), F.col("p_cell") + 1)
+        ).alias("cell"),
     )
-    cand = probes.join(ev, ["user_id", "day"]).filter(
-        F.abs(F.col("e_us") - F.col("o_us")) <= day_us
+    cand = probes.join(clicks, ["user_id", "cell"]).filter(
+        F.abs(F.col("c_us") - F.col("p_us")) <= win_us
     )
-    per_order = cand.groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_nearby")
-    )
-    per = orders.join(per_order, "o_orderkey", "left").select(
-        "o_orderpriority",
-        F.coalesce("n_nearby", F.lit(0)).alias("n_nearby"),
+    per_p = cand.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_nearby"))
+    per = purchases.join(per_p, "event_id", "left").select(
+        F.coalesce("n_nearby", F.lit(0)).alias("n_nearby_clicks")
     )
     return (
-        per.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum((F.col("n_nearby") > 0).cast("long")).alias("n_with_activity"),
-            F.sum("n_nearby").alias("total_nearby_events"),
-            F.round(F.avg("n_nearby"), 6).alias("avg_nearby_events"),
-        )
-        .orderBy("o_orderpriority")
+        per.groupBy("n_nearby_clicks")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("n_nearby_clicks")
     )

@@ -117,9 +117,9 @@ PRIORITY: tuple[str, ...] = (
     "doc_length_bands_by_source",
     # ---- positions 51+: previously driver-hash-green (r1∪r2) or
     # rows-only; first in line if the driver's window ever exceeds 50.
-    # events_near_order_activity (bucketed interval join) is newest —
+    # clicks_near_purchase_activity (bucketed interval join) is newest —
     # rotate it into the head in round 4.
-    "events_near_order_activity",
+    "clicks_near_purchase_activity",
     "doc_bigram_logprob_quality",
     "flagship_price_band_summary",
     "near_dup_keep_best",
