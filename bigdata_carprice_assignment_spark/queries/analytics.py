@@ -664,38 +664,45 @@ def ship_lag_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
-    "idle_suppliers_recent",
+    "parts_unsold_recent",
     oracle="""
-SELECT count(*) AS n_idle,
-       round(sum(s_acctbal), 2) AS idle_acctbal_total
-FROM supplier s
+SELECT p_brand,
+       count(*) AS n_unsold,
+       round(avg(p_retailprice), 4) AS avg_retailprice
+FROM part p
 WHERE NOT EXISTS (
   SELECT 1 FROM lineitem l
-  WHERE l.l_suppkey = s.s_suppkey
-    AND l.l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+  WHERE l.l_partkey = p.p_partkey
+    AND l.l_shipdate > TIMESTAMP '2001-01-01 00:00:00'
 )
+GROUP BY p_brand ORDER BY p_brand
 """,
 )
-def idle_suppliers_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suppliers with NO shipment after the cutoff — NOT EXISTS as a
-    LEFT ANTI join (the decorrelated form Catalyst rewrites to).
+def parts_unsold_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-stock report: parts with NO shipment after the cutoff, by
+    brand — NOT EXISTS as a LEFT ANTI join (the decorrelated form
+    Catalyst rewrites to), on a predicate that actually leaves a
+    non-empty complement in this corpus (suppliers all ship monthly;
+    parts do not).
 
-    Scale: the shipdate filter pushes to the lineitem scan and the
-    anti join needs only the filtered side's distinct suppkeys; AQE
-    broadcasts that side when it fits (it is |suppliers|-bounded)."""
-    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
-    supp = load_table(spark, sf_dir, "supplier")
-    active = (
+    Scale: the shipdate filter pushes to the lineitem scan, the anti
+    join probes only the filtered side's distinct partkeys, and AQE
+    broadcasts that side when it fits."""
+    cutoff = F.lit("2001-01-01 00:00:00").cast("timestamp")
+    part = load_table(spark, sf_dir, "part")
+    sold = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") > cutoff)
-        .select("l_suppkey")
+        .select("l_partkey")
     )
     return (
-        supp.join(active, supp.s_suppkey == active.l_suppkey, "left_anti")
+        part.join(sold, part.p_partkey == sold.l_partkey, "left_anti")
+        .groupBy("p_brand")
         .agg(
-            F.count(F.lit(1)).alias("n_idle"),
-            F.round(F.sum("s_acctbal"), 2).alias("idle_acctbal_total"),
+            F.count(F.lit(1)).alias("n_unsold"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retailprice"),
         )
+        .orderBy("p_brand")
     )
 
 

@@ -106,7 +106,7 @@ PRIORITY: tuple[str, ...] = (
     "hll_distinct_check",
     "approx_quantile_check",
     "ship_lag_quantiles_by_priority",
-    "idle_suppliers_recent",
+    "parts_unsold_recent",
     "revenue_share_within_region",
     "part_type_brand_rank",
     "brand_name_edit_distances",
