@@ -445,41 +445,48 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "daily_new_and_cumulative_users",
     oracle="""
 WITH fs AS (
-  SELECT user_id, min(ts::DATE) AS first_day FROM events GROUP BY user_id
+  SELECT user_id, min(date_trunc('hour', ts)) AS first_hour
+  FROM events GROUP BY user_id
 ),
-d AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY first_day)
-SELECT strftime(first_day, '%Y-%m-%d') AS day,
+d AS (SELECT first_hour, count(*) AS new_users FROM fs GROUP BY first_hour)
+SELECT strftime(first_hour, '%Y-%m-%d %H:%M:%S') AS first_hour,
        new_users,
-       (sum(new_users) OVER (ORDER BY first_day
+       (sum(new_users) OVER (ORDER BY first_hour
             ROWS UNBOUNDED PRECEDING))::BIGINT AS cumulative_users
-FROM d ORDER BY day
+FROM d ORDER BY first_hour
 """,
 )
 def daily_new_and_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """User-growth accounting: each user's first-seen day, daily new
-    users, and the cumulative user count — the running-distinct problem
-    solved the scale-correct way (min-per-user first, so the cumulative
-    window runs over |days| rows, never a distinct-over-window on the
-    event stream).
+    """User-growth accounting: each user's first-seen HOUR, new users
+    per hour, and the cumulative user curve — the running-distinct
+    problem solved the scale-correct way (min-per-user first, so the
+    cumulative window runs over the bounded hour grain, never a
+    distinct-over-window on the event stream). Hour granularity because
+    this corpus's users all appear within the first days — the daily
+    curve collapses to two rows and shows nothing.
 
     The bounded cumulative uses the constant-key partition convention
-    (input is the per-day aggregate — tens of rows)."""
+    (input is the per-hour aggregate — hundreds of rows at most)."""
     ev = load_table(spark, sf_dir, "events")
-    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
-    d = fs.groupBy("first_day").agg(F.count(F.lit(1)).alias("new_users"))
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("first_hour")
+    )
+    d = fs.groupBy("first_hour").agg(F.count(F.lit(1)).alias("new_users"))
     w = (
         Window.partitionBy(F.lit(0))
-        .orderBy("first_day")
+        .orderBy("first_hour")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
         d.withColumn("cumulative_users", F.sum("new_users").over(w))
         .select(
-            F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+            F.date_format("first_hour", "yyyy-MM-dd HH:mm:ss").alias(
+                "first_hour"
+            ),
             "new_users",
             "cumulative_users",
         )
-        .orderBy("day")
+        .orderBy("first_hour")
     )
 
 
