@@ -327,7 +327,7 @@ SELECT antecedent, consequent,
        round(confidence, 6) AS confidence,
        round(lift, 6) AS lift
 FROM rules
-WHERE support >= 0.02 AND confidence >= 0.1
+WHERE support >= 0.005 AND confidence >= 0.1
   AND consequent LIKE 'size_band=%'
   AND antecedent LIKE '%p_brand=%'
 ORDER BY confidence DESC, antecedent, consequent
@@ -337,7 +337,10 @@ def rules_subset_size_rhs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M16/F12: subset rules whose consequent is a size band or whose
     antecedent partially matches 'brand' (rhs %in% / lhs %pin%)."""
     tx = part_transactions(spark, sf_dir)
-    _, rules = R.mine_rules(tx, min_support=0.02, min_confidence=0.1)
+    # support 0.005, not the family's 0.02: a (brand ∧ size_band) pair's
+    # expected support is ~P(brand)·P(band) ≈ 0.008 — at 0.02 the subset
+    # is EMPTY at sf>=0.01 and the oracle match proves nothing
+    _, rules = R.mine_rules(tx, min_support=0.005, min_confidence=0.1)
     sized = R.subset_rules(
         rules,
         rhs_in=[f"size_band={v}" for v in _SIZE_LABELS],
@@ -384,7 +387,7 @@ SELECT p.seg AS c_mktsegment, p.ia AS antecedent, p.ib AS consequent,
 FROM p2 p
 JOIN s1 sa ON sa.seg = p.seg AND sa.item = p.ia
 JOIN tot ON tot.seg = p.seg
-WHERE p.c::DOUBLE / tot.n >= 0.05 AND p.c::DOUBLE / sa.c >= 0.1
+WHERE p.c::DOUBLE / tot.n >= 0.02 AND p.c::DOUBLE / sa.c >= 0.1
 ORDER BY c_mktsegment, antecedent, consequent
 """,
 )
@@ -401,8 +404,10 @@ def per_segment_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     cust = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     rules = R.per_group_mining(
+        # support 0.02: nation×band pair support is ~0.01-0.03 per
+        # segment — 0.05 yields ZERO rules at every SF (trivially-green)
         cust, "c_mktsegment", ["n_name", "bal_band"],
-        min_support=0.05, min_confidence=0.1,
+        min_support=0.02, min_confidence=0.1,
     )
     return rules.select(
         "c_mktsegment",

@@ -174,14 +174,22 @@ def top_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_mktsegment, count(*) AS n_customers
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate > TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 anti-join — LAPSED customers (no order since the cutoff), not
+    never-ordered: every customer in this corpus has at least one order,
+    so the unconditional NOT EXISTS was empty at every SF and its green
+    hash proved nothing. The date predicate pushes to the orders scan."""
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") > cutoff)
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return (
         joins.anti_filter(cust, orders, "c_custkey")
