@@ -734,3 +734,105 @@ def clicks_near_purchase_activity(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("n_nearby_clicks")
     )
+
+
+@query(
+    "cms_heavy_hitters_check",
+    oracle="""
+WITH h AS (
+  SELECT user_id, r.j,
+         ('0x' || substr(md5('cms' || r.j || ':' || user_id), 1, 15))::BIGINT % 256 AS b
+  FROM events, range(4) r(j)
+),
+c AS (SELECT j, b, count(*)::BIGINT AS cnt FROM h GROUP BY j, b),
+exact AS (
+  SELECT user_id, count(*)::BIGINT AS n_events
+  FROM events GROUP BY user_id
+  ORDER BY n_events DESC, user_id LIMIT 10
+),
+est AS (
+  SELECT e.user_id, e.n_events, min(c.cnt)::BIGINT AS cms_estimate
+  FROM exact e
+  CROSS JOIN range(4) r(j)
+  JOIN c ON c.j = r.j
+        AND c.b = ('0x' || substr(md5('cms' || r.j || ':' || e.user_id), 1, 15))::BIGINT % 256
+  GROUP BY 1, 2
+)
+SELECT user_id, n_events, cms_estimate,
+       (cms_estimate - n_events)::BIGINT AS overestimate
+FROM est ORDER BY n_events DESC, user_id
+""",
+)
+def cms_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 rows × w=256 buckets) heavy-hitter gate:
+    build the sketch distributed (explode each event into its 4 (row,
+    bucket) cells → groupBy — at most 1024 counter rows regardless of
+    data size), then read the top-10 users' estimates back out of it
+    (min over the 4 rows) next to their exact counts. CMS guarantees
+    estimate ≥ exact; ``overestimate`` exposes the collision error mass.
+    The oracle rebuilds the sketch cell-for-cell in DuckDB via the same
+    engine-portable md5 bucket hash (Spark ``conv(substr(md5,…))`` ≡
+    DuckDB ``('0x'||…)::BIGINT``), so the hash pins the sketch CONTENTS,
+    not just the top-k identities.
+
+    Scale: the sketch is a fixed-size partial aggregate — the 100 TB
+    pattern for frequency estimates over unbounded key domains where an
+    exact groupBy would shuffle billions of keys. Point lookups join the
+    broadcast 1 KB counter table; here the exact side doubles as the
+    accuracy gate."""
+    ev = load_table(spark, sf_dir, "events")
+    d, w = 4, 256
+
+    def bucket(j: int, col: str = "user_id") -> F.Column:
+        key = F.concat(F.lit(f"cms{j}:"), F.col(col).cast("string"))
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.encode(key, "UTF-8")), 1, 15), 16, 10).cast(
+                "long"
+            ),
+            F.lit(w),
+        )
+
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                    for j in range(d)
+                ]
+            )
+        ).alias("h")
+    )
+    counters = cells.groupBy(
+        F.col("h.j").alias("j"), F.col("h.b").alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+    probes = exact.select(
+        "user_id",
+        "n_events",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                    for j in range(d)
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "n_events", F.col("h.j").alias("j"), F.col("h.b").alias("b"))
+    return (
+        probes.join(F.broadcast(counters), ["j", "b"])
+        .groupBy("user_id", "n_events")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "n_events",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n_events")).alias("overestimate"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+    )

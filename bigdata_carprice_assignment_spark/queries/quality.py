@@ -1,0 +1,148 @@
+"""Data-quality constraint suite (Deequ-style declarative checks).
+
+A 100 TB training-data pipeline gates every ingest batch on a constraint
+report: completeness, uniqueness, domain membership, range validity, and
+referential integrity. This module expresses the whole suite as ONE
+lazy plan: per-table conditional aggregations (single map-side pass per
+table, no per-check jobs) unpivoted into one row per check via
+``stack``, plus a left-anti join for the foreign-key check. The oracle
+replays every check in SQL, so the driver hash pins the exact violation
+counts, not just "a report was produced".
+
+Reference scope: the reference validates its frame after load (NA
+drops / domain recodes, BigDataProject.R:60-95); this generalizes that
+into the declarative audit a production pipeline runs before those
+cleaning steps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.readers import load_table
+
+
+def constraint_rows(df: DataFrame, table: str, checks: dict[str, F.Column]) -> DataFrame:
+    """One conditional-aggregation pass over ``df`` → one row per check:
+    ``(check_name, n_rows, n_violations)``. Each value in ``checks`` is
+    a Column that is TRUE when the row SATISFIES the constraint; nulls
+    count as violations (three-valued logic folded via when/otherwise).
+
+    Scale: all checks share one scan + one partial-aggregate — adding a
+    check adds a column to the agg, not a pass over the data."""
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.when(cond, 0).otherwise(1)).cast("long").alias(f"_v{i}")
+        for i, (_, cond) in enumerate(checks.items())
+    ]
+    stacked = ", ".join(
+        f"'{table}_{name}', _v{i}" for i, name in enumerate(checks)
+    )
+    return df.agg(*aggs).select(
+        F.expr(
+            f"stack({len(checks)}, {stacked}) AS (check_name, n_violations)"
+        ),
+        F.col("_n").alias("n_rows"),
+    )
+
+
+@query(
+    "data_quality_report",
+    oracle="""
+WITH oa AS (
+  SELECT count(*)::BIGINT AS n,
+         (count(*) - count(DISTINCT o_orderkey))::BIGINT AS v_unique,
+         sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)::BIGINT AS v_price,
+         sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)::BIGINT AS v_status,
+         sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)::BIGINT AS v_date
+  FROM orders
+),
+la AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)::BIGINT AS v_qty,
+         sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)::BIGINT AS v_ship
+  FROM lineitem
+),
+ri AS (
+  SELECT count(*)::BIGINT AS v FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT * FROM (
+  SELECT 'orders_orderkey_unique' AS check_name, v_unique AS n_violations, n AS n_rows FROM oa
+  UNION ALL SELECT 'orders_totalprice_positive', v_price, n FROM oa
+  UNION ALL SELECT 'orders_status_domain', v_status, n FROM oa
+  UNION ALL SELECT 'orders_orderdate_complete', v_date, n FROM oa
+  UNION ALL SELECT 'lineitem_quantity_range', v_qty, n FROM la
+  UNION ALL SELECT 'lineitem_shipdate_complete', v_ship, n FROM la
+  UNION ALL SELECT 'lineitem_orderkey_referential', ri.v, la.n FROM ri, la
+) ORDER BY check_name
+""",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over orders+lineitem: uniqueness (o_orderkey),
+    range (o_totalprice>0, l_quantity∈[1,50]), domain (o_orderstatus),
+    completeness (o_orderdate, l_shipdate), and referential integrity
+    (every l_orderkey resolves to an order). Three jobs' worth of checks
+    in one plan: one agg pass per table + one left-anti join; the
+    NOT-EXISTS oracle matches anti-join null semantics (an unresolvable
+    null key is a violation on both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    # uniqueness isn't a per-row predicate (needs the exact two-phase
+    # countDistinct), so the orders pass is written out longhand with the
+    # distinct agg alongside the conditional sums — still one scan
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("_v0"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 0).otherwise(1))
+        .cast("long")
+        .alias("_v1"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 0).otherwise(1))
+        .cast("long")
+        .alias("_v2"),
+        F.sum(F.when(F.col("o_orderdate").isNotNull(), 0).otherwise(1))
+        .cast("long")
+        .alias("_v3"),
+    )
+    o_rows = o_agg.select(
+        F.expr(
+            "stack(4, 'orders_orderkey_unique', _v0,"
+            " 'orders_totalprice_positive', _v1,"
+            " 'orders_status_domain', _v2,"
+            " 'orders_orderdate_complete', _v3) AS (check_name, n_violations)"
+        ),
+        F.col("_n").alias("n_rows"),
+    )
+
+    l_rows = constraint_rows(
+        li,
+        "lineitem",
+        {
+            "quantity_range": F.col("l_quantity").between(1, 50),
+            "shipdate_complete": F.col("l_shipdate").isNotNull(),
+        },
+    )
+    l_n = li.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    ri_row = (
+        li.join(
+            o.select(F.col("o_orderkey").alias("_k")).distinct(),
+            F.col("l_orderkey") == F.col("_k"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(
+            F.lit("lineitem_orderkey_referential").alias("check_name"),
+            "n_violations",
+        )
+        .crossJoin(F.broadcast(l_n))
+    )
+    return (
+        o_rows.unionByName(l_rows)
+        .unionByName(ri_row)
+        .select("check_name", "n_rows", "n_violations")
+        .orderBy("check_name")
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.readers import load_table, read_csv, read_jsonl
-from ..sources.writers import write_csv, write_jsonl
+from ..sources.writers import write_csv, write_jsonl, write_parquet
 
 # keep round-trip scratch inside the repo tree (driver sandboxes cwd)
 _SCRATCH = Path(__file__).resolve().parents[2] / "spark-warehouse" / "roundtrip"
@@ -89,4 +89,55 @@ def jsonl_roundtrip_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("p_retailprice"), 2).alias("retail_total"),
         )
         .orderBy("p_brand")
+    )
+
+
+@query(
+    "partitioned_parquet_roundtrip",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       sum(event_id)::BIGINT AS id_checksum,
+       round(sum(value), 2) AS value_total
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-10'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink → partition-pruned scan: events are
+    written ``partitionBy(day)`` (30 directories), read back with an
+    explicit schema (partition-column type pinned to string — no
+    inference drift) and a 5-day predicate that Spark resolves to
+    PartitionFilters, so the scan opens only 5 of 30 directories. The
+    oracle aggregates the ORIGINAL parquet over the same time range —
+    the hash matches only if the partition layout loses no rows and the
+    timestamp/double round trip is exact.
+
+    Scale: this is THE layout pattern for 100 TB event data — daily
+    partitions mean a day-ranged query touches only its directories
+    (plan-gated in tests/test_plans.py); checksum over event_id guards
+    against dropped or duplicated rows, not just counts. Testdata spans
+    a fixed 30-day window (TESTDATA.md, seed=42), so the literal range
+    is stable across rounds."""
+    src = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(_SCRATCH / f"events_daily_{Path(sf_dir).name}")
+    # repartition on the partition column before the partitioned write:
+    # without it every task writes a file into every day directory
+    # (tasks × days small files — the classic partitioned-sink mistake);
+    # with it each day's rows land in one task → one file per directory
+    write_parquet(src.repartition(F.col("day")), path, partition_by=["day"])
+    back = spark.read.schema(src.schema).parquet(path)
+    days = [f"2024-01-{d:02d}" for d in range(5, 10)]
+    return (
+        back.filter(F.col("day").isin(days))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("id_checksum"),
+            F.round(F.sum("value"), 2).alias("value_total"),
+        )
+        .orderBy("day")
     )

@@ -117,8 +117,13 @@ PRIORITY: tuple[str, ...] = (
     "doc_length_bands_by_source",
     # ---- positions 51+: previously driver-hash-green (r1∪r2) or
     # rows-only; first in line if the driver's window ever exceeds 50.
-    # clicks_near_purchase_activity (bucketed interval join) is newest —
-    # rotate it into the head in round 4.
+    # The first four (partitioned-parquet round trip, data-quality
+    # constraint suite, CMS heavy-hitter gate, bucketed interval join)
+    # are newest and locally oracle-green — rotate them into the head
+    # in round 4.
+    "partitioned_parquet_roundtrip",
+    "data_quality_report",
+    "cms_heavy_hitters_check",
     "clicks_near_purchase_activity",
     "doc_bigram_logprob_quality",
     "flagship_price_band_summary",
@@ -182,6 +187,7 @@ def load_all() -> None:
         mining,
         mlmodels,
         pricing,
+        quality,
         relational,
         sourcesio,
         statistics,

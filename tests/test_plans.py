@@ -215,3 +215,16 @@ def test_no_partitionless_windows_in_registered_queries(spark, sf_smoke):
             if re.search(r"(ASC NULLS|DESC NULLS)", first_arg):
                 offenders.append(f"{name}: windowspecdefinition({first_arg}, ...")
     assert not offenders, "\n".join(offenders)
+
+
+def test_partitioned_roundtrip_query_prunes(spark, sf_smoke):
+    """The registered partitioned_parquet_roundtrip query's own plan must
+    show PartitionFilters on the read-back scan (5 of 30 day dirs), not a
+    full scan + post-filter."""
+    from bigdata_carprice_assignment_spark.queries.sourcesio import (
+        partitioned_parquet_roundtrip,
+    )
+
+    df = partitioned_parquet_roundtrip(spark, sf_smoke)
+    plan = X.formatted_plan(df)
+    assert "PartitionFilters" in plan and "day" in plan, plan
