@@ -205,6 +205,18 @@ def main() -> None:
 
     ident = F.pandas_udf(lambda s: s, "long")
     spark.range(1000).select(ident("id")).collect()
+    # …and the shingle-vectorizer expression stack (explode + md5/conv +
+    # higher-order lambdas): its first use pays ~5s of Janino/JIT cost
+    # that is plan-, not data-, sized (measured 4.8s at 64 docs vs 11s
+    # first / 1.2s steady at the full sf0.1 corpus) — warm it on a tiny
+    # slice so the first shingle-based query's timing is engine cost
+    from bigdata_carprice_assignment_spark.llm import text as TX
+
+    TX.hashed_shingle_features_df(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64),
+        "text",
+        "doc_id",
+    ).count()
 
     # One untimed run of the first timed query: its timing was otherwise
     # inflated by first-real-query costs (scan/broadcast warm paths) that

@@ -42,3 +42,16 @@ def release_all() -> None:
     """Unpersist every pool (test teardown / session shutdown)."""
     for pool in list(_POOLS):
         _POOLS.pop(pool).unpersist(blocking=False)
+
+
+def pool_get(pool: str, spark) -> DataFrame | None:
+    """Return ``pool``'s live generation if it belongs to ``spark``,
+    else None. Lets corpus-keyed builds (feature matrices, signature
+    tables) be computed once per session and REUSED across queries —
+    the session-identity check guards against handing out a DataFrame
+    whose SparkSession was stopped (tests spin sessions up and down in
+    one process)."""
+    df = _POOLS.get(pool)
+    if df is not None and df.sparkSession is spark:
+        return df
+    return None
