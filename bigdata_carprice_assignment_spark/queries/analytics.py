@@ -564,20 +564,32 @@ def hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side sketch per partition, constant memory, no shuffle of keys;
     the exact count here is the audit, not the product."""
     li = load_table(spark, sf_dir, "lineitem")
+    # one single-distinct agg per column, crossJoined (both are 1-row):
+    # two distinct columns in ONE agg would plan as an Expand that
+    # triplicates every fact row through the aggregate — fine at sf0.1,
+    # a 3× row-volume tax at 100 TB. Single-distinct aggs get Spark's
+    # specialized two-phase rewrite (partial distinct per partition, no
+    # Expand), and each scan prunes to its one column.
+    parts = li.agg(
+        F.count_distinct(F.col("l_partkey")).alias("exact_distinct_parts"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
+    )
+    supps = li.agg(
+        F.count_distinct(F.col("l_suppkey")).alias("exact_distinct_suppliers"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("_as"),
+    )
     within = lambda approx, exact: (  # noqa: E731
         F.abs(approx - exact) <= 0.05 * exact
     )
-    return li.agg(
-        F.count_distinct(F.col("l_partkey")).alias("exact_distinct_parts"),
-        F.count_distinct(F.col("l_suppkey")).alias("exact_distinct_suppliers"),
-        within(
-            F.approx_count_distinct("l_partkey", 0.01),
-            F.count_distinct(F.col("l_partkey")),
-        ).alias("parts_approx_within_5pct"),
-        within(
-            F.approx_count_distinct("l_suppkey", 0.01),
-            F.count_distinct(F.col("l_suppkey")),
-        ).alias("suppliers_approx_within_5pct"),
+    return parts.crossJoin(supps).select(
+        "exact_distinct_parts",
+        "exact_distinct_suppliers",
+        within(F.col("_ap"), F.col("exact_distinct_parts")).alias(
+            "parts_approx_within_5pct"
+        ),
+        within(F.col("_as"), F.col("exact_distinct_suppliers")).alias(
+            "suppliers_approx_within_5pct"
+        ),
     )
 
 
