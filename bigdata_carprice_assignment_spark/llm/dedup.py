@@ -38,7 +38,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: num_hashes permutations emulated as
     ``min(xxhash64(seed_i, shingle))`` — pure expressions, one projection.
@@ -58,12 +63,21 @@ def minhash_signatures(
     # F.transform passes over a per-doc hash array — higher-order
     # functions run INTERPRETED in Spark, ~µs per lambda call, which
     # dominated the whole dedup pipeline.)
+    # ``shingled``: an optional pre-computed [id_col, _sh:array<string>]
+    # table (typically pinned once per corpus) — tokenization is the
+    # shared expensive prefix of every MinHash variant, so callers
+    # running several pipelines over one corpus pass it in instead of
+    # re-shingling per pipeline.
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    exploded = (
-        df.repartition(n_parts, id_col)
-        .select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_s"))
-        .select(F.col(id_col), F.xxhash64("_s").alias("_h"))
+    if shingled is not None:
+        base = shingled.select(F.col(id_col), F.col("_sh"))
+    else:
+        base = df.repartition(n_parts, id_col).select(
+            F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+        )
+    exploded = base.select(F.col(id_col), F.explode("_sh").alias("_s")).select(
+        F.col(id_col), F.xxhash64("_s").alias("_h")
     )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}")
@@ -139,6 +153,7 @@ def minhash_band_pairs(
 def jaccard_verify(
     df: DataFrame, pairs: DataFrame, text_col: str, id_col: str, threshold: float,
     shingle_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs (the verify half of
     candidate→verify). Joins shingle sets back in; |A∩B|/|A∪B| native."""
@@ -150,13 +165,20 @@ def jaccard_verify(
         .distinct()
     )
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    sh = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-        .join(F.broadcast(cand_ids), "_id", "left_semi")
-        .repartition(n_parts, "_id")  # parallelize the shingle compute
-        .select("_id", shingles("_t", shingle_n).alias("_sh"))
-    )
-    sh = pinned(sh, "jaccard_shingles")  # reused by both sides of the pair join
+    if shingled is not None:
+        # pre-shingled corpus (already pinned by the caller): just prune
+        # to candidate ids — no re-tokenization, no second persist
+        sh = shingled.select(
+            F.col(id_col).alias("_id"), F.col("_sh")
+        ).join(F.broadcast(cand_ids), "_id", "left_semi")
+    else:
+        sh = (
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+            .join(F.broadcast(cand_ids), "_id", "left_semi")
+            .repartition(n_parts, "_id")  # parallelize the shingle compute
+            .select("_id", shingles("_t", shingle_n).alias("_sh"))
+        )
+        sh = pinned(sh, "jaccard_shingles")  # reused by both sides of the pair join
     a = sh.select(F.col("_id").alias("a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -178,12 +200,15 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded candidate
     pairs → exact-Jaccard verify → connected components → canonical id."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingled)
     pairs = minhash_band_pairs(sigs, id_col, bands)
-    verified = jaccard_verify(df, pairs, text_col, id_col, threshold, shingle_n)
+    verified = jaccard_verify(
+        df, pairs, text_col, id_col, threshold, shingle_n, shingled
+    )
     comp = connected_components(verified.select("a", "b"))
     return (
         df.join(comp, df[id_col] == comp["node"], "left")

@@ -269,7 +269,10 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup summary over the documents corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    flagged = D.minhash_dedup(docs, "text", "doc_id", threshold=0.6)
+    flagged = D.minhash_dedup(
+        docs, "text", "doc_id", threshold=0.6,
+        shingled=_doc_shingles(spark, sf_dir),
+    )
     return flagged.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("is_duplicate").cast("long")).alias("n_near_duplicates"),
@@ -294,9 +297,12 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over MinHash candidates (candidate→verify)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, "text", "doc_id")
+    sh = _doc_shingles(spark, sf_dir)
+    sigs = D.minhash_signatures(docs, "text", "doc_id", shingled=sh)
     pairs = D.minhash_band_pairs(sigs, "doc_id")
-    verified = D.jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.5)
+    verified = D.jaccard_verify(
+        docs, pairs, "text", "doc_id", threshold=0.5, shingled=sh
+    )
     return verified.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
@@ -486,6 +492,28 @@ def _hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc word-3-gram shingle arrays, computed ONCE per (session,
+    sf_dir) — the shared expensive prefix of every MinHash/Jaccard
+    pipeline (normalize + tokenize + n-gram join dominates signature
+    aggregation ~3:1). Immutable input ⇒ the pinned table can't go
+    stale."""
+    from ..plans.materialize import pinned, pool_get
+
+    pool = f"doc_shingles:{sf_dir}"
+    cached = pool_get(pool, spark)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    return pinned(
+        docs.repartition(n_parts, "doc_id").select(
+            "doc_id", TX.shingles("text").alias("_sh")
+        ),
+        pool,
+    )
+
+
 def _verified_minhash_pairs_08(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-Jaccard-verified MinHash pairs at t=0.8 (64 hashes, 16
     bands), built once per (session, sf_dir) and shared by the recall
@@ -499,9 +527,12 @@ def _verified_minhash_pairs_08(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, "text", "doc_id", num_hashes=64)
+    sh = _doc_shingles(spark, sf_dir)
+    sigs = D.minhash_signatures(docs, "text", "doc_id", num_hashes=64, shingled=sh)
     pairs = D.minhash_band_pairs(sigs, "doc_id", bands=16)
-    verified = D.jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.8)
+    verified = D.jaccard_verify(
+        docs, pairs, "text", "doc_id", threshold=0.8, shingled=sh
+    )
     return pinned(verified, pool)
 
 
