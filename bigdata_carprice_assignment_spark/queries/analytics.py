@@ -845,3 +845,159 @@ def brand_name_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_a", "brand_b")
     )
+
+
+@query(
+    "large_volume_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o.o_totalprice, 2) AS totalprice,
+       round(b.total_qty, 2) AS total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+""",
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the IN-over-grouped-HAVING subquery runs as an
+    aggregate-then-join — the fact table reduces to qualifying order
+    keys BEFORE touching orders/customer, so the expensive join sees
+    only the ~5% surviving rows. Top-100 via TakeOrdered (no global
+    sort); deterministic orderkey tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "late_supplier_blame",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+  FROM l GROUP BY 1
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM l
+JOIN agg USING (l_orderkey)
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE l.late = 1 AND agg.n_supp >= 2 AND agg.n_late = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+""",
+)
+def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (sole-blame late supplier): the classic
+    EXISTS(other supplier) AND NOT EXISTS(other LATE supplier)
+    correlated pair, decorrelated into per-(order, supplier) lateness +
+    a per-order supplier/lateness count — two aggregations on the SAME
+    l_orderkey partitioning (one shuffle reused) instead of two
+    correlated re-scans per outer row. Late = shipped >60 days after
+    the order date (this schema carries no commit/receipt dates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60), 1
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    return (
+        per_supp.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "idle_rich_customers_by_code",
+    oracle="""
+WITH avg_bal AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+SELECT right(c.c_name, 1) AS code,
+       count(*)::BIGINT AS n_custs,
+       round(sum(c.c_acctbal), 2) AS total_bal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1 ORDER BY 1
+""",
+)
+def idle_rich_customers_by_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (above-average balances, gone idle, grouped by a
+    derived code): the scalar AVG subquery broadcasts as a 1-row
+    crossJoin (no recompute per row), the NOT EXISTS runs as a left-anti
+    join against the distinct RECENT-order custkeys (every customer has
+    some order in this corpus, so "never ordered" would be vacuous —
+    idle means no order since 2000-01-01, a date filter that pushes to
+    the orders scan before the distinct), and the name-suffix code
+    stands in for Q22's phone country code (this schema has no phone
+    column)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_a")
+    )
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_a"))
+        .join(
+            orders.filter(F.col("o_orderdate") >= cutoff)
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy(F.expr("right(c_name, 1)").alias("code"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("code")
+    )

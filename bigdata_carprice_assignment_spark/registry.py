@@ -124,6 +124,9 @@ PRIORITY: tuple[str, ...] = (
     "partitioned_parquet_roundtrip",
     "data_quality_report",
     "cms_heavy_hitters_check",
+    "large_volume_orders",
+    "late_supplier_blame",
+    "idle_rich_customers_by_code",
     "clicks_near_purchase_activity",
     "doc_bigram_logprob_quality",
     "flagship_price_band_summary",
