@@ -136,3 +136,43 @@ def test_stream_stream_attribution_join_matches_batch(spark, sf_smoke):
     got = {(r["click_id"], r["purchase_id"]) for r in out.collect()}
     want = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_smoke):
+    """Stream-static left join + hourly per-segment rollup must equal
+    the same join/agg run in batch (stateless join, windowed agg)."""
+    dim = (
+        load_table(spark, sf_smoke, "customer")
+        .select(
+            F.col("c_custkey").alias("dim_user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    stream = jobs.read_event_stream(spark, sf_smoke)
+    out = jobs.run_to_completion(
+        jobs.enrich_events_stream(stream, dim), "t_enrich", "complete"
+    )
+    got = {
+        (r["hour"], r["segment"]): (r["n"], r["total_value"])
+        for r in out.collect()
+    }
+    ev = load_table(spark, sf_smoke, "events")
+    batch = (
+        ev.join(F.broadcast(dim), ev["user_id"] == dim["dim_user_id"], "left")
+        .withColumn("segment", F.coalesce("segment", F.lit("UNKNOWN")))
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "segment",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    want = {
+        (r["hour"], r["segment"]): (r["n"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
