@@ -1001,3 +1001,39 @@ def idle_rich_customers_by_code(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("code")
     )
+
+
+@query(
+    "priority_late_order_counts",
+    oracle="""
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def priority_late_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late line, counted per
+    priority — a correlated EXISTS whose predicate spans BOTH tables
+    (l_shipdate vs o_orderdate), planned as a left-semi join carrying
+    the non-equi condition alongside the orderkey equality. The semi
+    join deduplicates multi-late orders inside the join (no distinct
+    pass), and the equality key still drives the shuffle partitioning,
+    so the non-equi part never becomes a cartesian."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_orders = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)),
+        "leftsemi",
+    )
+    return (
+        late_orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

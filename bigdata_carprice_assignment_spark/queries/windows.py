@@ -472,3 +472,53 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r_tile", "f_tile", "m_tile")
     )
+
+
+@query(
+    "user_value_ewma",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT user_id, day, v,
+         max(day) OVER (PARTITION BY user_id) AS dmax
+  FROM daily
+)
+SELECT user_id,
+       strftime(dmax, '%Y-%m-%d') AS last_day,
+       round(sum(v * power(2.0, -date_diff('day', day, dmax))), 4) AS ewma_value
+FROM m GROUP BY 1, 2 ORDER BY user_id
+""",
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's daily spend
+    (half-life = 1 day): the time-decayed engagement score streaming
+    feature stores keep per entity. Computed in closed form — decay
+    weight 2^(day − last_day) folded into ONE aggregation over the
+    per-(user, day) rollup — instead of an ordered recursive scan, so
+    there is no sequential dependency to serialize: two hash
+    aggregations and one bounded per-user window (≤ |days| rows each).
+    Engine parity: 2^(−k) is exactly representable for the k ≤ 30 day
+    gaps here, so both engines compute identical weights; the 4 dp
+    round buries summation-order noise."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("user_id")
+    m = daily.withColumn("dmax", F.max("day").over(w))
+    return (
+        m.groupBy("user_id", F.date_format("dmax", "yyyy-MM-dd").alias("last_day"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("v")
+                    * F.pow(F.lit(2.0), -F.datediff(F.col("dmax"), F.col("day")))
+                ),
+                4,
+            ).alias("ewma_value")
+        )
+        .orderBy("user_id")
+    )

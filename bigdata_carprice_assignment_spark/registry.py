@@ -127,6 +127,8 @@ PRIORITY: tuple[str, ...] = (
     "large_volume_orders",
     "late_supplier_blame",
     "idle_rich_customers_by_code",
+    "priority_late_order_counts",
+    "user_value_ewma",
     "clicks_near_purchase_activity",
     "doc_bigram_logprob_quality",
     "flagship_price_band_summary",
