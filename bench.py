@@ -142,6 +142,14 @@ HEADLINE: list[str] = [
     "doc_length_bands_by_source",
     "clicks_near_purchase_activity",
     "doc_bigram_logprob_quality",
+    "partitioned_parquet_roundtrip",
+    "data_quality_report",
+    "cms_heavy_hitters_check",
+    "large_volume_orders",
+    "late_supplier_blame",
+    "idle_rich_customers_by_code",
+    "priority_late_order_counts",
+    "user_value_ewma",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells
