@@ -75,3 +75,21 @@ def test_connected_components_local_matches_distributed(spark):
         for r in connected_components(edges, max_iter=20, local_threshold=0).collect()
     }
     assert local == dist
+
+
+def test_pool_get_reuses_within_session(spark):
+    """pool_get must hand back the same pinned generation within one
+    session (build-once semantics) and miss for unknown pools; pinned
+    replaces the generation under the same name."""
+    from bigdata_carprice_assignment_spark.plans import materialize as M
+
+    df1 = spark.range(10)
+    assert M.pool_get("unit_pool_x", spark) is None
+    pinned1 = M.pinned(df1, "unit_pool_x")
+    assert M.pool_get("unit_pool_x", spark) is pinned1
+    # new generation evicts the old one but stays retrievable
+    pinned2 = M.pinned(spark.range(5), "unit_pool_x")
+    assert M.pool_get("unit_pool_x", spark) is pinned2
+    assert pinned2.count() == 5
+    M.release_all()
+    assert M.pool_get("unit_pool_x", spark) is None
