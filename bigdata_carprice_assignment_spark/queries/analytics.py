@@ -919,11 +919,15 @@ GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
 def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (sole-blame late supplier): the classic
     EXISTS(other supplier) AND NOT EXISTS(other LATE supplier)
-    correlated pair, decorrelated into per-(order, supplier) lateness +
-    a per-order supplier/lateness count — two aggregations on the SAME
-    l_orderkey partitioning (one shuffle reused) instead of two
-    correlated re-scans per outer row. Late = shipped >60 days after
-    the order date (this schema carries no commit/receipt dates)."""
+    correlated pair, decorrelated into per-(order, supplier) lateness
+    plus per-order supplier/lateness counts computed as WINDOW
+    aggregates over the l_orderkey partition — one extra exchange on
+    the already-reduced per-supplier rows, no second aggregation and no
+    join-back (the naive correlated form re-scans lineitem per outer
+    row). Late = shipped >60 days after the order date (this schema
+    carries no commit/receipt dates)."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
@@ -938,11 +942,10 @@ def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late")
         )
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        per_supp.join(per_order, "l_orderkey")
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
         .filter(
             (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
         )
