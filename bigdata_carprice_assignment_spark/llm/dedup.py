@@ -157,6 +157,10 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs (the verify half of
     candidate→verify). Joins shingle sets back in; |A∩B|/|A∪B| native."""
+    # the pair list is referenced three times in this plan (candidate-id
+    # union + both join sides) — materialize it once, or the banding
+    # self-join upstream executes 3x per verify
+    pairs = pinned(pairs, "jaccard_pairs")
     # shingle only candidate documents (candidates ≪ corpus at scale):
     # semi-join the pair ids in before computing shingle sets.
     cand_ids = (
@@ -209,7 +213,13 @@ def minhash_dedup(
     verified = jaccard_verify(
         df, pairs, text_col, id_col, threshold, shingle_n, shingled
     )
-    comp = connected_components(verified.select("a", "b"))
+    # materialize the verified edge list once: connected_components
+    # evaluates its input twice (size probe + collect/propagate), and
+    # the verify plan itself references the banding subtree three times
+    # (candidate-id semi-join + both pair sides) — unpinned, the band
+    # self-join would run ~6x per dedup call
+    verified = pinned(verified.select("a", "b"), "minhash_dedup_verified")
+    comp = connected_components(verified)
     return (
         df.join(comp, df[id_col] == comp["node"], "left")
         .withColumn("canonical_id", F.coalesce("component", F.col(id_col)))
