@@ -247,6 +247,11 @@ def main() -> None:
     # cluster amortizes across jobs. "queries" (cold, round-comparable)
     # stays the headline metric; "queries_warm" isolates per-data engine
     # cost from fixed compile cost.
+    # Settle the cold pass's deferred cleanup before timing steady state:
+    # ~120 jobs of broadcast/shuffle refs wait on a driver GC for the
+    # ContextCleaner to release them, and that debt otherwise lands
+    # inside whichever warm queries the GC interrupts.
+    spark.sparkContext._jvm.System.gc()
     warm: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()

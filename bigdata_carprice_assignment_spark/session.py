@@ -35,6 +35,12 @@ def get_spark(app_name: str = "bigdata_carprice_assignment_spark") -> SparkSessi
         # UTC pinned so timestamp semantics match the DuckDB oracle
         # (duckdb TIMESTAMP is tz-naive).
         .config("spark.sql.session.timeZone", "UTC")
+        # Long-lived sessions accumulate broadcast/shuffle/cache refs that
+        # the ContextCleaner only releases after a driver GC; the default
+        # 30min periodic GC lets hundreds of jobs' debt pile up first
+        # (observed as later identical queries running slower than
+        # earlier ones). 5min bounds the debt on any long-running app.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # The driver corpus writes events.ts as TIMESTAMP(NANOS); Spark has
         # no nanos type — read as long, normalized in sources.readers.
