@@ -150,6 +150,13 @@ HEADLINE: list[str] = [
     "idle_rich_customers_by_code",
     "priority_late_order_counts",
     "user_value_ewma",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "part_value_concentration",
+    "late_line_priority_mix",
+    "promo_revenue_share",
+    "top_quarter_supplier",
+    "bracketed_discount_revenue",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -129,6 +129,13 @@ PRIORITY: tuple[str, ...] = (
     "idle_rich_customers_by_code",
     "priority_late_order_counts",
     "user_value_ewma",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "part_value_concentration",
+    "late_line_priority_mix",
+    "promo_revenue_share",
+    "top_quarter_supplier",
+    "bracketed_discount_revenue",
     "clicks_near_purchase_activity",
     "doc_bigram_logprob_quality",
     "flagship_price_band_summary",
