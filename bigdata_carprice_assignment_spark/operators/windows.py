@@ -45,13 +45,28 @@ def range_partitioned_cumsum(
 
     cum = local prefix + partition offset, exactly the global ordered
     cumsum. Emits ``cum_<c>`` for each ``c`` in ``sum_cols``; input
-    column types are preserved (sum(long) stays long). Both branches
-    share the same range Exchange subtree, so Spark computes the shuffle
-    once (ReusedExchange) and the partition ids are consistent.
+    column types are preserved (sum(long) stays long).
+
+    CORRECTNESS-CRITICAL: the partitioned table is materialized ONCE
+    before fan-out. Range partitioning derives its boundaries from a
+    RANDOM SAMPLE seeded per exchange instance, and column pruning
+    gives the two consumers (local cumsums / partition totals)
+    *different* exchange subtrees — so without a barrier each branch
+    samples its own boundaries and the same row can carry different
+    ``_pid`` in the two branches, silently corrupting the offsets
+    (observed at sf0.1: a whole partition's counts vanished from the
+    cumulative). One eager persist pins one boundary set; a cache
+    eviction stays safe because lineage recompute re-reads the SAME
+    shuffle files (boundaries are fixed at shuffle-write time).
     """
-    part = df.repartitionByRange(
-        num_ranges, *[F.asc(c) for c in order_cols]
-    ).withColumn("_pid", F.spark_partition_id())
+    from ..plans.materialize import pinned
+
+    part = pinned(
+        df.repartitionByRange(
+            num_ranges, *[F.asc(c) for c in order_cols]
+        ).withColumn("_pid", F.spark_partition_id()),
+        "range_cumsum_part",
+    )
     w_in = (
         Window.partitionBy("_pid")
         .orderBy(*[F.asc(c) for c in order_cols])

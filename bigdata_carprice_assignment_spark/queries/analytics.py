@@ -680,7 +680,8 @@ def ship_lag_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 SELECT p_brand,
        count(*) AS n_unsold,
-       round(avg(p_retailprice), 4) AS avg_retailprice
+       round(sum(round(p_retailprice * 100)::BIGINT) / (100.0 * count(*)), 4)
+         AS avg_retailprice
 FROM part p
 WHERE NOT EXISTS (
   SELECT 1 FROM lineitem l
@@ -712,7 +713,15 @@ def parts_unsold_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_unsold"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_retailprice"),
+            # exact-cents average: prices are 2-dp currency, so summing
+            # round(p*100) longs is EXACT in any order — a plain avg()
+            # of doubles reassociates and flipped a 4-dp half-boundary
+            # cell against the oracle at sf0.1
+            F.round(
+                F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
+                / (100.0 * F.count(F.lit(1))),
+                4,
+            ).alias("avg_retailprice"),
         )
         .orderBy("p_brand")
     )
