@@ -157,6 +157,16 @@ HEADLINE: list[str] = [
     "promo_revenue_share",
     "top_quarter_supplier",
     "bracketed_discount_revenue",
+    "supplier_catalog_breadth",
+    "order_lines_histogram",
+    "monthly_revenue_running_total",
+    "weekday_order_seasonality",
+    "part_pair_cooccurrence",
+    "nation_supplier_hhi",
+    "event_value_winsorized_stats",
+    "user_inter_event_gap_stats",
+    "monthly_urgent_share",
+    "customer_order_position_prices",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -1,0 +1,416 @@
+"""Trend / distribution / market-structure analytics — the reporting
+workload an analytics engine serves daily at 100 TB: running totals,
+seasonality, co-occurrence, concentration indices, positional window
+functions, robust (winsorized) statistics, and inter-event timing.
+
+Engine-parity conventions as everywhere: counts cast long, currency
+sums rounded 2 dp, ratios computed as ONE division of deterministic
+operands (integer sums where possible — microsecond gaps, unit
+conditional sums), months formatted as strings on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.readers import load_table
+
+
+@query(
+    "supplier_catalog_breadth",
+    oracle="""
+SELECT l_suppkey,
+       count(DISTINCT l_partkey)::BIGINT AS n_parts,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY 1 ORDER BY revenue DESC, l_suppkey LIMIT 20
+""",
+)
+def supplier_catalog_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by revenue with their distinct-part breadth —
+    exact countDistinct alongside plain aggregates in one grouped pass
+    (single-distinct: Spark's two-phase rewrite, no Expand), TakeOrdered
+    top-k on the rounded metric with a key tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "order_lines_histogram",
+    oracle="""
+WITH c AS (SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1)
+SELECT n_lines, count(*) AS n_orders FROM c GROUP BY 1 ORDER BY 1
+""",
+)
+def order_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order distribution (count-of-counts): two chained
+    aggregations where the second runs on |orders| rows — the profile
+    histogram you compute before choosing join strategies (order fanout
+    = the multiplicity the orderkey shuffle will see)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("n_lines")
+    )
+
+
+@query(
+    "monthly_revenue_running_total",
+    oracle="""
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       round(rev, 2) AS revenue,
+       round(sum(rev) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING), 2)
+         AS cumulative_revenue
+FROM m ORDER BY month
+""",
+)
+def monthly_revenue_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain revenue with its running total. The window runs over
+    the |months|-row AGGREGATE (bounded by the calendar, ~80 rows —
+    `partitionBy(lit(0))` documents the deliberate single partition),
+    never over raw orders; both engines accumulate in identical month
+    order, so the cumulative doubles match bit-for-bit before
+    rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return m.select(
+        "month",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.sum("rev").over(w), 2).alias("cumulative_revenue"),
+    ).orderBy("month")
+
+
+@query(
+    "weekday_order_seasonality",
+    oracle="""
+SELECT dayofweek(o_orderdate)::BIGINT AS dow,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+)
+def weekday_order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order volume/revenue by day of week. Calendar-function parity is
+    a real cross-engine trap: Spark's dayofweek is 1-based Sunday-first,
+    DuckDB's 0-based Sunday-first — the Spark side shifts by one so both
+    engines emit 0=Sunday."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("dow")
+    )
+
+
+@query(
+    "part_pair_cooccurrence",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY n_orders DESC, part_a, part_b LIMIT 30
+""",
+)
+def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs bought together (raw co-occurrence self-join — the
+    SQL-shaped complement of the FPGrowth miner): distinct (order, part)
+    first, then an equi-self-join on orderkey with `a < b` halving.
+
+    Scale: the join is co-partitioned on orderkey (one shuffle feeds
+    both sides); output per order is quadratic in its distinct-part
+    count, bounded by the basket-size histogram above — for heavy-tailed
+    baskets you cap per-order fanout before pairing, as the rules miner
+    does."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(30)
+    )
+
+
+@query(
+    "nation_supplier_hhi",
+    oracle="""
+WITH s AS (
+  SELECT n_name, s_suppkey,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT n_name, rev / sum(rev) OVER (PARTITION BY n_name) AS share FROM s
+)
+SELECT n_name, count(*) AS n_suppliers,
+       round(sum(share * share), 6) AS hhi
+FROM sh GROUP BY 1 ORDER BY 1
+""",
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation (1/n = perfectly even, 1 = monopoly): grouped revenue →
+    share via a window over the per-supplier AGGREGATE (≤|suppliers|
+    rows) → sum of squared shares. The market-structure metric ops
+    dashboards track per region."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        )
+    )
+    share = F.col("rev") / F.sum("rev").over(Window.partitionBy("n_name"))
+    return (
+        s.select("n_name", share.alias("share"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "event_value_winsorized_stats",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       count(*) AS n,
+       round(b.lo, 4) AS p01,
+       round(b.hi, 4) AS p99,
+       round(avg(CASE WHEN e.value < b.lo THEN b.lo
+                      WHEN e.value > b.hi THEN b.hi
+                      ELSE e.value END), 4) AS winsorized_mean
+FROM events e JOIN b USING (event_type)
+GROUP BY 1, 3, 4 ORDER BY 1
+""",
+)
+def event_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value means (the reference's 1%/99% outlier
+    cap — `clean(cap='percentile')` — applied to the events corpus):
+    exact type-7 percentile bounds per group (one agg), broadcast back,
+    clamp, aggregate. Two passes total; the bounds table is |types|
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    clamped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy(
+            "event_type",
+            F.round("lo", 4).alias("p01"),
+            F.round("hi", 4).alias("p99"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+        )
+        .select("event_type", "n", "p01", "p99", "winsorized_mean")
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "user_inter_event_gap_stats",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+),
+g AS (
+  SELECT user_id,
+         t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+  FROM o
+)
+SELECT user_id,
+       count(gap)::BIGINT AS n_gaps,
+       round(sum(gap) / (1000000.0 * count(gap)), 2) AS mean_gap_sec,
+       round(min(gap) / 1000000.0, 2) AS min_gap_sec,
+       round(max(gap) / 1000000.0, 2) AS max_gap_sec
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""",
+)
+def user_inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event timing per user (the cadence feature behind bot
+    detection and session modeling): lag over (user, time, id) —
+    event_id tiebreak makes the lag deterministic under timestamp ties —
+    with gaps kept as EXACT microsecond longs, so sums are
+    order-independent and the mean is one deterministic division."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    # ts arrives as TIMESTAMP_NTZ (session is UTC-pinned, so the cast
+    # is value-preserving); unix_micros needs the LTZ type
+    g = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    ).withColumn("gap", F.col("t") - F.lag("t").over(w))
+    return (
+        g.filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.round(F.sum("gap") / (1000000.0 * F.count("gap")), 2).alias(
+                "mean_gap_sec"
+            ),
+            F.round(F.min("gap") / 1000000.0, 2).alias("min_gap_sec"),
+            F.round(F.max("gap") / 1000000.0, 2).alias("max_gap_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "monthly_urgent_share",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(*) AS n_orders,
+       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END)
+             / count(*), 6) AS urgent_share
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+)
+def monthly_urgent_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly share of urgent orders — the conditional-count ratio
+    trend. The numerator sums exact unit values, so the share is one
+    deterministic division per month."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.when(F.col("o_orderpriority") == "1-URGENT", 1.0).otherwise(
+                        0.0
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("urgent_share"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "customer_order_position_prices",
+    oracle="""
+WITH w AS (
+  SELECT o_custkey,
+         first_value(o_totalprice) OVER win AS first_price,
+         nth_value(o_totalprice, 2) OVER win AS second_price,
+         last_value(o_totalprice) OVER win AS last_price,
+         row_number() OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_custkey AS custkey,
+       round(first_price, 2) AS first_price,
+       round(second_price, 2) AS second_price,
+       round(last_price, 2) AS last_price
+FROM w WHERE rn = 1 ORDER BY custkey
+""",
+)
+def customer_order_position_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First / second / latest order price per customer — the
+    positional window family (first_value, nth_value, last_value) over
+    an unbounded frame with a deterministic (date, key) order;
+    single-order customers get NULL second_price on both engines. One
+    shuffle on custkey serves all four window functions."""
+    orders = load_table(spark, sf_dir, "orders")
+    order_cols = [F.asc("o_orderdate"), F.asc("o_orderkey")]
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seq = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.first("o_totalprice").over(full).alias("first_price"),
+            F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+            F.last("o_totalprice").over(full).alias("last_price"),
+            F.row_number().over(seq).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "custkey",
+            F.round("first_price", 2).alias("first_price"),
+            F.round("second_price", 2).alias("second_price"),
+            F.round("last_price", 2).alias("last_price"),
+        )
+        .orderBy("custkey")
+    )

@@ -136,6 +136,16 @@ PRIORITY: tuple[str, ...] = (
     "promo_revenue_share",
     "top_quarter_supplier",
     "bracketed_discount_revenue",
+    "supplier_catalog_breadth",
+    "order_lines_histogram",
+    "monthly_revenue_running_total",
+    "weekday_order_seasonality",
+    "part_pair_cooccurrence",
+    "nation_supplier_hhi",
+    "event_value_winsorized_stats",
+    "user_inter_event_gap_stats",
+    "monthly_urgent_share",
+    "customer_order_position_prices",
     "clicks_near_purchase_activity",
     "doc_bigram_logprob_quality",
     "flagship_price_band_summary",
@@ -203,6 +213,7 @@ def load_all() -> None:
         relational,
         sourcesio,
         statistics,
+        trends,
         windows,
     )
 
