@@ -167,6 +167,11 @@ HEADLINE: list[str] = [
     "user_inter_event_gap_stats",
     "monthly_urgent_share",
     "customer_order_position_prices",
+    "doc_dedup_survivor_stats",
+    "embedding_dim_variance_top",
+    "user_activity_gini",
+    "order_value_log_histogram",
+    "monthly_ship_lag_trend",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -836,3 +836,47 @@ def cms_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_events"), F.asc("user_id"))
     )
+
+
+@query(
+    "user_activity_gini",
+    oracle="""
+WITH c AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1),
+r AS (SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM c),
+t AS (
+  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS tot,
+         sum(n * i)::BIGINT AS wsum
+  FROM r
+)
+SELECT k AS n_users, tot AS n_events,
+       round((2.0 * wsum) / (k * tot) - (k + 1.0) / k, 6) AS gini
+FROM t
+""",
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of event-count inequality across users (0 =
+    uniform load, →1 = one user dominates) — the skew metric that tells
+    you whether a user-keyed shuffle needs salting BEFORE it falls over.
+    Every intermediate is an exact integer (counts, ranks, weighted
+    rank sum), so the closed-form Gini is two deterministic divisions;
+    the rank window runs over the |users|-row aggregate
+    (``partitionBy(lit(0))`` documents the deliberate bounded single
+    partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(F.lit(0)).orderBy("n", "user_id")
+    r = c.select("n", F.row_number().over(w).alias("i"))
+    t = r.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("i")).alias("wsum"),
+    )
+    return t.select(
+        F.col("k").alias("n_users"),
+        F.col("tot").alias("n_events"),
+        F.round(
+            (2.0 * F.col("wsum")) / (F.col("k") * F.col("tot"))
+            - (F.col("k") + 1.0) / F.col("k"),
+            6,
+        ).alias("gini"),
+    )

@@ -1457,3 +1457,78 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "doc_dedup_survivor_stats",
+    oracle=r"""
+WITH h AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS k
+  FROM documents
+),
+r AS (
+  SELECT source, row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+  FROM h
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM r GROUP BY 1 ORDER BY 1
+""",
+)
+def doc_dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup yield accounting per source — the report every corpus
+    ingest emits: keep-FIRST-by-id within each normalized content hash
+    (deterministic canonical choice, engine-portable md5 key), then
+    kept/dropped counts by source. The window partitions by content
+    key (bounded groups — duplicate multiplicity), never globally."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(TX.content_hash("text")).orderBy("doc_id")
+    r = docs.select("source", F.row_number().over(w).alias("rn"))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "embedding_dim_variance_top",
+    oracle="""
+WITH e AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT dim::BIGINT AS dim, count(*) AS n,
+       round(var_samp(x), 6) AS variance
+FROM e GROUP BY 1
+ORDER BY round(var_samp(x), 6) DESC, dim LIMIT 5
+""",
+)
+def embedding_dim_variance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 highest-variance embedding dimensions — the feature-store
+    column-statistics pass (dead/low-variance dims are pruning and
+    quantization candidates). posexplode fans each vector into (dim,
+    value) rows; the aggregate groups on 64 dims regardless of corpus
+    size, so the variance state is map-side-combined and tiny."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    return (
+        e.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.var_samp(F.col("x").cast("double")), 6).alias("variance"),
+        )
+        .orderBy(F.desc("variance"), F.asc("dim"))
+        .limit(5)
+    )

@@ -414,3 +414,72 @@ def customer_order_position_prices(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "order_value_log_histogram",
+    oracle="""
+SELECT floor(log2(o_totalprice))::BIGINT AS log2_band,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS band_min,
+       round(max(o_totalprice), 2) AS band_max
+FROM orders WHERE o_totalprice > 0
+GROUP BY 1 ORDER BY 1
+""",
+)
+def order_value_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-banded order-value histogram — the constant-memory
+    distribution profile for heavy-tailed monetary columns (linear
+    bins starve the tail; log bands give one bucket per octave).
+    Band edges at exact powers of two are loss-free in both engines
+    (2-dp prices hit 2^k exactly or not at all)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(
+            F.floor(F.log2("o_totalprice")).cast("long").alias("log2_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("band_min"),
+            F.round(F.max("o_totalprice"), 2).alias("band_max"),
+        )
+        .orderBy("log2_band")
+    )
+
+
+@query(
+    "monthly_ship_lag_trend",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(*) AS n_lines,
+       round(sum(date_diff('day', o_orderdate, l_shipdate))::BIGINT
+             / (1.0 * count(*)), 3) AS mean_lag_days
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def monthly_ship_lag_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-lag trend by order month: mean days from order to
+    line shipment over the fact-fact join. Day gaps are exact integers,
+    so the monthly mean is an order-independent integer sum and ONE
+    division — no float-reassociation exposure at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.datediff("l_shipdate", "o_orderdate"))
+                / (1.0 * F.count(F.lit(1))),
+                3,
+            ).alias("mean_lag_days"),
+        )
+        .orderBy("month")
+    )

@@ -146,6 +146,11 @@ PRIORITY: tuple[str, ...] = (
     "user_inter_event_gap_stats",
     "monthly_urgent_share",
     "customer_order_position_prices",
+    "doc_dedup_survivor_stats",
+    "embedding_dim_variance_top",
+    "user_activity_gini",
+    "order_value_log_histogram",
+    "monthly_ship_lag_trend",
     "clicks_near_purchase_activity",
     "doc_bigram_logprob_quality",
     "flagship_price_band_summary",
