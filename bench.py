@@ -172,6 +172,12 @@ HEADLINE: list[str] = [
     "user_activity_gini",
     "order_value_log_histogram",
     "monthly_ship_lag_trend",
+    "doc_token_budget_by_source",
+    "doc_length_token_corr",
+    "discount_level_effect",
+    "supplier_lag_consistency",
+    "benford_price_audit",
+    "events_dow_hour_heatmap",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

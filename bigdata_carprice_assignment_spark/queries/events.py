@@ -880,3 +880,32 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "events_dow_hour_heatmap",
+    oracle="""
+SELECT dayofweek(ts)::BIGINT AS dow,
+       hour(ts)::BIGINT AS hour_of_day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (the load-patterns
+    matrix behind capacity planning and anomaly baselines): one grouped
+    pass, ≤168 output cells at any scale. Spark's 1-based Sunday-first
+    dayofweek is shifted to DuckDB's 0-based convention."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("dow", "hour_of_day")
+    )

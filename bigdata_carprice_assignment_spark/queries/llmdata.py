@@ -1532,3 +1532,69 @@ def embedding_dim_variance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("variance"), F.asc("dim"))
         .limit(5)
     )
+
+
+@query(
+    "doc_token_budget_by_source",
+    oracle=r"""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS ws_tokens,
+       sum(len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')))::BIGINT AS bpe_ish_tokens
+FROM documents GROUP BY 1 ORDER BY 1
+""",
+)
+def doc_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-token budget per source under BOTH counters the north
+    star names: whitespace tokens and the BPE-ish sub-word proxy
+    (word/number/punctuation pieces). The regex is engine-portable
+    (same semantics in Java regex and RE2), so DuckDB recomputes the
+    exact piece counts — this is the first oracle exercise of the
+    bpe_ish counter (previously unit-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.token_count("text")).cast("long").alias("ws_tokens"),
+            F.sum(TX.bpe_ish_token_count("text")).cast("long").alias(
+                "bpe_ish_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "doc_length_token_corr",
+    oracle=r"""
+SELECT lang,
+       count(*) AS n_docs,
+       round(corr(length(text)::DOUBLE,
+                  len(string_split_regex(trim(text), '\s+'))::DOUBLE), 6)
+         AS len_token_corr
+FROM documents GROUP BY 1 ORDER BY 1
+""",
+)
+def doc_length_token_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-length vs token-count correlation per language — the
+    sanity check behind chars-per-token budget heuristics (the ratio
+    drifts per language/script). Inputs are exact integers; the sample
+    correlation is the only float step, rounded at 6 dp on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.corr(
+                    F.length("text").cast("double"),
+                    TX.token_count("text").cast("double"),
+                ),
+                6,
+            ).alias("len_token_corr"),
+        )
+        .orderBy("lang")
+    )

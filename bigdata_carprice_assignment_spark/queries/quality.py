@@ -146,3 +146,50 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("check_name", "n_rows", "n_violations")
         .orderBy("check_name")
     )
+
+
+@query(
+    "benford_price_audit",
+    oracle="""
+WITH d AS (
+  SELECT floor(o_totalprice
+               / power(10, floor(log10(o_totalprice))))::BIGINT AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+t AS (SELECT count(*)::BIGINT AS n FROM d)
+SELECT digit,
+       count(*) AS n_orders,
+       round(count(*) / (1.0 * t.n), 6) AS observed_share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_share
+FROM d, t GROUP BY digit, t.n ORDER BY digit
+""",
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order totals next to Benford's
+    expectation — the classic fabricated-data audit (synthetic uniform
+    generators fail it loudly; organic monetary data tracks it). The
+    digit extraction is loss-free for 2-dp prices (floor(log10) can only
+    waver within an ulp of an integer at exact powers of ten, where the
+    value IS exact); shares are one division against the broadcast
+    1-row total."""
+    orders = load_table(spark, sf_dir, "orders")
+    pos = orders.filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    d = pos.select(digit.alias("digit"))
+    t = d.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(F.col("n_orders") / (1.0 * F.col("_n")), 6).alias(
+                "observed_share"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_share"),
+        )
+        .orderBy("digit")
+    )

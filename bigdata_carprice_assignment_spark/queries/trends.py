@@ -288,9 +288,10 @@ g AS (
 )
 SELECT user_id,
        count(gap)::BIGINT AS n_gaps,
-       round(sum(gap) / (1000000.0 * count(gap)), 2) AS mean_gap_sec,
-       round(min(gap) / 1000000.0, 2) AS min_gap_sec,
-       round(max(gap) / 1000000.0, 2) AS max_gap_sec
+       ((2 * sum(gap)::BIGINT + 10000 * count(gap))
+        // (20000 * count(gap))) / 100.0 AS mean_gap_sec,
+       ((2 * min(gap) + 10000) // 20000) / 100.0 AS min_gap_sec,
+       ((2 * max(gap) + 10000) // 20000) / 100.0 AS max_gap_sec
 FROM g WHERE gap IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """,
@@ -315,11 +316,21 @@ def user_inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("gap").alias("n_gaps"),
-            F.round(F.sum("gap") / (1000000.0 * F.count("gap")), 2).alias(
-                "mean_gap_sec"
-            ),
-            F.round(F.min("gap") / 1000000.0, 2).alias("min_gap_sec"),
-            F.round(F.max("gap") / 1000000.0, 2).alias("max_gap_sec"),
+            F.sum("gap").alias("_s"),
+            F.min("gap").alias("_mn"),
+            F.max("gap").alias("_mx"),
+        )
+        .select(
+            "user_id",
+            "n_gaps",
+            # micros → seconds at 2 dp via integer half-up division:
+            # rational quotients of exact longs can land exactly on a
+            # half, where the engines' rounding rules disagree
+            (
+                F.expr("(2 * _s + 10000 * n_gaps) DIV (20000 * n_gaps)") / 100.0
+            ).alias("mean_gap_sec"),
+            (F.expr("(2 * _mn + 10000) DIV 20000") / 100.0).alias("min_gap_sec"),
+            (F.expr("(2 * _mx + 10000) DIV 20000") / 100.0).alias("max_gap_sec"),
         )
         .orderBy("user_id")
     )
@@ -451,12 +462,16 @@ def order_value_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "monthly_ship_lag_trend",
     oracle="""
-SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-       count(*) AS n_lines,
-       round(sum(date_diff('day', o_orderdate, l_shipdate))::BIGINT
-             / (1.0 * count(*)), 3) AS mean_lag_days
-FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-GROUP BY 1 ORDER BY 1
+WITH a AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         count(*)::BIGINT AS n,
+         sum(date_diff('day', o_orderdate, l_shipdate))::BIGINT AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1
+)
+SELECT month, n AS n_lines,
+       ((2000 * s + n) // (2 * n)) / 1000.0 AS mean_lag_days
+FROM a ORDER BY month
 """,
 )
 def monthly_ship_lag_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,12 +489,108 @@ def monthly_ship_lag_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.round(
-                F.sum(F.datediff("l_shipdate", "o_orderdate"))
-                / (1.0 * F.count(F.lit(1))),
-                3,
-            ).alias("mean_lag_days"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.datediff("l_shipdate", "o_orderdate")).alias("s"),
+        )
+        .select(
+            "month",
+            F.col("n").alias("n_lines"),
+            # integer half-up at 3 dp (see supplier_lag_consistency)
+            (F.expr("(2000 * s + n) DIV (2 * n)") / 1000.0).alias(
+                "mean_lag_days"
+            ),
         )
         .orderBy("month")
+    )
+
+
+@query(
+    "discount_level_effect",
+    oracle="""
+SELECT round(l_discount, 2) AS discount,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(l_quantity), 1) AS total_qty
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+)
+def discount_level_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume and revenue by discount level (the 11 discrete 0-10%
+    steps): grouping on the ROUNDED discount makes the key engine-
+    portable even though the column is a double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.round("l_discount", 2).alias("discount"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.sum("l_quantity"), 1).alias("total_qty"),
+        )
+        .orderBy("discount")
+    )
+
+
+@query(
+    "supplier_lag_consistency",
+    oracle="""
+WITH g AS (
+  SELECT l_suppkey,
+         date_diff('day', o_orderdate, l_shipdate)::BIGINT AS lag
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+a AS (
+  SELECT l_suppkey, count(*)::BIGINT AS n,
+         sum(lag)::BIGINT AS s, sum(lag * lag)::BIGINT AS ss
+  FROM g GROUP BY 1
+)
+SELECT l_suppkey, n,
+       ((2000 * s + n) // (2 * n)) / 1000.0 AS mean_lag_days,
+       round(sqrt((n * ss - s * s) / (n * (n - 1.0))), 3) AS stddev_lag_days
+FROM a WHERE n >= 2 ORDER BY l_suppkey
+""",
+)
+def supplier_lag_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-lag mean AND spread per supplier with EXACT integer
+    sufficient statistics: day gaps, their sum, and their sum of squares
+    all stay longs (order-independent), so mean and sample stddev come
+    out of two deterministic float steps instead of a running-variance
+    aggregate whose partial-merge order differs between engines. The
+    numerically-careful form for any integer-valued spread metric."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    g = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_suppkey",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lag"),
+    )
+    a = g.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lag").alias("s"),
+        F.sum(F.col("lag") * F.col("lag")).alias("ss"),
+    )
+    return (
+        a.filter(F.col("n") >= 2)
+        .select(
+            "l_suppkey",
+            "n",
+            # exact half-up at 3 dp via integer division: round(s/n, 3)
+            # of a RATIONAL quotient can land exactly on a half
+            # (64.6625 observed), where Spark's decimal HALF_UP and
+            # DuckDB's binary-double rounding disagree — (2000s+n) DIV 2n
+            # is the unambiguous integer form of the same rounding
+            (F.expr("(2000 * s + n) DIV (2 * n)") / 1000.0).alias(
+                "mean_lag_days"
+            ),
+            F.round(
+                F.sqrt(
+                    (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+                    / (F.col("n") * (F.col("n") - 1.0))
+                ),
+                3,
+            ).alias("stddev_lag_days"),
+        )
+        .orderBy("l_suppkey")
     )

@@ -151,6 +151,12 @@ PRIORITY: tuple[str, ...] = (
     "user_activity_gini",
     "order_value_log_histogram",
     "monthly_ship_lag_trend",
+    "doc_token_budget_by_source",
+    "doc_length_token_corr",
+    "discount_level_effect",
+    "supplier_lag_consistency",
+    "benford_price_audit",
+    "events_dow_hour_heatmap",
     "clicks_near_purchase_activity",
     "doc_bigram_logprob_quality",
     "flagship_price_band_summary",
