@@ -178,6 +178,11 @@ HEADLINE: list[str] = [
     "supplier_lag_consistency",
     "benford_price_audit",
     "events_dow_hour_heatmap",
+    "nation_customer_balance_quartiles",
+    "top_revenue_days",
+    "lineitem_qty_price_covariance",
+    "customer_balance_spend_corr",
+    "doc_dup_cluster_sizes",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

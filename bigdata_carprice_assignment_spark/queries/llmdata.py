@@ -1598,3 +1598,32 @@ def doc_length_token_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "doc_dup_cluster_sizes",
+    oracle=r"""
+WITH c AS (
+  SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS k,
+         count(*) AS sz
+  FROM documents GROUP BY 1
+)
+SELECT sz AS cluster_size, count(*) AS n_clusters
+FROM c GROUP BY 1 ORDER BY 1
+""",
+)
+def doc_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size distribution (count-of-counts over
+    the content hash) — the dedup severity profile: a fat tail here
+    means boilerplate/spam, a flat 1-spike means the corpus is already
+    clean. Two chained aggregations, second on |distinct contents|
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(TX.content_hash("text").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

@@ -594,3 +594,130 @@ def supplier_lag_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+@query(
+    "nation_customer_balance_quartiles",
+    oracle="""
+SELECT n_name,
+       count(*) AS n_customers,
+       round(quantile_cont(c_acctbal, 0.25), 4) AS q1,
+       round(quantile_cont(c_acctbal, 0.50), 4) AS median,
+       round(quantile_cont(c_acctbal, 0.75), 4) AS q3
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def nation_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance quartiles per nation — the grouped exact-
+    percentile pass (type-7 interpolation, engine-identical: the
+    interpolation fractions are binary-exact powers of two) over a
+    broadcast dim join."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    q = F.expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))")
+    return (
+        cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), q.alias("_q"))
+        .select(
+            "n_name",
+            "n_customers",
+            F.round(F.element_at("_q", 1), 4).alias("q1"),
+            F.round(F.element_at("_q", 2), 4).alias("median"),
+            F.round(F.element_at("_q", 3), 4).alias("q3"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "top_revenue_days",
+    oracle="""
+WITH d AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT day, n_orders, revenue FROM d
+ORDER BY revenue DESC, day LIMIT 10
+""",
+)
+def top_revenue_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 revenue days — daily rollup + TakeOrdered on the rounded
+    metric with the day string as tiebreak (no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("day"))
+        .limit(10)
+    )
+
+
+@query(
+    "lineitem_qty_price_covariance",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+)
+def lineitem_qty_price_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance + correlation of quantity vs price per return
+    flag — the two-variable aggregate pair (covar_samp joins corr in the
+    aggregate family; both are single-pass mergeable states)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_cov"
+            ),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "customer_balance_spend_corr",
+    oracle="""
+WITH s AS (
+  SELECT c.c_custkey, c.c_acctbal,
+         coalesce(sum(o.o_totalprice), 0) AS spend
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT count(*) AS n_customers,
+       round(corr(c_acctbal, spend), 6) AS balance_spend_corr
+FROM s
+""",
+)
+def customer_balance_spend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does account balance predict lifetime spend? Correlation across
+    a left join (zero-spend customers included via coalesce — dropping
+    them would bias the estimate), aggregated per customer first so the
+    corr runs on |customers| rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    s = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"))
+    )
+    return s.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.corr("c_acctbal", "spend"), 6).alias("balance_spend_corr"),
+    )

@@ -157,6 +157,11 @@ PRIORITY: tuple[str, ...] = (
     "supplier_lag_consistency",
     "benford_price_audit",
     "events_dow_hour_heatmap",
+    "nation_customer_balance_quartiles",
+    "top_revenue_days",
+    "lineitem_qty_price_covariance",
+    "customer_balance_spend_corr",
+    "doc_dup_cluster_sizes",
     "clicks_near_purchase_activity",
     "doc_bigram_logprob_quality",
     "flagship_price_band_summary",
