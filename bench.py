@@ -183,6 +183,10 @@ HEADLINE: list[str] = [
     "lineitem_qty_price_covariance",
     "customer_balance_spend_corr",
     "doc_dup_cluster_sizes",
+    "min_cost_supplier_per_part",
+    "nation_year_profit",
+    "bulk_part_suppliers",
+    "char_ngram_jaccard_pairs",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -185,6 +185,26 @@ def shingles(col: str | Column, n: int = 3) -> Column:
     return bind_once(tokens(normalize_text(col)), build)
 
 
+def char_ngrams(col: str | Column, n: int = 5) -> Column:
+    """Character n-gram set over normalized text (distinct, for Jaccard).
+    Complements word-shingle ``shingles``: char grams see intra-word
+    edits word grams miss, the standard second axis of n-gram dedup.
+    Strings shorter than n yield the full string (one gram). The
+    normalized string is bound ONCE per row (``bind_once``) so the
+    per-gram lambda substrings a computed value instead of re-running
+    the regex normalization O(chars) times per document."""
+
+    def build(t: Column) -> Column:
+        k = F.greatest(F.length(t) - (n - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k), lambda i: F.substr(t, i, F.lit(n))
+            )
+        )
+
+    return bind_once(normalize_text(col), build)
+
+
 def fingerprint(col: str | Column, n: int = 3) -> Column:
     """Document fingerprint: min of 64-bit shingle hashes over the
     normalized text (a 1-hash MinHash — the rolling-hash fingerprint the

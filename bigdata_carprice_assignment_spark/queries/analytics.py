@@ -1340,3 +1340,205 @@ def bracketed_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "min_cost_supplier_per_part",
+    oracle="""
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+),
+costs AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem JOIN eu ON s_suppkey = l_suppkey
+  WHERE l_quantity > 0
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT l_partkey, l_suppkey, unit_cost,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_cost, l_suppkey) AS rn
+  FROM costs
+)
+SELECT p.p_partkey, p.p_name, e.s_name, e.n_name,
+       round(e.s_acctbal, 2) AS acctbal,
+       round(b.unit_cost, 2) AS unit_cost
+FROM best b
+JOIN part p ON p.p_partkey = b.l_partkey
+JOIN eu e ON e.s_suppkey = b.l_suppkey
+WHERE b.rn = 1 AND p.p_type = 'PROMO'
+ORDER BY acctbal DESC, p.p_partkey
+LIMIT 20
+""",
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part within a region; this
+    schema has no partsupp, so observed unit price l_extendedprice /
+    l_quantity over each part's shipped lines stands in for ps_supplycost).
+    The classic correlated `= (SELECT min(...))` subquery decorrelates
+    into a per-(part, supplier) aggregate plus an argmin row_number
+    window PARTITIONED BY part key — high-cardinality partitions, fully
+    parallel, no global sort; the regional supplier roster and the part
+    dimension broadcast. Tie on raw (pre-rounding) unit cost breaks by
+    supplier key on both engines, so the argmin row is deterministic.
+
+    Scale: one shuffle on (l_partkey, l_suppkey) for the aggregate, the
+    window reuses the l_partkey clustering; top-20 via TakeOrdered.
+    Reference scope: single-frame workload (BigDataProject.R) — this is
+    engine-breadth beyond it."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        li.filter(F.col("l_quantity") > 0)
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("unit_cost"), F.asc("l_suppkey")
+    )
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey", "p_name")
+    return (
+        costs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round("unit_cost", 2).alias("unit_cost"),
+        )
+        .orderBy(F.desc("acctbal"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "nation_year_profit",
+    oracle="""
+SELECT n_name, year(l_shipdate)::BIGINT AS ship_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+""",
+)
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-line profit by supplier nation x ship
+    year; no partsupp here, so cost is proxied as 60% of p_retailprice
+    per unit). The name filter prunes the part dimension BEFORE the
+    fact join — the lineitem side then shrinks via the broadcast-hash
+    join on the filtered part keys rather than scanning all parts'
+    lines into the aggregate. Supplier and nation broadcast; one
+    shuffle total, on the (n_name, ship_year) aggregate keys.
+
+    Group sums are ~1e7-1e9 doubles at bench scale — far inside the
+    2-decimal rounding quantum's safety margin vs reassociation noise
+    (the ANOVA 1e14 lesson: round only magnitude-safe sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("profit")
+        )
+        .orderBy(F.asc("n_name"), F.desc("ship_year"))
+    )
+
+
+@query(
+    "bulk_part_suppliers",
+    oracle="""
+WITH red_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+bulk AS (
+  SELECT l_suppkey
+  FROM lineitem JOIN red_parts ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 50
+)
+SELECT DISTINCT s_name, n_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM bulk)
+ORDER BY s_name
+""",
+)
+def bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with bulk capacity in a part family
+    and window: the nested IN(SELECT ... HAVING agg) chain). Runs
+    inside-out with no correlated re-execution: the name-filtered part
+    keys broadcast into the date-pruned lineitem scan, the
+    per-(supplier, part) quantity aggregate applies the HAVING, and the
+    surviving supplier keys drive a LEFT SEMI join against the supplier
+    dimension — the semi join keeps supplier rows unduplicated without
+    a DISTINCT over the join product. Nation broadcasts.
+
+    Scale: shipdate predicate and partkey Bloom reach the fact scan;
+    one shuffle on (l_suppkey, l_partkey); the semi join's right side
+    is the already-tiny qualifying-supplier set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red %")
+    ).select("p_partkey")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    bulk = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(bulk, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "n_name")
+        .orderBy(F.asc("s_name"))
+    )

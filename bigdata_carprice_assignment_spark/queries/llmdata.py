@@ -1627,3 +1627,67 @@ def doc_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "char_ngram_jaccard_pairs",
+    oracle=r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 4, 1) + 1), i -> t[i:i+4])) AS grams
+  FROM n
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.grams, b.grams))::DOUBLE
+           / len(list_distinct(list_concat(a.grams, b.grams))) AS j
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT a, b, round(j, 6) AS jaccard
+FROM pairs WHERE j >= 0.8 ORDER BY a, b
+""",
+)
+def char_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup pairs at t=0.8 — the char-gram
+    axis of n-gram dedup (word shingles miss intra-word edits; char
+    grams catch them), checked against DuckDB brute-force ALL-PAIRS
+    char-gram Jaccard. Same candidate→verify shape as the word-shingle
+    recall gate: MinHash over the char-gram sets (64 hashes, 16 bands
+    of 4 ⇒ miss probability ≈2·10⁻⁴ at the exact threshold, ≈2·10⁻⁹ at
+    the corpus's ≥0.92 planted-pair similarities), banded bucket join —
+    never all-pairs on the Spark side — then exact set Jaccard on the
+    candidates only. Jaccard is a ratio of integers in both engines, so
+    the threshold decision and 6dp rounding are bit-identical.
+
+    Scale: the char-gram arrays are computed once (pooled persist,
+    shared with any other char-gram pipeline on this corpus) and the
+    verify step shingles candidate docs only — candidates ≪ corpus by
+    LSH construction."""
+    from ..plans.materialize import pinned, pool_get
+
+    docs = load_table(spark, sf_dir, "documents")
+    pool = f"doc_char_ngrams:{sf_dir}"
+    chsh = pool_get(pool, spark)
+    if chsh is None:
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
+        chsh = pinned(
+            docs.repartition(n_parts, "doc_id").select(
+                "doc_id", TX.char_ngrams("text", 5).alias("_sh")
+            ),
+            pool,
+        )
+    sigs = D.minhash_signatures(
+        docs, "text", "doc_id", num_hashes=64, shingled=chsh
+    )
+    pairs = D.minhash_band_pairs(sigs, "doc_id", bands=16)
+    verified = D.jaccard_verify(
+        docs, pairs, "text", "doc_id", threshold=0.8, shingled=chsh
+    )
+    return verified.select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("a", "b")

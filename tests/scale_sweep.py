@@ -34,6 +34,7 @@ QUADRATIC_ORACLES = {
     "exact_cosine_pairs_blocked",
     "eval_contamination_check",
     "boilerplate_ngram_stats",
+    "char_ngram_jaccard_pairs",
 }
 
 
