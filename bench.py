@@ -187,6 +187,10 @@ HEADLINE: list[str] = [
     "nation_year_profit",
     "bulk_part_suppliers",
     "char_ngram_jaccard_pairs",
+    "rolling_7d_active_users",
+    "event_value_mad_by_type",
+    "qty_price_spearman",
+    "source_unigram_kl",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -909,3 +909,46 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour_of_day")
     )
+
+
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM du)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       count(DISTINCT du.user_id) AS active_7d
+FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY days.d ORDER BY 1
+""",
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding-window
+    COUNT(DISTINCT) that window functions cannot express. Scale-correct
+    form: reduce the event stream to the (day, user) distinct grain
+    FIRST, then explode each grain row to the ≤7 target days it
+    contributes to and count distinct per target day — a bounded 7×
+    replication of the already-tiny distinct grain, instead of a 7-way
+    fact self-join or a per-day subquery over raw events. Target days
+    prune to days present in the corpus via a broadcast semi join (the
+    day dimension is calendar-bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select(F.col("d").alias("day_d")).distinct()
+    target = du.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day_d"),
+        "user_id",
+    )
+    return (
+        target.join(F.broadcast(days), "day_d", "left_semi")
+        .groupBy("day_d")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(
+            F.date_format("day_d", "yyyy-MM-dd").alias("day"), "active_7d"
+        )
+        .orderBy("day")
+    )

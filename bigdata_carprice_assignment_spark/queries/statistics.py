@@ -445,3 +445,126 @@ def ks_statistic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_d"),
     )
+
+
+@query(
+    "event_value_mad_by_type",
+    oracle="""
+WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1
+)
+SELECT e.event_type,
+       round(m.med, 6) AS median_value,
+       round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad,
+       count(*) AS n
+FROM e JOIN med m USING (event_type)
+GROUP BY e.event_type, m.med
+ORDER BY e.event_type
+""",
+)
+def event_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust dispersion
+    companion to the IQR/winsorized families (MAD survives the heavy
+    tails that wreck stddev-based outlier fences). Two exact-percentile
+    passes: per-group median (type-7 interpolation ≡ DuckDB
+    quantile_cont), broadcast back, then median of |x − med| per group.
+    Scale: each pass is one grouped aggregate; the k-row median frame
+    broadcasts, so there is no re-shuffle of the fact between passes."""
+    from ..operators.aggregates import percentile_expr
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        percentile_expr("value", 0.5).alias("med")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .groupBy("event_type", "med")
+        .agg(
+            percentile_expr("adev", 0.5).alias("mad_raw"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("median_value"),
+            F.round("mad_raw", 6).alias("mad"),
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "qty_price_spearman",
+    oracle="""
+WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+bx AS (SELECT x, count(*) AS c FROM li GROUP BY 1),
+cx AS (SELECT x, c, sum(c) OVER (ORDER BY x) AS cum FROM bx),
+ux AS (SELECT x, (2 * cum - c + 1)::BIGINT AS u FROM cx),
+by_ AS (SELECT y, count(*) AS c FROM li GROUP BY 1),
+cy AS (SELECT y, c, sum(c) OVER (ORDER BY y) AS cum FROM by_),
+uy AS (SELECT y, (2 * cum - c + 1)::BIGINT AS w FROM cy),
+r AS (SELECT u, w FROM li JOIN ux USING (x) JOIN uy USING (y)),
+s AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(u::HUGEINT) AS su, sum(w::HUGEINT) AS sw,
+         sum(u::HUGEINT * u) AS suu, sum(w::HUGEINT * w) AS sww,
+         sum(u::HUGEINT * w) AS suw
+  FROM r
+)
+SELECT n::BIGINT AS n,
+       round((n * suw - su * sw)::DOUBLE
+             / sqrt((n * suu - su * su)::DOUBLE
+                    * (n * sww - sw * sw)::DOUBLE), 6) AS rho_spearman
+FROM s
+""",
+)
+def qty_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price —
+    rank statistics at scale. Fractional average ranks are DOUBLED so
+    every rank is an integer (avg rank of a tie group = cnt_less +
+    (cnt_eq+1)/2 ⇒ 2r = 2·cum − c + 1 on the inclusive cumulative), and
+    every moment (Σu, Σu², Σuw) accumulates in exact integer arithmetic
+    (decimal(38,0) here, HUGEINT in DuckDB) — both engines reduce to
+    the IDENTICAL integers, and the single double conversion at the end
+    is IEEE-deterministic, so the 6dp hash cannot drift on summation
+    order (doubling is affine, so Pearson-on-2r ≡ Pearson-on-r).
+
+    Scale: per-variable rank tables come from a grouped count plus the
+    range-partitioned two-pass cumulative (no global single-task
+    window); the quantity rank table is tiny (few distinct values) and
+    broadcasts, the price rank join shuffles on the value key — the
+    unavoidable rank join — and the moments are one map-side-combined
+    aggregate."""
+    from ..operators.windows import range_partitioned_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    def doubled_ranks(vals: DataFrame, col: str, out: str) -> DataFrame:
+        by_v = vals.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        cum = range_partitioned_cumsum(by_v, [col], ["c"])
+        return cum.select(
+            col, (2 * F.col("cum_c") - F.col("c") + 1).alias(out)
+        )
+
+    ux = doubled_ranks(li, "x", "u")
+    uy = doubled_ranks(li, "y", "w")
+    r = li.join(F.broadcast(ux), "x").join(uy, "y")
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = r.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d("u")).alias("su"),
+        F.sum(d("w")).alias("sw"),
+        F.sum(d("u") * d("u")).alias("suu"),
+        F.sum(d("w") * d("w")).alias("sww"),
+        F.sum(d("u") * d("w")).alias("suw"),
+    )
+    num = (F.col("n") * F.col("suw") - F.col("su") * F.col("sw")).cast("double")
+    dx = (F.col("n") * F.col("suu") - F.col("su") * F.col("su")).cast("double")
+    dy = (F.col("n") * F.col("sww") - F.col("sw") * F.col("sw")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(num / F.sqrt(dx * dy), 6).alias("rho_spearman"),
+    )
