@@ -191,6 +191,7 @@ HEADLINE: list[str] = [
     "event_value_mad_by_type",
     "qty_price_spearman",
     "source_unigram_kl",
+    "event_burst_dedup",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

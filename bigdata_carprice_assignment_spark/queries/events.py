@@ -952,3 +952,65 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "event_burst_dedup",
+    oracle="""
+WITH o AS (
+  SELECT event_type, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts)
+                      - epoch_us(lag(ts) OVER (PARTITION BY user_id, event_type
+                                               ORDER BY ts, event_id))
+                      > 300000000
+              THEN 1 ELSE 0 END AS is_head
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       sum(is_head)::BIGINT AS n_kept,
+       (count(*) - sum(is_head))::BIGINT AS n_suppressed,
+       round(sum(CASE WHEN is_head = 1 THEN value ELSE 0 END), 2)
+         AS kept_value
+FROM o GROUP BY event_type ORDER BY event_type
+""",
+)
+def event_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-time duplicate suppression: within each (user, event_type)
+    stream, an event repeated within 5 minutes of its predecessor is a
+    burst duplicate (double-click, retry storm); only burst HEADS are
+    kept. The time-tolerant cousin of exact dedup — a lag() gap test
+    over the (user, type) partition, high-cardinality keys so the
+    window is fully parallel, then one aggregate of the keep decisions.
+    The batch dual of the streaming dedup job's watermark-bounded state
+    (streaming/jobs.py::dedup_stream): same keep-first semantics, no
+    state store needed because batch sees the whole partition."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    # integer microsecond math (unix_micros ≡ DuckDB epoch_us) — the
+    # engine-portable gap test, no float timestamps
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap_ok = (us(F.col("ts")) - us(F.lag(F.col("ts")).over(w))) > 300000000
+    o = ev.withColumn(
+        "is_head",
+        F.when(F.lag("ts").over(w).isNull() | gap_ok, 1).otherwise(0),
+    )
+    return (
+        o.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_head").cast("long").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("is_head"))
+            .cast("long")
+            .alias("n_suppressed"),
+            F.round(
+                F.sum(F.when(F.col("is_head") == 1, F.col("value")).otherwise(0)),
+                2,
+            ).alias("kept_value"),
+        )
+        .orderBy("event_type")
+    )
