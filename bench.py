@@ -192,6 +192,7 @@ HEADLINE: list[str] = [
     "qty_price_spearman",
     "source_unigram_kl",
     "event_burst_dedup",
+    "daily_order_cusum",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -721,3 +721,62 @@ def customer_balance_spend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.corr("c_acctbal", "spend"), 6).alias("balance_spend_corr"),
     )
+
+
+@query(
+    "daily_order_cusum",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         count(*) AS n
+  FROM orders GROUP BY 1
+),
+t AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS k FROM d),
+c AS (
+  SELECT day, n, sum(n) OVER (ORDER BY day) AS cum,
+         row_number() OVER (ORDER BY day) AS rk
+  FROM d
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       n::BIGINT AS n_orders,
+       round(cum - rk * (total::DOUBLE / k), 4) AS cusum
+FROM c, t ORDER BY day
+""",
+)
+def daily_order_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint series on daily order volume: cumulative sum of
+    deviations from the global daily mean — the classic shift detector
+    (a sustained level change shows as a kink; the argmax |CUSUM| is the
+    changepoint estimate). Counts keep every intermediate exact: the
+    cumulative and the day rank are integer cumulatives from ONE
+    range-partitioned two-pass pass (no global single-task window), the
+    mean enters once as an IEEE-deterministic division broadcast via a
+    1-row crossJoin, so the 4dp rounding cannot drift on summation
+    order. Scale: the day grain is calendar-bounded; the only work on
+    the fact table is the grouped count."""
+    from ..operators.windows import range_partitioned_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    t = d.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    c = range_partitioned_cumsum(d, ["day"], ["n", "one"])
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(
+                F.col("cum_n")
+                - F.col("cum_one") * (F.col("total").cast("double") / F.col("k")),
+                4,
+            ).alias("cusum"),
+        )
+        .orderBy("day")
+    )
