@@ -117,10 +117,20 @@ PRIORITY: tuple[str, ...] = (
     "doc_length_bands_by_source",
     # ---- positions 51+: previously driver-hash-green (r1∪r2) or
     # rows-only; first in line if the driver's window ever exceeds 50.
-    # The first four (partitioned-parquet round trip, data-quality
-    # constraint suite, CMS heavy-hitter gate, bucketed interval join)
-    # are newest and locally oracle-green — rotate them into the head
-    # in round 4.
+    # The head of this section is the round-4 rotation queue: every
+    # query here is locally oracle-green (sf0.001/0.01/0.1 sweeps) but
+    # never driver-hash-checked — promote them into the head-50 next
+    # round, displacing r3-green queries (cumulative coverage grows).
+    "min_cost_supplier_per_part",
+    "nation_year_profit",
+    "bulk_part_suppliers",
+    "char_ngram_jaccard_pairs",
+    "rolling_7d_active_users",
+    "event_value_mad_by_type",
+    "qty_price_spearman",
+    "source_unigram_kl",
+    "event_burst_dedup",
+    "daily_order_cusum",
     "partitioned_parquet_roundtrip",
     "data_quality_report",
     "cms_heavy_hitters_check",
