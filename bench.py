@@ -193,6 +193,7 @@ HEADLINE: list[str] = [
     "source_unigram_kl",
     "event_burst_dedup",
     "daily_order_cusum",
+    "rolling_7d_active_users_hll",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

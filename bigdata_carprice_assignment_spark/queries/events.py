@@ -1014,3 +1014,72 @@ def event_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "rolling_7d_active_users_hll",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM du)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       count(DISTINCT du.user_id) AS exact_active_7d,
+       true AS approx_within_5pct
+FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY days.d ORDER BY 1
+""",
+)
+def rolling_7d_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for sliding-window distinct: ONE DataSketches HLL
+    sketch per day (map-side, constant memory, no distinct-grain
+    shuffle), then each window merges ≤7 kilobyte-sized sketches
+    (`hll_union_agg` — union is the operation HLL exists for) and
+    estimates. The estimate must land within 5% of the exact rolling
+    count, asserted IN the result like the other sketch gates, with the
+    exact counts riding along for the oracle. Contrast with
+    `rolling_7d_active_users`: the exact form replicates the (day,user)
+    grain 7×; this form replicates only the per-day SKETCHES — at scale
+    the sketch table is thousands of rows regardless of fact size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    days = daily.select(F.col("d").alias("day_d")).distinct()
+    merged = (
+        daily.select(
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("day_d"),
+            "sk",
+        )
+        .join(F.broadcast(days), "day_d", "left_semi")
+        .groupBy("day_d")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_approx")
+        )
+    )
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    exact = (
+        du.select(
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("day_d"),
+            "user_id",
+        )
+        .join(F.broadcast(days), "day_d", "left_semi")
+        .groupBy("day_d")
+        .agg(F.countDistinct("user_id").alias("exact_active_7d"))
+    )
+    return (
+        exact.join(merged, "day_d")
+        .select(
+            F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+            "exact_active_7d",
+            (
+                F.abs(F.col("_approx") - F.col("exact_active_7d"))
+                <= 0.05 * F.col("exact_active_7d")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("day")
+    )

@@ -131,6 +131,7 @@ PRIORITY: tuple[str, ...] = (
     "source_unigram_kl",
     "event_burst_dedup",
     "daily_order_cusum",
+    "rolling_7d_active_users_hll",
     "partitioned_parquet_roundtrip",
     "data_quality_report",
     "cms_heavy_hitters_check",
