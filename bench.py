@@ -194,6 +194,8 @@ HEADLINE: list[str] = [
     "event_burst_dedup",
     "daily_order_cusum",
     "rolling_7d_active_users_hll",
+    "lineitem_two_var_ols",
+    "flag_status_mutual_information",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

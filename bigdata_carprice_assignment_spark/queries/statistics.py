@@ -568,3 +568,192 @@ def qty_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(num / F.sqrt(dx * dy), 6).alias("rho_spearman"),
     )
+
+
+@query(
+    "lineitem_two_var_ols",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*)::BIGINT AS n,
+         sum(l_quantity) AS s1, sum(l_discount) AS s2,
+         sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_quantity) AS s11,
+         sum(l_discount * l_discount) AS s22,
+         sum(l_quantity * l_discount) AS s12,
+         sum(l_quantity * l_extendedprice) AS s1y,
+         sum(l_discount * l_extendedprice) AS s2y,
+         sum(l_extendedprice * l_extendedprice) AS syy
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT l_returnflag, n,
+         s11 - s1 * s1 / n AS c11,
+         s22 - s2 * s2 / n AS c22,
+         s12 - s1 * s2 / n AS c12,
+         s1y - s1 * sy / n AS c1y,
+         s2y - s2 * sy / n AS c2y,
+         syy - sy * sy / n AS cyy,
+         s1 / n AS m1, s2 / n AS m2, sy / n AS my
+  FROM s
+),
+b AS (
+  SELECT l_returnflag, n, m1, m2, my, c1y, c2y, cyy,
+         (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+         (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+  FROM c
+)
+SELECT l_returnflag, n,
+       round(my - b1 * m1 - b2 * m2, 6) AS intercept,
+       round(b1, 6) AS beta_quantity,
+       round(b2, 6) AS beta_discount,
+       round((b1 * c1y + b2 * c2y) / cyy, 6) AS r2
+FROM b ORDER BY l_returnflag
+""",
+)
+def lineitem_two_var_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form TWO-predictor OLS per group (extendedprice ~ quantity
+    + discount, by return flag) — multivariate regression as ONE
+    distributed aggregate, no MLlib iteration, no driver fit: the ten
+    sufficient statistics reduce map-side, the 2x2 normal equations
+    solve in covariance form (centered via Sxy − SxSy/n, so the
+    determinant is well-conditioned), and every expression is written
+    with the oracle's exact operand order so both engines produce the
+    same doubles before the 6dp round. The regression ratios are
+    scale-free — reassociation noise in the raw sums (~1e-16 relative)
+    stays ~1e-15 in the coefficients, far inside 6dp.
+
+    Scale: one hash aggregate over the fact, k output rows; this is how
+    you fit millions of per-group regressions at 100 TB (groupBy key =
+    model id), where per-group MLlib fits would be a driver loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    c = s.select(
+        "l_returnflag",
+        "n",
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("c11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("c22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("c12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("c2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("cyy"),
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+        (F.col("sy") / n).alias("my"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b = c.select(
+        "l_returnflag",
+        "n",
+        "m1",
+        "m2",
+        "my",
+        "c1y",
+        "c2y",
+        "cyy",
+        ((F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det).alias(
+            "b1"
+        ),
+        ((F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det).alias(
+            "b2"
+        ),
+    )
+    return b.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            F.col("my") - F.col("b1") * F.col("m1") - F.col("b2") * F.col("m2"),
+            6,
+        ).alias("intercept"),
+        F.round("b1", 6).alias("beta_quantity"),
+        F.round("b2", 6).alias("beta_discount"),
+        F.round(
+            (F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y"))
+            / F.col("cyy"),
+            6,
+        ).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "flag_status_mutual_information",
+    oracle="""
+WITH j AS (
+  SELECT l_returnflag AS a, l_linestatus AS b, count(*)::BIGINT AS c
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT sum(c)::BIGINT AS n FROM j),
+ma AS (SELECT a, sum(c)::BIGINT AS ca FROM j GROUP BY 1),
+mb AS (SELECT b, sum(c)::BIGINT AS cb FROM j GROUP BY 1),
+mi AS (
+  SELECT n,
+         round(sum((c::DOUBLE / n)
+                   * ln((c::DOUBLE / n)
+                        / ((ca::DOUBLE / n) * (cb::DOUBLE / n)))), 6) AS mi_nats
+  FROM j JOIN ma USING (a) JOIN mb USING (b), tot
+  GROUP BY n
+),
+ha AS (SELECT round(-sum((ca::DOUBLE / n) * ln(ca::DOUBLE / n)), 6)
+         AS h_returnflag FROM ma, tot),
+hb AS (SELECT round(-sum((cb::DOUBLE / n) * ln(cb::DOUBLE / n)), 6)
+         AS h_linestatus FROM mb, tot)
+SELECT n, mi_nats, h_returnflag, h_linestatus FROM mi, ha, hb
+""",
+)
+def flag_status_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categoricals (return flag x line
+    status) with the marginal entropies — the dependence measure that
+    sees what chi-squared's linear statistic can't. Every probability
+    is a ratio of exact integer counts (identical in both engines), the
+    per-cell log terms are IEEE-deterministic, and the final sums run
+    over ≤|A|x|B| cells — 6dp cannot drift. Marginal entropies fold
+    from the marginal tables (never a DISTINCT over joined terms, which
+    would silently collapse coincidentally-equal probabilities).
+
+    Scale: one hash aggregate to the contingency cells (map-side
+    combined), then arithmetic on a k-row frame; the marginals come
+    from the cells, never from a second pass over the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.groupBy(
+        F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    from ..plans.materialize import pinned
+
+    j = pinned(j, "mi_cells")  # referenced by joint + both marginals
+    tot = j.agg(F.sum("c").cast("long").alias("n"))
+    ma = j.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    mb = j.groupBy("b").agg(F.sum("c").cast("long").alias("cb"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    joined = (
+        j.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    pc, pa, pb = d("c") / d("n"), d("ca") / d("n"), d("cb") / d("n")
+    mi = joined.groupBy("n").agg(
+        F.round(F.sum(pc * F.log(pc / (pa * pb))), 6).alias("mi_nats")
+    )
+    ha = ma.crossJoin(F.broadcast(tot)).agg(
+        F.round(-F.sum(pa * F.log(pa)), 6).alias("h_returnflag")
+    )
+    hb = mb.crossJoin(F.broadcast(tot)).agg(
+        F.round(-F.sum(pb * F.log(pb)), 6).alias("h_linestatus")
+    )
+    return (
+        mi.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select("n", "mi_nats", "h_returnflag", "h_linestatus")
+    )

@@ -132,6 +132,8 @@ PRIORITY: tuple[str, ...] = (
     "event_burst_dedup",
     "daily_order_cusum",
     "rolling_7d_active_users_hll",
+    "lineitem_two_var_ols",
+    "flag_status_mutual_information",
     "partitioned_parquet_roundtrip",
     "data_quality_report",
     "cms_heavy_hitters_check",
