@@ -1657,9 +1657,15 @@ def char_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     axis of n-gram dedup (word shingles miss intra-word edits; char
     grams catch them), checked against DuckDB brute-force ALL-PAIRS
     char-gram Jaccard. Same candidate→verify shape as the word-shingle
-    recall gate: MinHash over the char-gram sets (64 hashes, 16 bands
-    of 4 ⇒ miss probability ≈2·10⁻⁴ at the exact threshold, ≈2·10⁻⁹ at
-    the corpus's ≥0.92 planted-pair similarities), banded bucket join —
+    recall gate — with one twist: unrelated same-language documents
+    share FAR more char grams than word shingles (background char-gram
+    Jaccard ≈0.4 vs ≈0.01), so the word pipeline's width-4 bands admit
+    ~2.5% of ALL pairs per band (measured 310k candidates at 5000
+    docs). Char grams therefore band WIDER: 128 hashes in 16 bands of
+    8 ⇒ background collision 0.4⁸ ≈ 7·10⁻⁴ per band (measured 718
+    candidates, a 430× cut) while the ≥0.92 planted-pair miss
+    probability stays ≈2·10⁻⁶ (verified pair-for-pair against the
+    brute-force oracle at sf0.001/0.01/0.1). Banded bucket join —
     never all-pairs on the Spark side — then exact set Jaccard on the
     candidates only. Jaccard is a ratio of integers in both engines, so
     the threshold decision and 6dp rounding are bit-identical.
@@ -1682,7 +1688,7 @@ def char_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             pool,
         )
     sigs = D.minhash_signatures(
-        docs, "text", "doc_id", num_hashes=64, shingled=chsh
+        docs, "text", "doc_id", num_hashes=128, shingled=chsh
     )
     pairs = D.minhash_band_pairs(sigs, "doc_id", bands=16)
     verified = D.jaccard_verify(
