@@ -1542,3 +1542,73 @@ def bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy(F.asc("s_name"))
     )
+
+
+@query(
+    "weighted_median_price_by_brand",
+    oracle="""
+WITH li AS (
+  SELECT p.p_brand,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l.l_quantity) AS BIGINT) AS w
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+wb AS (SELECT p_brand, cents, sum(w) AS w FROM li GROUP BY 1, 2),
+c AS (
+  SELECT p_brand, cents, w,
+         sum(w) OVER (PARTITION BY p_brand ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY p_brand) AS tot
+  FROM wb
+)
+SELECT p_brand,
+       round(min(cents) / 100.0, 2) AS weighted_median_price,
+       min(tot)::BIGINT AS total_quantity
+FROM c WHERE 2 * cum >= tot
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def weighted_median_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median line price per part brand — the
+    order-statistic generalization the plain percentile family can't
+    express (a 50-unit line should pull the median 50x harder than a
+    1-unit line). Lower weighted median: the smallest price whose
+    inclusive cumulative weight reaches half the brand's total. Prices
+    sum as exact integer cents and weights as exact integer quantities,
+    so the threshold test 2*cum >= tot is integer-exact on both
+    engines — no interpolation, no float boundary.
+
+    Scale: the fact compresses to (brand, price)-grain first (one
+    shuffle), the cumulative runs inside each brand partition (no
+    global window), and the fact-side join to part is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    from pyspark.sql import Window
+
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("w"),
+    )
+    wb = j.groupBy("p_brand", "cents").agg(F.sum("w").alias("w"))
+    wcum = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("p_brand")
+    c = wb.select(
+        "p_brand",
+        "cents",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.min("cents") / 100.0, 2).alias("weighted_median_price"),
+            F.min("tot").cast("long").alias("total_quantity"),
+        )
+        .orderBy("p_brand")
+    )

@@ -757,3 +757,164 @@ def flag_status_mutual_information(spark: SparkSession, sf_dir: str) -> DataFram
         .crossJoin(F.broadcast(hb))
         .select("n", "mi_nats", "h_returnflag", "h_linestatus")
     )
+
+
+@query(
+    "kruskal_wallis_components",
+    oracle="""
+WITH s AS (SELECT o_totalprice AS v, o_orderpriority AS g FROM orders),
+vg AS (SELECT v, g, count(*) AS tg FROM s GROUP BY 1, 2),
+bv AS (SELECT v, sum(tg) AS t FROM vg GROUP BY 1),
+cv AS (
+  SELECT v, t, sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM bv
+),
+uv AS (SELECT v, (2 * cum - t + 1)::HUGEINT AS u FROM cv),
+rg AS (
+  SELECT g, sum(tg::HUGEINT * u) AS r2, sum(tg)::HUGEINT AS nj
+  FROM vg JOIN uv USING (v) GROUP BY 1
+),
+tot AS (
+  SELECT count(*)::BIGINT AS k, sum(nj)::BIGINT AS n,
+         sum((r2::DOUBLE * r2::DOUBLE) / (4.0 * nj::DOUBLE)) AS s2
+  FROM rg
+),
+ties AS (SELECT sum(t::HUGEINT * t * t - t)::DOUBLE AS tie FROM bv)
+SELECT k, n,
+       round(12.0 * s2 / (n::DOUBLE * (n + 1)) - 3.0 * (n + 1), 6) AS h_stat,
+       round((12.0 * s2 / (n::DOUBLE * (n + 1)) - 3.0 * (n + 1))
+             / (1.0 - tie / (n::DOUBLE * n * n - n)), 6) AS h_tie_corrected
+FROM tot, ties
+""",
+)
+def kruskal_wallis_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H components (order value ranked across ALL five
+    priorities) — the k-group nonparametric companion to
+    mann_whitney_components (reference analogue: the H-family tests,
+    BigDataProject.R:178-265). Mid-ranks are DOUBLED so every rank is
+    an integer (2r = 2*cum - t + 1 on the inclusive per-value
+    cumulative), doubled rank sums per group accumulate exactly in
+    decimal(38,0)/HUGEINT, and H folds from k exact integers with the
+    identical double expression on both engines (R_j^2/n_j =
+    (2R_j)^2/(4 n_j)); the tie term corrects H for the per-value tie
+    mass.
+
+    Scale: groupBy(value, group) compresses the fact once; ranks come
+    from the range-partitioned two-pass cumulative over the
+    value-compressed domain (no global single-task window); the rank
+    join shuffles on the value key and the final fold is k rows."""
+    from ..operators.windows import range_partitioned_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.col("o_totalprice").alias("v"), F.col("o_orderpriority").alias("g")
+    )
+    vg = s.groupBy("v", "g").agg(F.count(F.lit(1)).alias("tg"))
+    bv = vg.groupBy("v").agg(F.sum("tg").alias("t"))
+    uv = range_partitioned_cumsum(bv, ["v"], ["t"]).select(
+        "v", (2 * F.col("cum_t") - F.col("t") + 1).alias("u")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    rg = (
+        vg.join(uv, "v")
+        .groupBy("g")
+        .agg(
+            F.sum(d("tg") * d("u")).alias("r2"),
+            F.sum("tg").cast("decimal(38,0)").alias("nj"),
+        )
+    )
+    tot = rg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("nj").cast("long").alias("n"),
+        F.sum(
+            (F.col("r2").cast("double") * F.col("r2").cast("double"))
+            / (F.lit(4.0) * F.col("nj").cast("double"))
+        ).alias("s2"),
+    )
+    ties = bv.agg(
+        F.sum(d("t") * d("t") * d("t") - d("t")).cast("double").alias("tie")
+    )
+    nD = F.col("n").cast("double")
+    h = F.lit(12.0) * F.col("s2") / (nD * (F.col("n") + 1)) - F.lit(3.0) * (
+        F.col("n") + 1
+    )
+    return tot.crossJoin(F.broadcast(ties)).select(
+        "k",
+        "n",
+        F.round(h, 6).alias("h_stat"),
+        F.round(
+            h / (F.lit(1.0) - F.col("tie") / (nD * F.col("n") * F.col("n") - F.col("n"))),
+            6,
+        ).alias("h_tie_corrected"),
+    )
+
+
+@query(
+    "levene_brown_forsythe_components",
+    oracle="""
+WITH x AS (SELECT o_orderpriority AS g, o_totalprice AS v FROM orders),
+med AS (SELECT g, quantile_cont(v, 0.5) AS md FROM x GROUP BY 1),
+z AS (SELECT x.g, abs(x.v - med.md) AS z FROM x JOIN med USING (g)),
+gs AS (
+  SELECT g, count(*) AS n, avg(z) AS m, var_samp(z) AS v FROM z GROUP BY 1
+),
+tot AS (SELECT count(*) AS k, sum(n) AS n, sum(n * m) / sum(n) AS grand FROM gs),
+comp AS (
+  SELECT tot.k, tot.n,
+         sum(gs.n * pow(gs.m - tot.grand, 2)) AS ssb,
+         sum((gs.n - 1) * gs.v) AS ssw
+  FROM gs, tot GROUP BY tot.k, tot.n
+)
+SELECT k, n::BIGINT AS n,
+       round(ssb / 1e6, 2) AS ss_between_m,
+       round(ssw / 1e6, 2) AS ss_within_m,
+       round((ssb / (k - 1)) / (ssw / (n - k)), 6) AS w_stat
+FROM comp
+""",
+)
+def levene_brown_forsythe_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) variance-homogeneity test
+    components: the ANOVA F machinery applied to z = |x - group
+    median| — the assumption check that should precede
+    anova_f_components (reference analogue: the aov preconditions,
+    BigDataProject.R:242-265). Group medians are exact type-7
+    percentiles (== DuckDB quantile_cont), broadcast back to the fact;
+    the z-ANOVA mirrors anova_f_components expression-for-expression,
+    with sums-of-squares emitted in millions for the same
+    magnitude-safety reason.
+
+    Scale: one grouped exact-percentile pass, one broadcast join (k-row
+    median frame), one grouped moment pass — no re-shuffle of the fact
+    between passes, no global window."""
+    from ..operators.aggregates import percentile_expr
+    from ..operators.stats import group_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        F.col("o_orderpriority").alias("g"), F.col("o_totalprice").alias("v")
+    )
+    med = x.groupBy("g").agg(percentile_expr("v", 0.5).alias("md"))
+    z = x.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("md")).alias("z")
+    )
+    gs = group_stats(z, "z", "g")
+    tot = gs.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        (F.sum(F.col("n") * F.col("mean")) / F.sum("n")).alias("grand"),
+    )
+    comp = gs.crossJoin(F.broadcast(tot)).groupBy("k", "n_total").agg(
+        F.sum(F.col("n") * F.pow(F.col("mean") - F.col("grand"), 2)).alias("ssb"),
+        F.sum((F.col("n") - 1) * F.col("var")).alias("ssw"),
+    )
+    return comp.select(
+        "k",
+        F.col("n_total").alias("n"),
+        F.round(F.col("ssb") / F.lit(1e6), 2).alias("ss_between_m"),
+        F.round(F.col("ssw") / F.lit(1e6), 2).alias("ss_within_m"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_total") - F.col("k"))),
+            6,
+        ).alias("w_stat"),
+    )

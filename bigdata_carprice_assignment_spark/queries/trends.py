@@ -780,3 +780,79 @@ def daily_order_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "daily_revenue_autocorrelation",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+p0 AS (
+  SELECT a.day + r.lag::INTEGER AS match_day, r.lag AS lag, a.cents AS x
+  FROM d a, range(1, 8) r(lag)
+),
+p AS (
+  SELECT p0.lag, p0.x, b.cents AS y
+  FROM p0 JOIN d b ON b.day = p0.match_day
+),
+m AS (
+  SELECT lag, count(*)::HUGEINT AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+         sum(x::HUGEINT * y) AS sxy
+  FROM p GROUP BY 1
+)
+SELECT lag, n::BIGINT AS n_pairs,
+       round((n * sxy - sx * sy)::DOUBLE
+             / sqrt((n * sxx - sx * sx)::DOUBLE
+                    * (n * syy - sy * sy)::DOUBLE), 6) AS acf
+FROM m ORDER BY lag
+""",
+)
+def daily_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily revenue series — the
+    time-series diagnostic behind seasonality detection (a weekly cycle
+    shows as an acf peak at lag 7). Daily revenue sums EXACTLY as
+    integer cents, every Pearson moment accumulates in
+    decimal(38,0)/HUGEINT, and the single double conversion at the end
+    is IEEE-deterministic — the 6dp hash cannot drift on summation
+    order. Pairs come from a calendar join (day, day+lag), so missing
+    days drop out of a lag's sample instead of silently misaligning a
+    row-shifted series.
+
+    Scale: the fact table contributes one grouped integer aggregate;
+    the series join runs over the calendar-bounded day grain (x7 lag
+    replication of the SERIES, never the fact), so cost is independent
+    of fact size."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    lags = F.explode(F.array(*[F.lit(i) for i in range(1, 8)])).alias("lag")
+    probe = d.select(F.col("day"), F.col("cents").alias("x"), lags).withColumn(
+        "match_day", F.expr("date_add(day, lag)")
+    )
+    pairs = probe.join(
+        d.select(F.col("day").alias("match_day"), F.col("cents").alias("y")),
+        "match_day",
+    )
+    h = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(h("x")).alias("sx"),
+        F.sum(h("y")).alias("sy"),
+        F.sum(h("x") * h("x")).alias("sxx"),
+        F.sum(h("y") * h("y")).alias("syy"),
+        F.sum(h("x") * h("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(num / F.sqrt(dx * dy), 6).alias("acf"),
+    ).orderBy("lag")
