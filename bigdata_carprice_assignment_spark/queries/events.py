@@ -1083,3 +1083,90 @@ def rolling_7d_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "scd2_event_type_history",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+starts AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM seq WHERE prev_type IS DISTINCT FROM event_type
+),
+hist AS (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER
+           (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+  FROM starts
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_intervals,
+       sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_current,
+       sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_closed,
+       round(sum(CASE WHEN valid_to IS NOT NULL
+                 THEN epoch_us(valid_to) - epoch_us(valid_from)
+                 ELSE 0 END)::DOUBLE
+             / sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)
+             / 3.6e9, 4) AS avg_hours_closed
+FROM hist GROUP BY event_type ORDER BY event_type
+""",
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from an event
+    log: per user, collapse consecutive same-type events into effective
+    intervals [valid_from, valid_to) — change rows open a new interval,
+    the next change closes it, the last stays open (valid_to NULL =
+    current). The report folds the interval table per type: interval
+    counts, open (current) rows, and the mean closed-interval dwell in
+    hours from exact integer microsecond sums.
+
+    This is the batch analogue of CDC compaction at 100 TB: both
+    windows run inside the (user_id) partition — high cardinality, no
+    global window — and the change-detection lag plus the close-lead
+    are the only shuffle-free per-partition passes the build needs.
+    Ties break on event_id deterministically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    starts = seq.filter(
+        ~F.col("prev_type").eqNullSafe(F.col("event_type"))
+    ).select(
+        "user_id", "event_type", F.col("ts").alias("valid_from"), "event_id"
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    hist = starts.select(
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    closed = F.col("valid_to").isNotNull()
+    dur_us = F.unix_micros(F.col("valid_to").cast("timestamp")) - F.unix_micros(
+        F.col("valid_from").cast("timestamp")
+    )
+    return (
+        hist.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.when(~closed, 1).otherwise(0)).alias("n_current"),
+            F.sum(F.when(closed, 1).otherwise(0)).alias("n_closed"),
+            F.round(
+                F.sum(F.when(closed, dur_us).otherwise(0)).cast("double")
+                / F.sum(F.when(closed, 1).otherwise(0))
+                / F.lit(3.6e9),
+                4,
+            ).alias("avg_hours_closed"),
+        )
+        .orderBy("event_type")
+    )

@@ -1034,3 +1034,170 @@ def customer_upsert_merge_accounting(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("segment", "_action")
     )
+
+
+@query(
+    "bloom_prefilter_join_audit",
+    oracle="""
+WITH keys AS (
+  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+pos AS (
+  SELECT ('0x' || substr(md5('bf' || r.j || ':' || k), 1, 15))::BIGINT % 65536
+           AS p
+  FROM keys, range(3) r(j)
+),
+bloom AS (
+  SELECT p // 63 AS word, bit_or(1::BIGINT << (p % 63)::INTEGER) AS bits
+  FROM pos GROUP BY 1
+),
+probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+ppos AS (
+  SELECT k, ('0x' || substr(md5('bf' || r.j || ':' || k), 1, 15))::BIGINT % 65536
+           AS p
+  FROM probe, range(3) r(j)
+),
+checks AS (
+  SELECT ppos.k,
+         min(CASE WHEN bloom.bits IS NOT NULL
+                   AND (bloom.bits >> (ppos.p % 63)::INTEGER) & 1 = 1
+             THEN 1 ELSE 0 END) AS pass
+  FROM ppos LEFT JOIN bloom ON bloom.word = ppos.p // 63
+  GROUP BY 1
+),
+truth AS (
+  SELECT c.k, c.pass,
+         CASE WHEN kk.k IS NOT NULL THEN 1 ELSE 0 END AS member
+  FROM checks c LEFT JOIN (SELECT DISTINCT k FROM keys) kk ON kk.k = c.k
+)
+SELECT (SELECT count(*) FROM keys)::BIGINT AS n_build_keys,
+       count(*)::BIGINT AS n_probe_keys,
+       sum(pass)::BIGINT AS n_bloom_pass,
+       sum(member)::BIGINT AS n_members,
+       sum(CASE WHEN pass = 1 AND member = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_false_pos,
+       sum(CASE WHEN member = 1 AND pass = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_false_neg,
+       (SELECT sum(bit_count(bits)) FROM bloom)::BIGINT AS n_bits_set
+FROM truth
+""",
+)
+def bloom_prefilter_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning with an exact audit: build a
+    65,536-bit (8 KB, 1041 x 63-bit words — 63 so the portable
+    1<<bit never hits the BIGINT sign bit) Bloom filter over the
+    BUILDING-segment customer keys with k=3 engine-portable md5 hashes,
+    probe every distinct order custkey through it, then verify against
+    the exact semi-join. The contract row pins n_false_neg = 0 (Bloom
+    filters never miss a member) and exposes the false-positive mass
+    and set-bit count — the oracle rebuilds the filter WORD-FOR-WORD in
+    DuckDB, so the hash checks the filter's contents, not just the
+    counts.
+
+    Scale: this is the 100 TB semi-join pattern when the build side is
+    too big to broadcast as raw keys but its bitmap isn't — the filter
+    is a fixed-size bit_or aggregate (map-side combined), the probe
+    side joins the <=1041-row word table broadcast, and only the
+    surviving ~0.1% reaches the exact join. Spark's own runtime row
+    filtering (spark.sql.optimizer.runtime.bloomFilter.enabled) does
+    this implicitly; the explicit form ports to any engine and is
+    auditable."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    m_bits, k_hashes = 65536, 3  # 1041 63-bit words
+
+    def positions(df: DataFrame, key: str) -> DataFrame:
+        """Explode each key into its k bit positions via the portable
+        md5 hash (Spark conv(substr(md5,1,15)) == DuckDB '0x'||substr)."""
+        pos = F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.encode(
+                                        F.concat(
+                                            F.lit(f"bf{j}:"),
+                                            F.col(key).cast("string"),
+                                        ),
+                                        "UTF-8",
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long"),
+                        F.lit(m_bits),
+                    )
+                    for j in range(k_hashes)
+                ]
+            )
+        ).alias("p")
+        return df.select(F.col(key).alias("k"), pos)
+
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    bloom = (
+        positions(keys, "k")
+        .select(
+            F.expr("p div 63").alias("word"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(pmod(p, 63) as int))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    probe = orders.select(F.col("o_custkey").alias("k")).distinct()
+    checks = (
+        positions(probe, "k")
+        .withColumn("word", F.expr("p div 63"))
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "k",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.expr("shiftright(bits, cast(pmod(p, 63) as int)) & 1") == 1
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("k")
+        .agg(F.min("hit").alias("pass"))
+    )
+    truth = checks.join(
+        keys.distinct().withColumn("member", F.lit(1)), "k", "left"
+    ).select("pass", F.coalesce("member", F.lit(0)).alias("member"))
+    n_build = keys.agg(F.count(F.lit(1)).alias("n_build_keys"))
+    n_bits = bloom.agg(F.sum(F.bit_count("bits")).alias("n_bits_set"))
+    return (
+        truth.agg(
+            F.count(F.lit(1)).alias("n_probe_keys"),
+            F.sum("pass").alias("n_bloom_pass"),
+            F.sum("member").alias("n_members"),
+            F.sum(
+                F.when((F.col("pass") == 1) & (F.col("member") == 0), 1).otherwise(0)
+            ).alias("n_false_pos"),
+            F.sum(
+                F.when((F.col("member") == 1) & (F.col("pass") == 0), 1).otherwise(0)
+            ).alias("n_false_neg"),
+        )
+        .crossJoin(F.broadcast(n_build))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_build_keys",
+            "n_probe_keys",
+            "n_bloom_pass",
+            "n_members",
+            "n_false_pos",
+            "n_false_neg",
+            "n_bits_set",
+        )
+    )

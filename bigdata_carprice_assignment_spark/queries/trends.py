@@ -856,3 +856,129 @@ def daily_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n").cast("long").alias("n_pairs"),
         F.round(num / F.sqrt(dx * dy), 6).alias("acf"),
     ).orderBy("lag")
+
+
+@query(
+    "copurchase_triangle_count",
+    oracle="""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 30
+),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS ddst
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+cand AS (
+  SELECT least(o1.dst, o2.dst) AS u, greatest(o1.dst, o2.dst) AS v
+  FROM o o1 JOIN o o2
+    ON o1.src = o2.src AND (o1.ddst, o1.dst) < (o2.ddst, o2.dst)
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM cand JOIN e ON e.u = cand.u AND e.v = cand.v
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_nodes,
+         sum(d * (d - 1) // 2)::BIGINT AS n_wedges
+  FROM deg
+)
+SELECT agg.n_nodes,
+       (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       agg.n_wedges,
+       tri.n_triangles,
+       round(3.0 * tri.n_triangles / agg.n_wedges, 6) AS transitivity
+FROM agg, tri
+""",
+)
+def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts joined by
+    appearing in the same order with quantity >= 30): node/edge/wedge
+    counts, the exact triangle count, and the global transitivity
+    3T/W. Counting uses DEGREE-ORDERED edge orientation (each edge
+    points from its (degree, id)-smaller endpoint): every triangle then
+    has exactly one node with two out-edges, so the wedge self-join
+    emits each triangle exactly once and its total work is bounded by
+    sum(outdeg^2) = O(E^1.5) instead of the hub-quadratic naive wedge
+    join — the standard distributed triangle-counting discipline, and
+    the reason this survives power-law degree skew at 100 TB. All
+    counts are exact integers; the one double (transitivity) is a
+    single IEEE division.
+
+    The co-purchase edge list itself derives from a per-order self-join
+    on the order key after a quantity filter and DISTINCT projection —
+    the fact table never joins itself unfiltered."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    from ..plans.materialize import pinned
+
+    e = pinned(e, "tri_edges")  # reused by deg, orientation, and closure
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    ed = e.join(F.broadcast(du), F.col("u") == F.col("du.node")).join(
+        F.broadcast(dv), F.col("v") == F.col("dv.node")
+    )
+    u_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("ddst"),
+    )
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    lt = (F.col("o1.ddst") < F.col("o2.ddst")) | (
+        (F.col("o1.ddst") == F.col("o2.ddst"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    cand = o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & lt).select(
+        F.least(F.col("o1.dst"), F.col("o2.dst")).alias("u"),
+        F.greatest(F.col("o1.dst"), F.col("o2.dst")).alias("v"),
+    )
+    tri = cand.join(e, ["u", "v"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    aggd = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    ecnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        aggd.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("transitivity"),
+        )
+    )
