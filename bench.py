@@ -196,6 +196,14 @@ HEADLINE: list[str] = [
     "rolling_7d_active_users_hll",
     "lineitem_two_var_ols",
     "flag_status_mutual_information",
+    "kruskal_wallis_components",
+    "levene_brown_forsythe_components",
+    "daily_revenue_autocorrelation",
+    "weighted_median_price_by_brand",
+    "bloom_prefilter_join_audit",
+    "scd2_event_type_history",
+    "copurchase_triangle_count",
+    "prefix_filter_jaccard_pairs",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -1697,3 +1697,69 @@ def char_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select(
         "a", "b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("a", "b")
+
+
+@query(
+    "prefix_filter_jaccard_pairs",
+    oracle=_DUCK_SHINGLES
+    + """
+, pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.grams, b.grams))::DOUBLE
+           / len(list_distinct(list_concat(a.grams, b.grams))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT a, b, round(j, 6) AS jaccard
+FROM pairs WHERE j >= 0.8 ORDER BY a, b
+""",
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC-complete set-similarity join via prefix filtering
+    (the AllPairs/SSJoin discipline) — the exact counterpart of
+    minhash_lsh_recall_pairs: where MinHash banding has a ~2e-4 miss
+    probability at the threshold, the prefix filter is provably
+    lossless. Tokens sort by global (document-frequency, token) order —
+    rarest first; a set of size n keeps a prefix of n - ceil(0.8n) + 1
+    tokens; two sets with Jaccard >= 0.8 MUST share their globally
+    smallest common token inside both prefixes (if all >= ceil(0.8|X|)
+    common tokens sat in a suffix of size ceil(0.8|X|)-1 the count
+    would contradict itself), so the prefix-token equi-join plus exact
+    verify equals brute force by construction.
+
+    Scale: the df table is a grouped count over exploded shingles; the
+    per-doc prefix cut is a (doc_id)-partitioned window (high
+    cardinality, no global sort — the GLOBAL frequency order needs no
+    global rank, only the (df, token) sort key); candidates join on
+    prefix tokens only (rare by construction), and the exact verify
+    reuses the pooled shingle table. This is the join you run when a
+    legal/contractual dedup guarantee ("no pair above t survives")
+    rules out probabilistic recall."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(spark, sf_dir)
+    tok = sh.select("doc_id", F.explode("_sh").alias("g"))
+    dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    ranked = (
+        tok.join(dfreq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr("(8 * n + 9) div 10") + 1
+    ).select("doc_id", "g")
+    a = prefix.select(F.col("doc_id").alias("a"), "g")
+    b = prefix.select(F.col("doc_id").alias("b"), "g")
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    verified = D.jaccard_verify(
+        docs, cand, "text", "doc_id", threshold=0.8, shingled=sh
+    )
+    return verified.select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("a", "b")

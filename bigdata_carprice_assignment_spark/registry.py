@@ -121,6 +121,14 @@ PRIORITY: tuple[str, ...] = (
     # query here is locally oracle-green (sf0.001/0.01/0.1 sweeps) but
     # never driver-hash-checked — promote them into the head-50 next
     # round, displacing r3-green queries (cumulative coverage grows).
+    "kruskal_wallis_components",
+    "levene_brown_forsythe_components",
+    "daily_revenue_autocorrelation",
+    "weighted_median_price_by_brand",
+    "bloom_prefilter_join_audit",
+    "scd2_event_type_history",
+    "copurchase_triangle_count",
+    "prefix_filter_jaccard_pairs",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",

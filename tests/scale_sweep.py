@@ -35,6 +35,7 @@ QUADRATIC_ORACLES = {
     "eval_contamination_check",
     "boilerplate_ngram_stats",
     "char_ngram_jaccard_pairs",
+    "prefix_filter_jaccard_pairs",
 }
 
 
