@@ -204,6 +204,9 @@ HEADLINE: list[str] = [
     "scd2_event_type_history",
     "copurchase_triangle_count",
     "prefix_filter_jaccard_pairs",
+    "sketch_set_overlap_check",
+    "group_aware_split_leakage_audit",
+    "incremental_daily_refresh_accounting",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -1612,3 +1612,67 @@ def weighted_median_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "sketch_set_overlap_check",
+    oracle="""
+WITH a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 48),
+b AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity <= 3)
+SELECT (SELECT count(*) FROM a)::BIGINT AS exact_parts_bulk,
+       (SELECT count(*) FROM b)::BIGINT AS exact_parts_single,
+       (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))::BIGINT
+         AS exact_union,
+       (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))::BIGINT
+         AS exact_intersection,
+       true AS union_within_5pct,
+       true AS intersection_within_10pct
+""",
+)
+def sketch_set_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA gate: Apache DataSketches HLL sketches built
+    per segment (parts shipped in bulk, quantity >= 48, vs parts
+    shipped in singles, quantity <= 3 — ~82% overlapping sets), merged with
+    ``hll_union``, and the intersection estimated by inclusion-exclusion
+    (|A|+|B|-|A∪B|) — asserted in-row against the exact counts (5% for
+    the union, 10% for the subtraction-amplified intersection), so the
+    driver hash fails on sketch drift exactly like hll_distinct_check.
+
+    Scale: mergeable sketches are the 100 TB set-overlap pattern —
+    per-partition (or per-day) sketches union associatively WITHOUT
+    rescanning raw keys, so "how many parts appear in both segments"
+    costs two map-side passes and a 1-row join, never a shuffle of the
+    key domain; the exact side here is the audit, not the product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 48).agg(
+        F.count_distinct("l_partkey").alias("exact_parts_bulk"),
+        F.hll_sketch_agg("l_partkey").alias("_ska"),
+    )
+    b = li.filter(F.col("l_quantity") <= 3).agg(
+        F.count_distinct("l_partkey").alias("exact_parts_single"),
+        F.hll_sketch_agg("l_partkey").alias("_skb"),
+    )
+    ex = li.filter(
+        (F.col("l_quantity") >= 48) | (F.col("l_quantity") <= 3)
+    ).agg(F.count_distinct("l_partkey").alias("exact_union"))
+    j = a.crossJoin(b).crossJoin(F.broadcast(ex))
+    est_u = F.hll_sketch_estimate(F.hll_union("_ska", "_skb"))
+    est_a = F.hll_sketch_estimate("_ska")
+    est_b = F.hll_sketch_estimate("_skb")
+    exact_i = (
+        F.col("exact_parts_bulk")
+        + F.col("exact_parts_single")
+        - F.col("exact_union")
+    )
+    return j.select(
+        "exact_parts_bulk",
+        "exact_parts_single",
+        "exact_union",
+        exact_i.alias("exact_intersection"),
+        (F.abs(est_u - F.col("exact_union")) <= 0.05 * F.col("exact_union")).alias(
+            "union_within_5pct"
+        ),
+        (F.abs((est_a + est_b - est_u) - exact_i) <= 0.10 * exact_i).alias(
+            "intersection_within_10pct"
+        ),
+    )

@@ -629,3 +629,89 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_reverse",
         )
     )
+
+
+@query(
+    "group_aware_split_leakage_audit",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN ('0x' || substr(md5('split:' || user_id), 1, 15))::BIGINT
+                   % 10 < 8
+              THEN 'train' ELSE 'test' END AS split
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+e AS (
+  SELECT u.split, ev.user_id, ev.event_id
+  FROM events ev JOIN u USING (user_id)
+),
+tot AS (SELECT count(*)::DOUBLE AS n FROM events),
+leak AS (
+  SELECT count(*)::BIGINT AS n_leaked_users
+  FROM (SELECT user_id FROM e WHERE split = 'train'
+        INTERSECT
+        SELECT user_id FROM e WHERE split = 'test')
+)
+SELECT split,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_events,
+       round(count(*) / (SELECT n FROM tot), 6) AS frac_events,
+       (SELECT n_leaked_users FROM leak) AS n_leaked_users
+FROM e GROUP BY split ORDER BY split
+""",
+)
+def group_aware_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/test split with a leakage audit — the split
+    discipline for user-correlated training data (reference analogue:
+    the row-level createDataPartition split, BigDataProject.R:296-300,
+    which would leak a user's events across splits): the split decision
+    hashes the GROUP key (user_id) with the engine-portable md5 hash,
+    so every event of a user lands on one side, deterministically
+    across engines/retries/partitionings. The audit recomputes the
+    train∩test user intersection FROM THE SPLIT DATA (not from the
+    rule) and pins it to zero in the hashed result.
+
+    Scale: the distinct-user frame is the only shuffle; the split
+    column is a map-side expression joined back via broadcast-sized
+    user table (or computed inline when the group key is on the fact),
+    and the audit is one intersect over the two user sets."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                TX.portable_hash60(
+                    F.concat(F.lit("split:"), F.col("user_id").cast("string"))
+                )
+                % 10
+                < 8,
+                "train",
+            )
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    e = ev.join(F.broadcast(u), "user_id").select("split", "user_id", "event_id")
+    tot = ev.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tr = e.filter(F.col("split") == "train").select("user_id").distinct()
+    te = e.filter(F.col("split") == "test").select("user_id").distinct()
+    leak = tr.intersect(te).agg(F.count(F.lit(1)).alias("n_leaked_users"))
+    return (
+        e.groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_users",
+            "n_events",
+            F.round(F.col("n_events") / F.col("n"), 6).alias("frac_events"),
+            "n_leaked_users",
+        )
+        .orderBy("split")
+    )

@@ -129,6 +129,9 @@ PRIORITY: tuple[str, ...] = (
     "scd2_event_type_history",
     "copurchase_triangle_count",
     "prefix_filter_jaccard_pairs",
+    "sketch_set_overlap_check",
+    "group_aware_split_leakage_audit",
+    "incremental_daily_refresh_accounting",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
