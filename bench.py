@@ -207,6 +207,9 @@ HEADLINE: list[str] = [
     "sketch_set_overlap_check",
     "group_aware_split_leakage_audit",
     "incremental_daily_refresh_accounting",
+    "brand_rank_kendall_tau",
+    "order_value_psi_drift",
+    "vocab_coverage_thresholds",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -715,3 +715,83 @@ def group_aware_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("split")
     )
+
+
+@query(
+    "vocab_coverage_thresholds",
+    oracle=r"""
+WITH tk AS (
+  SELECT unnest(""" + _DUCK_TOKENS + r""") AS w FROM documents
+),
+c AS (SELECT w, count(*)::BIGINT AS n FROM tk WHERE w <> '' GROUP BY w),
+r AS (
+  SELECT n,
+         sum(n) OVER (ORDER BY n DESC, w ASC ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (ORDER BY n DESC, w ASC) AS rank
+  FROM c
+),
+tot AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS vocab_size FROM c),
+k90 AS (
+  SELECT min(rank)::BIGINT AS k_90pct
+  FROM r, tot WHERE 10 * cum >= 9 * tot.total
+),
+cov AS (
+  SELECT round(max(cum)::DOUBLE / max(tot.total), 6) AS coverage_top10
+  FROM r, tot WHERE rank <= 10
+)
+SELECT tot.vocab_size, tot.total AS total_occurrences,
+       k90.k_90pct, cov.coverage_top10
+FROM tot, k90, cov
+""",
+)
+def vocab_coverage_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve readout — the tokenizer-sizing
+    question ("how many vocabulary entries cover 90% of running
+    text?"): rank the vocabulary by descending occurrence count, take
+    the cumulative occurrence mass, and report the smallest rank
+    reaching 90% plus the coverage share of a fixed top-10 vocabulary.
+    The 90% cut is decided in exact integer arithmetic (10*cum >=
+    9*total), so no float boundary can flip the rank between engines.
+
+    Scale: explode → hash-agg to vocab grain; the descending-frequency
+    cumulative runs as the range-partitioned two-pass prefix sum over
+    the VOCABULARY (never corpus tokens), ordered by a negated-count
+    key so the range exchange still partitions ascending — no global
+    single-task window."""
+    from ..operators.windows import range_partitioned_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w")
+    ).filter(F.col("w") != "")
+    c = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    ranked = range_partitioned_cumsum(
+        c.withColumn("neg_n", -F.col("n")).withColumn(
+            "one", F.lit(1).cast("long")
+        ),
+        ["neg_n", "w"],
+        ["n", "one"],
+    ).select("n", F.col("cum_n").alias("cum"), F.col("cum_one").alias("rank"))
+    ranked = ranked.crossJoin(F.broadcast(tot))
+    k90 = ranked.filter(10 * F.col("cum") >= 9 * F.col("total")).agg(
+        F.min("rank").cast("long").alias("k_90pct")
+    )
+    cov10 = ranked.filter(F.col("rank") <= 10).agg(
+        F.round(
+            F.max("cum").cast("double") / F.max("total"), 6
+        ).alias("coverage_top10")
+    )
+    return (
+        tot.crossJoin(F.broadcast(k90))
+        .crossJoin(F.broadcast(cov10))
+        .select(
+            "vocab_size",
+            F.col("total").alias("total_occurrences"),
+            "k_90pct",
+            "coverage_top10",
+        )
+    )

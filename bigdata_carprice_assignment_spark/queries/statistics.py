@@ -918,3 +918,183 @@ def levene_brown_forsythe_components(spark: SparkSession, sf_dir: str) -> DataFr
             6,
         ).alias("w_stat"),
     )
+
+
+@query(
+    "brand_rank_kendall_tau",
+    oracle="""
+WITH m AS (
+  SELECT p_brand,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+),
+p AS (
+  SELECT a.p_brand AS ba, b.p_brand AS bb,
+         CASE WHEN (a.rev_cents - b.rev_cents) * (a.qty - b.qty) > 0
+              THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.rev_cents - b.rev_cents) * (a.qty - b.qty) < 0
+              THEN 1 ELSE 0 END AS disc,
+         CASE WHEN a.rev_cents = b.rev_cents THEN 1 ELSE 0 END AS tie_x,
+         CASE WHEN a.qty = b.qty THEN 1 ELSE 0 END AS tie_y
+  FROM m a JOIN m b ON a.p_brand < b.p_brand
+),
+s AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         sum(conc)::BIGINT AS concordant, sum(disc)::BIGINT AS discordant,
+         sum(tie_x)::BIGINT AS ties_x, sum(tie_y)::BIGINT AS ties_y
+  FROM p
+)
+SELECT (SELECT count(*) FROM m)::BIGINT AS n_brands,
+       concordant, discordant,
+       round((concordant - discordant)::DOUBLE
+             / sqrt((n_pairs - ties_x)::DOUBLE * (n_pairs - ties_y)::DOUBLE),
+             6) AS kendall_tau_b
+FROM s
+""",
+)
+def brand_rank_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between two brand rankings (revenue vs unit
+    volume) — completes the correlation family (Pearson A13, Spearman,
+    now the pairwise-concordance rank measure that survives any
+    monotone transform and handles ties via the tau-b denominator).
+    Both metrics reduce to exact integers (cents / units), so every
+    concordance decision is an exact sign test and the single double
+    division rounds identically on both engines.
+
+    Scale: the pairwise O(k^2) comparison runs on the AGGREGATED brand
+    frame (k = 25 brands → 300 pairs), never the fact; the fact
+    contributes one grouped integer aggregate behind a broadcast dim
+    join. For large k, tau degrades to the Spearman path (rank join +
+    moment fold) — pairwise tau on a million-key ranking is the wrong
+    algorithm at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    m = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "rev_cents"
+            ),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    dx = F.col("a.rev_cents") - F.col("b.rev_cents")
+    dy = F.col("a.qty") - F.col("b.qty")
+    p = a.join(
+        F.broadcast(b), F.col("a.p_brand") < F.col("b.p_brand")
+    ).select(
+        F.when(dx * dy > 0, 1).otherwise(0).alias("conc"),
+        F.when(dx * dy < 0, 1).otherwise(0).alias("disc"),
+        F.when(dx == 0, 1).otherwise(0).alias("tie_x"),
+        F.when(dy == 0, 1).otherwise(0).alias("tie_y"),
+    )
+    s = p.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("conc").alias("concordant"),
+        F.sum("disc").alias("discordant"),
+        F.sum("tie_x").alias("ties_x"),
+        F.sum("tie_y").alias("ties_y"),
+    )
+    nb = m.agg(F.count(F.lit(1)).alias("n_brands"))
+    return s.crossJoin(F.broadcast(nb)).select(
+        "n_brands",
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.sqrt(
+                (F.col("n_pairs") - F.col("ties_x")).cast("double")
+                * (F.col("n_pairs") - F.col("ties_y")).cast("double")
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    )
+
+
+@query(
+    "order_value_psi_drift",
+    oracle="""
+WITH o AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'ref' ELSE 'cur' END AS half
+  FROM orders
+),
+edges AS (
+  SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+  FROM o WHERE half = 'ref'
+),
+binned AS (
+  SELECT half,
+         1 + len(list_filter(edges.e, x -> x < v)) AS bin
+  FROM o, edges
+),
+c AS (
+  SELECT bin,
+         sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+         sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END)::BIGINT AS n_cur
+  FROM binned GROUP BY 1
+),
+t AS (SELECT sum(n_ref)::DOUBLE AS tr, sum(n_cur)::DOUBLE AS tc FROM c)
+SELECT bin, n_ref, n_cur,
+       round((n_cur / tc - n_ref / tr)
+             * ln((n_cur / tc) / (n_ref / tr)), 8) AS psi_term
+FROM c, t ORDER BY bin
+""",
+)
+def order_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index decomposition — the distribution-drift
+    monitor between a reference population (even order keys) and a
+    current one (odd keys): decile edges come from the REFERENCE's
+    exact percentiles, both populations bin against those fixed edges
+    (strict lower edges: bin = 1 + #edges below v), and each bin emits
+    its signed PSI term (p_cur - p_ref) * ln(p_cur/p_ref); the sum >
+    0.2 is the conventional retrain alarm. Emitting per-bin terms makes
+    the drift ATTRIBUTABLE (which deciles moved), and every probability
+    is a ratio of exact integer counts.
+
+    Scale: one exact-percentile pass over the reference, then a single
+    scan bins both halves against the 9 broadcast edges via a when
+    ladder — no sort, no shuffle beyond the 10-row aggregate; the
+    monitoring query you schedule hourly at 100 TB."""
+    from ..operators.aggregates import percentile_expr
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderkey") % 2 == 0, "ref").otherwise("cur").alias("half"),
+    )
+    probs = [i / 10 for i in range(1, 10)]
+    edges = o.filter(F.col("half") == "ref").agg(
+        percentile_expr("v", probs).alias("e")
+    )
+    binned = o.crossJoin(F.broadcast(edges)).select(
+        "half",
+        (
+            1
+            + F.size(F.filter(F.col("e"), lambda x: x < F.col("v")))
+        ).cast("long").alias("bin"),
+    )
+    c = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    t = c.agg(
+        F.sum("n_ref").cast("double").alias("tr"),
+        F.sum("n_cur").cast("double").alias("tc"),
+    )
+    pr = F.col("n_ref") / F.col("tr")
+    pc = F.col("n_cur") / F.col("tc")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round((pc - pr) * F.log(pc / pr), 8).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

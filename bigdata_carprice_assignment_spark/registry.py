@@ -132,6 +132,9 @@ PRIORITY: tuple[str, ...] = (
     "sketch_set_overlap_check",
     "group_aware_split_leakage_audit",
     "incremental_daily_refresh_accounting",
+    "brand_rank_kendall_tau",
+    "order_value_psi_drift",
+    "vocab_coverage_thresholds",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
