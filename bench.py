@@ -210,6 +210,8 @@ HEADLINE: list[str] = [
     "brand_rank_kendall_tau",
     "order_value_psi_drift",
     "vocab_coverage_thresholds",
+    "schema_evolution_roundtrip",
+    "click_purchase_reconciliation",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

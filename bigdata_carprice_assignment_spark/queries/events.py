@@ -1277,3 +1277,89 @@ def incremental_daily_refresh_accounting(
             "total_value",
         )
     )
+
+
+@query(
+    "click_purchase_reconciliation",
+    oracle="""
+WITH c AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*)::BIGINT AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*)::BIGINT AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+j AS (
+  SELECT coalesce(c.n_clicks, 0) AS n_clicks,
+         coalesce(p.n_purchases, 0) AS n_purchases,
+         CASE WHEN c.user_id IS NOT NULL AND p.user_id IS NOT NULL
+                THEN 'both'
+              WHEN c.user_id IS NOT NULL THEN 'click_only'
+              ELSE 'purchase_only' END AS status
+  FROM c FULL OUTER JOIN p
+    ON c.user_id = p.user_id AND c.day = p.day
+)
+SELECT status,
+       count(*)::BIGINT AS n_user_days,
+       sum(n_clicks)::BIGINT AS total_clicks,
+       sum(n_purchases)::BIGINT AS total_purchases
+FROM j GROUP BY status ORDER BY status
+""",
+)
+def click_purchase_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation at the (user, day) grain — the join
+    type the rest of the suite doesn't exercise: click-activity days
+    and purchase-activity days are aggregated independently, full-outer
+    joined, and every user-day classified as both / click_only /
+    purchase_only with its event mass. This is the two-ledger
+    reconciliation shape (imps vs bills, sent vs acked): the outer join
+    surfaces BOTH kinds of mismatch in one pass, where two anti-joins
+    would scan twice.
+
+    Scale: both sides pre-aggregate to the (user, day) grain before the
+    join — the full-outer shuffle carries day-grain rows, never raw
+    events; null-key pollution is impossible (group keys are non-null
+    by construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", "ts")).alias("day")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", day)
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day)
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    j = c.alias("c").join(
+        p.alias("p"),
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.day") == F.col("p.day")),
+        "full_outer",
+    )
+    status = (
+        F.when(
+            F.col("c.user_id").isNotNull() & F.col("p.user_id").isNotNull(),
+            "both",
+        )
+        .when(F.col("c.user_id").isNotNull(), "click_only")
+        .otherwise("purchase_only")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_user_days"),
+            F.sum("n_clicks").alias("total_clicks"),
+            F.sum("n_purchases").alias("total_purchases"),
+        )
+        .orderBy("status")
+    )

@@ -141,3 +141,72 @@ def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+@query(
+    "schema_evolution_roundtrip",
+    oracle="""
+WITH old_batch AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice, NULL::BIGINT AS o_year
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+new_batch AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         year(o_orderdate)::BIGINT AS o_year
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+u AS (SELECT * FROM old_batch UNION ALL SELECT * FROM new_batch)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       sum(CASE WHEN o_year IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_with_year,
+       sum(o_orderkey)::BIGINT AS key_checksum,
+       round(sum(o_totalprice), 2) AS revenue
+FROM u GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution gate: two parquet batches written with DIFFERENT
+    schemas — the old batch lacks the ``o_year`` column a later
+    pipeline version added — read back together with ``mergeSchema``,
+    so old rows surface the new column as NULL instead of failing the
+    scan. The aggregate counts year-carrying rows per priority next to
+    the row/key checksums; the oracle simulates the merged read with a
+    NULL-padded UNION over the original parquet.
+
+    Scale: additive schema evolution is how year-long 100 TB datasets
+    actually look (columns accrete; nobody rewrites history).
+    ``mergeSchema`` reconciles footers at planning time — per-file
+    projections adapt, no data rewrite; readers pay footer
+    reconciliation once per scan, which is why the merged schema should
+    be pinned in a table catalog once stable."""
+    src = load_table(spark, sf_dir, "orders")
+    path = _SCRATCH / f"orders_evolve_{Path(sf_dir).name}"
+    old_b = src.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    new_b = src.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    )
+    write_parquet(old_b, str(path / "batch=1"))
+    write_parquet(new_b, str(path / "batch=2"))
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(path))
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_year").isNotNull(), 1).otherwise(0)
+            ).alias("n_with_year"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

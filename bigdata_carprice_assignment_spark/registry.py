@@ -135,6 +135,8 @@ PRIORITY: tuple[str, ...] = (
     "brand_rank_kendall_tau",
     "order_value_psi_drift",
     "vocab_coverage_thresholds",
+    "schema_evolution_roundtrip",
+    "click_purchase_reconciliation",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
