@@ -212,6 +212,8 @@ HEADLINE: list[str] = [
     "vocab_coverage_thresholds",
     "schema_evolution_roundtrip",
     "click_purchase_reconciliation",
+    "top_user_day_journeys",
+    "seasonal_naive_mape",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -1363,3 +1363,61 @@ def click_purchase_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("status")
     )
+
+
+@query(
+    "top_user_day_journeys",
+    oracle="""
+WITH j AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         string_agg(event_type, '->' ORDER BY ts, event_id) AS journey,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT journey,
+       count(*)::BIGINT AS n_user_days,
+       max(n_events)::BIGINT AS journey_len
+FROM j GROUP BY journey
+ORDER BY n_user_days DESC, journey LIMIT 10
+""",
+)
+def top_user_day_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey (clickstream-path) analysis: each user-day's ordered
+    event-type sequence collapses to a '->' path string, and the top-10
+    most common daily journeys are reported with their frequency and
+    length. Ordering inside the path is pinned by (ts, event_id) on
+    both engines — collect_list has no deterministic order by itself,
+    so the Spark side sorts an array of (ts, event_id, type) structs
+    before projecting the types (struct comparison = lexicographic on
+    fields, ≡ the oracle's ORDER BY).
+
+    Scale: the sequence assembly is one (user, day) aggregate — state
+    bounded by the day's events per user, the grain a session store
+    would hold; the journey-frequency pass runs on the path-string
+    aggregate. Heavy-hitter journeys at 100 TB would go through the CMS
+    sketch instead of the exact second aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    j = (
+        ev.groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x.event_type,
+                ),
+                "->",
+            ).alias("journey"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        j.groupBy("journey")
+        .agg(
+            F.count(F.lit(1)).alias("n_user_days"),
+            F.max("n_events").alias("journey_len"),
+        )
+        .orderBy(F.desc("n_user_days"), F.asc("journey"))
+        .limit(10)
+    )

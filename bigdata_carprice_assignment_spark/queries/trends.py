@@ -982,3 +982,58 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity"),
         )
     )
+
+
+@query(
+    "seasonal_naive_mape",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT a.cents AS actual, b.cents AS forecast
+  FROM d a JOIN d b ON a.day = b.day + 7
+),
+ape AS (SELECT abs(actual - forecast)::DOUBLE / forecast AS e FROM p)
+SELECT count(*)::BIGINT AS n_days,
+       round(avg(e), 6) AS mean_ape,
+       round(quantile_cont(e, 0.5), 6) AS median_ape,
+       round(quantile_cont(e, 0.9), 6) AS p90_ape
+FROM ape
+""",
+)
+def seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy floor: the seasonal-naive baseline (predict
+    today = same weekday last week) scored by absolute percentage error
+    over the daily revenue series — the benchmark every real
+    forecasting model must beat, and the denominator of the MASE
+    family. Daily revenue is exact integer cents, each APE is ONE
+    division of two exact integers (IEEE-identical across engines), and
+    the mean/median/p90 fold over the calendar-bounded day frame.
+
+    Scale: the fact contributes one grouped integer aggregate; the
+    7-day self-join and error quantiles run on the day-grain series,
+    independent of fact size."""
+    from ..operators.aggregates import percentile_expr
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    a = d.select(F.col("day"), F.col("cents").alias("actual"))
+    b = d.select(F.expr("date_add(day, 7)").alias("day"), F.col("cents").alias("forecast"))
+    p = a.join(b, "day")
+    ape = p.select(
+        (
+            F.abs(F.col("actual") - F.col("forecast")).cast("double")
+            / F.col("forecast")
+        ).alias("e")
+    )
+    return ape.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg("e"), 6).alias("mean_ape"),
+        F.round(percentile_expr("e", 0.5), 6).alias("median_ape"),
+        F.round(percentile_expr("e", 0.9), 6).alias("p90_ape"),
+    )

@@ -137,6 +137,8 @@ PRIORITY: tuple[str, ...] = (
     "vocab_coverage_thresholds",
     "schema_evolution_roundtrip",
     "click_purchase_reconciliation",
+    "top_user_day_journeys",
+    "seasonal_naive_mape",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
