@@ -214,6 +214,7 @@ HEADLINE: list[str] = [
     "click_purchase_reconciliation",
     "top_user_day_journeys",
     "seasonal_naive_mape",
+    "jackknife_mean_se",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -1098,3 +1098,93 @@ def order_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "jackknife_mean_se",
+    oracle="""
+WITH r AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         ('0x' || substr(md5('jk:' || o_orderkey), 1, 15))::BIGINT % 32 AS blk
+  FROM orders
+),
+b AS (
+  SELECT blk, count(*)::HUGEINT AS n, sum(cents::HUGEINT) AS s FROM r GROUP BY 1
+),
+tot AS (SELECT count(*)::BIGINT AS g, sum(n)::HUGEINT AS n, sum(s) AS s FROM b),
+theta AS (
+  SELECT b.blk,
+         ((tot.s - b.s)::DOUBLE / (tot.n - b.n)::DOUBLE) / 100.0 AS t,
+         (tot.s::DOUBLE / tot.n::DOUBLE) / 100.0 AS full_mean,
+         tot.g
+  FROM b, tot
+)
+SELECT max(g)::BIGINT AS n_blocks,
+       round(max(full_mean), 4) AS mean_order_value,
+       round(sqrt((max(g) - 1.0) / max(g)
+                  * sum((t - full_mean) * (t - full_mean))), 6)
+         AS jackknife_se,
+       round(avg(t), 4) AS mean_of_leave_one_out
+FROM theta
+""",
+)
+def jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-BLOCK jackknife standard error of the mean order
+    value — the distributed uncertainty estimate that needs no
+    resampling pass: rows hash into 32 blocks (engine-portable md5), a
+    single grouped pass yields per-block (count, exact-cent sum), and
+    every leave-one-out mean folds from the 32-row aggregate by
+    subtraction. All moments are exact integers until one IEEE
+    division per block; SE = sqrt((g-1)/g * sum((theta_i - theta)^2)).
+    This is the grouped-jackknife variance machinery behind big-data
+    A/B platforms (delete-a-bucket over user hash buckets).
+
+    Scale: one map-side-combined aggregate over the fact to g rows;
+    everything after is arithmetic on the block frame. The block count
+    trades bias (g small) vs overhead (g large) and 32 matches the
+    bucket counts used elsewhere in the engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    from ..llm.text import portable_hash60
+
+    r = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            portable_hash60(
+                F.concat(F.lit("jk:"), F.col("o_orderkey").cast("string"))
+            )
+            % 32
+        ).alias("blk"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    b = r.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d("cents")).alias("s"),
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("n").alias("tn"),
+        F.sum("s").alias("ts"),
+    )
+    theta = b.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("ts") - F.col("s")).cast("double")
+            / (F.col("tn") - F.col("n")).cast("double")
+            / F.lit(100.0)
+        ).alias("t"),
+        (
+            F.col("ts").cast("double") / F.col("tn").cast("double") / F.lit(100.0)
+        ).alias("full_mean"),
+        "g",
+    )
+    dev = F.col("t") - F.col("full_mean")
+    return theta.agg(
+        F.max("g").alias("n_blocks"),
+        F.round(F.max("full_mean"), 4).alias("mean_order_value"),
+        F.round(
+            F.sqrt(
+                (F.max("g") - F.lit(1.0)) / F.max("g") * F.sum(dev * dev)
+            ),
+            6,
+        ).alias("jackknife_se"),
+        F.round(F.avg("t"), 4).alias("mean_of_leave_one_out"),
+    )

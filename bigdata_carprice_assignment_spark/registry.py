@@ -139,6 +139,7 @@ PRIORITY: tuple[str, ...] = (
     "click_purchase_reconciliation",
     "top_user_day_journeys",
     "seasonal_naive_mape",
+    "jackknife_mean_se",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
