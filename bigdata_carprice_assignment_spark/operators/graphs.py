@@ -1,0 +1,75 @@
+"""Distributed graph operators (engine extension; the reference has no
+graph surface). Currently: exact triangle census via degree-ordered
+edge orientation — the MapReduce-era discipline that bounds wedge-join
+work at O(E^1.5) under power-law degree skew, because every triangle is
+emitted by exactly one node (its orientation-smallest), never by a hub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.materialize import pinned
+
+
+def triangle_census(e: DataFrame, pool: str = "tri_edges") -> DataFrame:
+    """Exact triangle census of an undirected simple graph.
+
+    ``e`` must hold one row per undirected edge as (u, v) with u < v,
+    no duplicates, no self-loops. Returns one row: n_nodes, n_edges,
+    n_wedges (sum over nodes of C(deg, 2)), n_triangles, and the global
+    transitivity 3T/W (rounded 6dp).
+
+    Plan: degree table → orient each edge from its (degree, id)-smaller
+    endpoint → self-join oriented edges on src with an orientation-order
+    guard (counts each out-out wedge once) → closure check against the
+    undirected edge set. The edge frame is pinned (pooled persist)
+    because degree, orientation, and closure all consume it."""
+    e = pinned(e, pool)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    ed = e.join(F.broadcast(du), F.col("u") == F.col("du.node")).join(
+        F.broadcast(dv), F.col("v") == F.col("dv.node")
+    )
+    u_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("ddst"),
+    )
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    lt = (F.col("o1.ddst") < F.col("o2.ddst")) | (
+        (F.col("o1.ddst") == F.col("o2.ddst"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    cand = o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & lt).select(
+        F.least(F.col("o1.dst"), F.col("o2.dst")).alias("u"),
+        F.greatest(F.col("o1.dst"), F.col("o2.dst")).alias("v"),
+    )
+    tri = cand.join(e, ["u", "v"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    aggd = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    ecnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        aggd.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("transitivity"),
+        )
+    )

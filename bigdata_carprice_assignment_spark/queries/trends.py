@@ -931,57 +931,9 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
     )
-    from ..plans.materialize import pinned
+    from ..operators.graphs import triangle_census
 
-    e = pinned(e, "tri_edges")  # reused by deg, orientation, and closure
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du, dv = deg.alias("du"), deg.alias("dv")
-    ed = e.join(F.broadcast(du), F.col("u") == F.col("du.node")).join(
-        F.broadcast(dv), F.col("v") == F.col("dv.node")
-    )
-    u_first = (F.col("du.d") < F.col("dv.d")) | (
-        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
-    )
-    o = ed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("ddst"),
-    )
-    o1, o2 = o.alias("o1"), o.alias("o2")
-    lt = (F.col("o1.ddst") < F.col("o2.ddst")) | (
-        (F.col("o1.ddst") == F.col("o2.ddst"))
-        & (F.col("o1.dst") < F.col("o2.dst"))
-    )
-    cand = o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & lt).select(
-        F.least(F.col("o1.dst"), F.col("o2.dst")).alias("u"),
-        F.greatest(F.col("o1.dst"), F.col("o2.dst")).alias("v"),
-    )
-    tri = cand.join(e, ["u", "v"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
-    aggd = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
-    )
-    ecnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
-        aggd.crossJoin(F.broadcast(ecnt))
-        .crossJoin(F.broadcast(tri))
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            F.round(
-                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
-            ).alias("transitivity"),
-        )
-    )
+    return triangle_census(e)
 
 
 @query(
