@@ -165,3 +165,56 @@ def minmax(df: DataFrame, cols: Sequence[str]) -> dict[str, tuple[float, float]]
         aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
     row = df.agg(*aggs).first()
     return {c: (float(row[f"_mn_{c}"]), float(row[f"_mx_{c}"])) for c in cols}
+
+
+def exact_percentiles_distributed(
+    df: DataFrame, col: str, probs: Sequence[float]
+) -> DataFrame:
+    """Type-7 exact percentiles WITHOUT the single-buffer aggregate:
+    Spark's ``percentile`` (and DuckDB's ``quantile_cont``) buffer every
+    value of the group in one aggregation buffer — fine at bench SF,
+    fatal for a global percentile over a 100 TB column. This form is
+    fully distributed: value-compressed counts (one hash aggregate),
+    a range-partitioned two-pass cumulative (no global single-task
+    window), then each requested percentile reads its two order
+    statistics with conditional mins and interpolates with Spark's own
+    formula ``lower + (higher - lower) * frac``.
+
+    Returns one row per prob: (p, value). Matches ``percentile(col,
+    p)`` exactly: identical order statistics, identical interpolation
+    arithmetic (gated by the ``distributed_exact_quantiles_check``
+    oracle query and the equivalence test in tests/test_operators.py).
+    """
+    from .windows import range_partitioned_cumsum
+
+    spark = df.sparkSession
+    vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    counts = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    cum = range_partitioned_cumsum(counts, ["v"], ["c"]).select(
+        "v", F.col("cum_c").alias("cum")
+    )
+    n = counts.agg(F.sum("c").cast("long").alias("n"))
+    p_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    # h = (n-1)*p in double, exactly as Percentile/quantile_cont compute
+    idx = p_df.crossJoin(F.broadcast(n)).select(
+        "p",
+        ((F.col("n") - 1) * F.col("p")).alias("h"),
+    )
+    idx = idx.select(
+        "p",
+        "h",
+        (F.floor("h") + 1).alias("i_lo"),
+        (F.ceil("h") + 1).alias("i_hi"),
+    )
+    j = cum.crossJoin(F.broadcast(idx))
+    per = j.groupBy("p", "h").agg(
+        F.min(F.when(F.col("cum") >= F.col("i_lo"), F.col("v"))).alias("x_lo"),
+        F.min(F.when(F.col("cum") >= F.col("i_hi"), F.col("v"))).alias("x_hi"),
+    )
+    frac = F.col("h") - F.floor("h")
+    return per.select(
+        "p",
+        (
+            F.col("x_lo") + (F.col("x_hi") - F.col("x_lo")) * frac
+        ).alias("value"),
+    ).orderBy("p")

@@ -1683,3 +1683,41 @@ def sketch_set_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intersection_within_10pct"
         ),
     )
+
+
+@query(
+    "distributed_exact_quantiles_check",
+    oracle="""
+WITH qq AS (
+  SELECT quantile_cont(l_extendedprice,
+                       [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]) AS vals
+  FROM lineitem
+)
+SELECT [0.01, 0.25, 0.5, 0.75, 0.9, 0.99][i::INTEGER] AS p,
+       round(vals[i::INTEGER], 6) AS value
+FROM qq, range(1, 7) r(i) ORDER BY p
+""",
+)
+def distributed_exact_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global percentiles computed WITHOUT any single aggregation
+    buffer holding the column: value-compressed counts, a
+    range-partitioned cumulative, conditional-min order-statistic
+    lookups, and type-7 interpolation — hash-checked against DuckDB's
+    quantile_cont, which (like Spark's ``percentile``) buffers the
+    whole column and therefore cannot run a 100 TB global percentile
+    at all. Same numbers, scalable plan: this query IS the gate that
+    the distributed form reproduces the buffering form bit-for-bit at
+    6dp across the whole probability range (tails included).
+
+    Scale: the heavy pass is one hash aggregate to the distinct-value
+    grain; the cumulative is the two-pass range exchange; the order-
+    statistic probe joins six broadcast index rows against the
+    value-grain frame. Memory per task is O(values-per-range), never
+    O(column)."""
+    from ..operators.aggregates import exact_percentiles_distributed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = exact_percentiles_distributed(
+        li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+    return out.select("p", F.round("value", 6).alias("value")).orderBy("p")

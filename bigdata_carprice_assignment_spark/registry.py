@@ -140,6 +140,7 @@ PRIORITY: tuple[str, ...] = (
     "top_user_day_journeys",
     "seasonal_naive_mape",
     "jackknife_mean_se",
+    "distributed_exact_quantiles_check",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",

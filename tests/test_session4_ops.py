@@ -174,3 +174,33 @@ def test_triangle_census_matches_brute_force(spark):
         assert row["n_wedges"] == brute_w
         assert row["n_edges"] == len(edges)
         assert row["n_nodes"] == len(nodes)
+
+
+# --------------------------------------------------------------------------
+# Distributed exact percentile == Spark's buffering `percentile`, on
+# random data including ties, at several probabilities (exact doubles).
+# --------------------------------------------------------------------------
+
+
+def test_distributed_percentile_equals_buffered(spark):
+    from bigdata_carprice_assignment_spark.operators.aggregates import (
+        exact_percentiles_distributed,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    values = [round(rng.uniform(-100, 100), 2) for _ in range(5000)]
+    values += rng.choices(values, k=1000)  # inject ties
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    probs = [0.0, 0.013, 0.25, 0.5, 0.731, 0.99, 1.0]
+    want = df.agg(
+        F.expr(
+            "percentile(x, array(" + ", ".join(map(str, probs)) + "))"
+        ).alias("q")
+    ).collect()[0]["q"]
+    got = {
+        r["p"]: r["value"]
+        for r in exact_percentiles_distributed(df, "x", probs).collect()
+    }
+    for p, w in zip(probs, want):
+        assert got[p] == w, (p, got[p], w)
