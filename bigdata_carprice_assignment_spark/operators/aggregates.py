@@ -218,3 +218,56 @@ def exact_percentiles_distributed(
             F.col("x_lo") + (F.col("x_hi") - F.col("x_lo")) * frac
         ).alias("value"),
     ).orderBy("p")
+
+
+def exact_percentiles_distributed_grouped(
+    df: DataFrame, col: str, group: str, probs: Sequence[float]
+) -> DataFrame:
+    """Per-GROUP type-7 exact percentiles without per-group value
+    buffers — the grouped companion of ``exact_percentiles_distributed``
+    for high-cardinality groups whose largest group would blow the
+    ``percentile`` aggregation buffer. All passes stay inside the group
+    partition: (group, value) counts, an intra-group cumulative window,
+    an intra-group total, then order-statistic probes per requested
+    probability. Returns (group, p, value)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    vals = df.select(
+        F.col(group).alias("g"), F.col(col).alias("v")
+    ).filter(F.col("v").isNotNull())
+    counts = vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("g")
+    cum = counts.select(
+        "g",
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    p_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    j = cum.join(F.broadcast(p_df))
+    h = (F.col("n") - 1) * F.col("p")
+    j = j.select(
+        "g",
+        "v",
+        "cum",
+        "p",
+        h.alias("h"),
+        (F.floor(h) + 1).alias("i_lo"),
+        (F.ceil(h) + 1).alias("i_hi"),
+    )
+    per = j.groupBy("g", "p", "h").agg(
+        F.min(F.when(F.col("cum") >= F.col("i_lo"), F.col("v"))).alias("x_lo"),
+        F.min(F.when(F.col("cum") >= F.col("i_hi"), F.col("v"))).alias("x_hi"),
+    )
+    frac = F.col("h") - F.floor("h")
+    return per.select(
+        F.col("g").alias(group),
+        "p",
+        (F.col("x_lo") + (F.col("x_hi") - F.col("x_lo")) * frac).alias("value"),
+    ).orderBy(group, "p")

@@ -1721,3 +1721,37 @@ def distributed_exact_quantiles_check(spark: SparkSession, sf_dir: str) -> DataF
         li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
     )
     return out.select("p", F.round("value", 6).alias("value")).orderBy("p")
+
+
+@query(
+    "grouped_distributed_quantiles_check",
+    oracle="""
+WITH qq AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95]) AS vals
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority,
+       [0.25, 0.5, 0.75, 0.95][i::INTEGER] AS p,
+       round(vals[i::INTEGER], 6) AS value
+FROM qq, range(1, 5) r(i) ORDER BY o_orderpriority, p
+""",
+)
+def grouped_distributed_quantiles_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group exact percentiles via the buffer-free distributed path
+    (grouped companion of distributed_exact_quantiles_check): quartiles
+    and p95 of order value per priority, every pass window-partitioned
+    by the group key — the form that still works when the largest group
+    alone exceeds executor memory, hash-checked against DuckDB's
+    buffering quantile_cont per group."""
+    from ..operators.aggregates import exact_percentiles_distributed_grouped
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = exact_percentiles_distributed_grouped(
+        orders, "o_totalprice", "o_orderpriority", [0.25, 0.5, 0.75, 0.95]
+    )
+    return out.select(
+        "o_orderpriority", "p", F.round("value", 6).alias("value")
+    ).orderBy("o_orderpriority", "p")

@@ -141,6 +141,7 @@ PRIORITY: tuple[str, ...] = (
     "seasonal_naive_mape",
     "jackknife_mean_se",
     "distributed_exact_quantiles_check",
+    "grouped_distributed_quantiles_check",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
