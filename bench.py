@@ -217,6 +217,7 @@ HEADLINE: list[str] = [
     "jackknife_mean_se",
     "distributed_exact_quantiles_check",
     "grouped_distributed_quantiles_check",
+    "ratio_metric_delta_se",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

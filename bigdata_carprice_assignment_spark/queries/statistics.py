@@ -1188,3 +1188,115 @@ def jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jackknife_se"),
         F.round(F.avg("t"), 4).alias("mean_of_leave_one_out"),
     )
+
+
+@query(
+    "ratio_metric_delta_se",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS x_cents,
+         count(*)::BIGINT AS y_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT segment,
+         count(*)::HUGEINT AS n,
+         sum(x_cents::HUGEINT) AS sx, sum(y_orders::HUGEINT) AS sy,
+         sum(x_cents::HUGEINT * x_cents) AS sxx,
+         sum(y_orders::HUGEINT * y_orders) AS syy,
+         sum(x_cents::HUGEINT * y_orders) AS sxy
+  FROM per_cust GROUP BY 1
+),
+d AS (
+  SELECT segment, n::BIGINT AS n_customers,
+         (sx::DOUBLE / sy::DOUBLE) / 100.0 AS r,
+         (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+           / (n::DOUBLE - 1.0) AS vx,
+         (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)
+           / (n::DOUBLE - 1.0) AS vy,
+         (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+           / (n::DOUBLE - 1.0) AS vxy,
+         sy::DOUBLE / n::DOUBLE AS ybar,
+         sx::DOUBLE / n::DOUBLE AS xbar,
+         n::DOUBLE AS nd
+  FROM m
+)
+SELECT segment, n_customers,
+       round(r, 4) AS revenue_per_order,
+       round(sqrt((vx / 10000.0
+                   + (r * r) * vy
+                   - (2.0 * r) * (vxy / 100.0))
+                  / (ybar * ybar) / nd), 6) AS delta_se
+FROM d ORDER BY segment
+""",
+)
+def ratio_metric_delta_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (revenue per
+    order, per market segment) with customer-level clustering — the
+    estimator experimentation platforms use when the randomization unit
+    (customer) differs from the analysis unit (order): R = sum(x)/
+    sum(y) over per-customer totals, Var(R) ~ (vx + R^2 vy - 2R vxy) /
+    (ybar^2 n). Every moment accumulates exactly in decimal/HUGEINT
+    from integer cents and counts; the delta fold is a fixed expression
+    over the k-segment frame with cent->dollar scaling applied inside
+    the variance terms (vx/100^2, vxy/100) so both engines compute the
+    identical doubles.
+
+    Scale: one grouped aggregate to the customer grain (the shuffle you
+    already pay for any per-entity metric), one k-row fold. The naive
+    alternative — treating orders as IID — understates the SE whenever
+    per-customer order counts vary; this form is the correct one and
+    costs the same single pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "x_cents"
+            ),
+            F.count(F.lit(1)).alias("y_orders"),
+        )
+    )
+    h = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = per_cust.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(h("x_cents")).alias("sx"),
+        F.sum(h("y_orders")).alias("sy"),
+        F.sum(h("x_cents") * h("x_cents")).alias("sxx"),
+        F.sum(h("y_orders") * h("y_orders")).alias("syy"),
+        F.sum(h("x_cents") * h("y_orders")).alias("sxy"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    nd = dd("n")
+    d = m.select(
+        "segment",
+        F.col("n").cast("long").alias("n_customers"),
+        ((dd("sx") / dd("sy")) / F.lit(100.0)).alias("r"),
+        ((dd("sxx") - dd("sx") * dd("sx") / nd) / (nd - F.lit(1.0))).alias("vx"),
+        ((dd("syy") - dd("sy") * dd("sy") / nd) / (nd - F.lit(1.0))).alias("vy"),
+        ((dd("sxy") - dd("sx") * dd("sy") / nd) / (nd - F.lit(1.0))).alias("vxy"),
+        (dd("sy") / nd).alias("ybar"),
+        (dd("sx") / nd).alias("xbar"),
+        nd.alias("nd"),
+    )
+    return d.select(
+        "segment",
+        "n_customers",
+        F.round("r", 4).alias("revenue_per_order"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("vx") / F.lit(10000.0)
+                    + (F.col("r") * F.col("r")) * F.col("vy")
+                    - (F.lit(2.0) * F.col("r")) * (F.col("vxy") / F.lit(100.0))
+                )
+                / (F.col("ybar") * F.col("ybar"))
+                / F.col("nd")
+            ),
+            6,
+        ).alias("delta_se"),
+    ).orderBy("segment")

@@ -142,6 +142,7 @@ PRIORITY: tuple[str, ...] = (
     "jackknife_mean_se",
     "distributed_exact_quantiles_check",
     "grouped_distributed_quantiles_check",
+    "ratio_metric_delta_se",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
