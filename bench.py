@@ -218,6 +218,7 @@ HEADLINE: list[str] = [
     "distributed_exact_quantiles_check",
     "grouped_distributed_quantiles_check",
     "ratio_metric_delta_se",
+    "cross_source_dup_matrix",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -1763,3 +1763,56 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select(
         "a", "b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("a", "b")
+
+
+@query(
+    "cross_source_dup_matrix",
+    oracle=_DUCK_SHINGLES
+    + """
+, pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+),
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs
+  JOIN documents da ON da.doc_id = pairs.a
+  JOIN documents db ON db.doc_id = pairs.b
+)
+SELECT source_a, source_b, count(*)::BIGINT AS n_dup_pairs
+FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-sliced near-duplication: the verified MinHash pair set
+    (t=0.8, pooled — built once per session) joined back to each side's
+    source label and folded into a source x source duplicate-pair
+    matrix. This is the report that tells a corpus owner WHERE the
+    duplication lives — within one crawl snapshot (diagonal) vs across
+    snapshots/mirrors (off-diagonal) — and therefore which ingestion
+    path to fix; the unordered (least, greatest) source pair keeps one
+    row per unordered combination.
+
+    Scale: the pair set is already candidate->verify bounded; the
+    source labels broadcast from a two-column projection; the matrix is
+    |sources|^2 rows at most."""
+    docs = load_table(spark, sf_dir, "documents")
+    verified = _verified_minhash_pairs_08(spark, sf_dir)
+    lab = docs.select("doc_id", "source")
+    la = lab.select(F.col("doc_id").alias("a"), F.col("source").alias("sa"))
+    lb = lab.select(F.col("doc_id").alias("b"), F.col("source").alias("sb"))
+    m = verified.select("a", "b").join(F.broadcast(la), "a").join(
+        F.broadcast(lb), "b"
+    )
+    return (
+        m.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )

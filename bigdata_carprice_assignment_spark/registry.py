@@ -143,6 +143,7 @@ PRIORITY: tuple[str, ...] = (
     "distributed_exact_quantiles_check",
     "grouped_distributed_quantiles_check",
     "ratio_metric_delta_se",
+    "cross_source_dup_matrix",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",

@@ -36,6 +36,7 @@ QUADRATIC_ORACLES = {
     "boilerplate_ngram_stats",
     "char_ngram_jaccard_pairs",
     "prefix_filter_jaccard_pairs",
+    "cross_source_dup_matrix",
 }
 
 
