@@ -219,6 +219,8 @@ HEADLINE: list[str] = [
     "grouped_distributed_quantiles_check",
     "ratio_metric_delta_se",
     "cross_source_dup_matrix",
+    "time_hierarchy_rollup",
+    "join_key_skew_report",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

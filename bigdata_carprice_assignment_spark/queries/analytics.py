@@ -1755,3 +1755,114 @@ def grouped_distributed_quantiles_check(
     return out.select(
         "o_orderpriority", "p", F.round("value", 6).alias("value")
     ).orderBy("o_orderpriority", "p")
+
+
+@query(
+    "time_hierarchy_rollup",
+    oracle="""
+SELECT CASE WHEN grouping(yr) = 1 THEN -1 ELSE yr END AS yr,
+       CASE WHEN grouping(qtr) = 1 THEN -1 ELSE qtr END AS qtr,
+       grouping(yr) * 2 + grouping(qtr) AS lvl,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM (
+  SELECT year(o_orderdate)::BIGINT AS yr,
+         quarter(o_orderdate)::BIGINT AS qtr,
+         o_totalprice
+  FROM orders
+)
+GROUP BY ROLLUP (yr, qtr)
+ORDER BY lvl, yr, qtr
+""",
+)
+def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy ROLLUP (year → quarter → grand total) with
+    explicit grouping levels — the time axis companion of
+    rollup_revenue_region_nation: one Expand pass emits the quarter
+    rows, the year subtotals, and the grand total together, with
+    ``grouping()`` flags folded into a level id and NULL hierarchy keys
+    recoded to -1 so the hash has no NULL-vs-NULL ambiguity across
+    engines.
+
+    Scale: ROLLUP is one aggregate over an Expand(3x) of the year/
+    quarter projection — bounded by the calendar, no join, no second
+    pass over the fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        "o_totalprice",
+    )
+    g = src.rollup("yr", "qtr").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        (F.grouping("yr") * 2 + F.grouping("qtr")).alias("lvl"),
+    )
+    return g.select(
+        F.coalesce("yr", F.lit(-1)).alias("yr"),
+        F.coalesce("qtr", F.lit(-1)).alias("qtr"),
+        F.col("lvl").cast("long").alias("lvl"),
+        "n_orders",
+        "revenue",
+    ).orderBy("lvl", "yr", "qtr")
+
+
+@query(
+    "join_key_skew_report",
+    oracle="""
+WITH k AS (
+  SELECT 'lineitem.l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+  UNION ALL
+  SELECT 'orders.o_custkey', o_custkey FROM orders
+),
+per_key AS (
+  SELECT key_col, k, count(*)::BIGINT AS c FROM k GROUP BY 1, 2
+)
+SELECT key_col,
+       sum(c)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_distinct,
+       max(c)::BIGINT AS max_key_rows,
+       round(max(c)::DOUBLE * count(*) / sum(c), 4) AS skew_ratio
+FROM per_key GROUP BY key_col ORDER BY key_col
+""",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the profile you run BEFORE choosing a
+    shuffle strategy at 100 TB: for each prospective join key, total
+    rows, distinct keys, the hottest key's row count, and the skew
+    ratio (hottest key vs the mean key, >,~10 means the naive shuffle
+    join stalls on one task and you reach for salting or AQE skew
+    splitting). Each key profiles in its own grouped pass over a
+    single-column projection (column-pruned scans); the union is of
+    4-row summaries, not raw keys.
+
+    This is the measurement half of the salting machinery in
+    operators/skew.py — skew is something you detect, then treat."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def profile(df: DataFrame, col: str, label: str) -> DataFrame:
+        per_key = df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return per_key.agg(
+            F.lit(label).alias("key_col"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("max_key_rows"),
+            F.round(
+                F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c"), 4
+            ).alias("skew_ratio"),
+        ).select("key_col", "n_rows", "n_distinct", "max_key_rows", "skew_ratio")
+
+    return (
+        profile(li, "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(profile(li, "l_partkey", "lineitem.l_partkey"))
+        .unionByName(profile(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionByName(profile(orders, "o_custkey", "orders.o_custkey"))
+        .orderBy("key_col")
+    )

@@ -144,6 +144,8 @@ PRIORITY: tuple[str, ...] = (
     "grouped_distributed_quantiles_check",
     "ratio_metric_delta_se",
     "cross_source_dup_matrix",
+    "time_hierarchy_rollup",
+    "join_key_skew_report",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
