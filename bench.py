@@ -221,6 +221,8 @@ HEADLINE: list[str] = [
     "cross_source_dup_matrix",
     "time_hierarchy_rollup",
     "join_key_skew_report",
+    "two_proportion_ztest_components",
+    "event_conditional_entropy",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

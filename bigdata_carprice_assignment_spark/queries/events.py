@@ -1421,3 +1421,89 @@ def top_user_day_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_user_days"), F.asc("journey"))
         .limit(10)
     )
+
+
+@query(
+    "event_conditional_entropy",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+t AS (
+  SELECT prev, event_type, count(*)::BIGINT AS c
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+mp AS (SELECT prev, sum(c)::BIGINT AS cp FROM t GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n FROM t),
+hc AS (
+  SELECT round(-sum((t.c::DOUBLE / tot.n)
+                    * ln(t.c::DOUBLE / mp.cp) / ln(2.0)), 6) AS h_cond_bits
+  FROM t JOIN mp USING (prev), tot
+),
+hm AS (
+  SELECT round(-sum((cp::DOUBLE / tot.n) * ln(cp::DOUBLE / tot.n) / ln(2.0)),
+               6) AS h_marginal_bits
+  FROM mp, tot
+)
+SELECT (SELECT n FROM tot) AS n_transitions, h_marginal_bits, h_cond_bits,
+       round(h_marginal_bits - h_cond_bits, 6) AS information_rate_bits
+FROM hc, hm
+""",
+)
+def event_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(next | prev) of the per-user event-type
+    Markov chain, in bits, next to the marginal entropy H(prev) — their
+    difference is the information the previous event carries about the
+    next (the sequence-predictability readout on top of
+    event_transition_counts; ~0 means the journey is memoryless and a
+    sequence model buys nothing). Every probability is a ratio of exact
+    transition counts; log2 terms are IEEE-deterministic; the folds run
+    over the |types|^2 transition matrix.
+
+    Scale: the lag window is (user)-partitioned; one grouped count to
+    the transition matrix; everything after is k^2-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    t = seq.groupBy("prev", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    from ..plans.materialize import pinned
+
+    t = pinned(t, "markov_cells")  # consumed by joint, marginal, total
+    mp = t.groupBy("prev").agg(F.sum("c").cast("long").alias("cp"))
+    tot = t.agg(F.sum("c").cast("long").alias("n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ln2 = F.log(F.lit(2.0))
+    hc = (
+        t.join(F.broadcast(mp), "prev")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                -F.sum((d("c") / F.col("n")) * F.log(d("c") / F.col("cp")) / ln2),
+                6,
+            ).alias("h_cond_bits")
+        )
+    )
+    hm = mp.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            -F.sum((d("cp") / F.col("n")) * F.log(d("cp") / F.col("n")) / ln2),
+            6,
+        ).alias("h_marginal_bits")
+    )
+    return (
+        tot.select(F.col("n").alias("n_transitions"))
+        .crossJoin(F.broadcast(hm))
+        .crossJoin(F.broadcast(hc))
+        .select(
+            "n_transitions",
+            "h_marginal_bits",
+            "h_cond_bits",
+            F.round(
+                F.col("h_marginal_bits") - F.col("h_cond_bits"), 6
+            ).alias("information_rate_bits"),
+        )
+    )

@@ -1300,3 +1300,82 @@ def ratio_metric_delta_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("delta_se"),
     ).orderBy("segment")
+
+
+@query(
+    "two_proportion_ztest_components",
+    oracle="""
+WITH s AS (
+  SELECT c.c_mktsegment AS seg,
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT
+           AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY 1
+),
+w AS (
+  SELECT max(CASE WHEN seg = 'BUILDING' THEN x END) AS x1,
+         max(CASE WHEN seg = 'BUILDING' THEN n END) AS n1,
+         max(CASE WHEN seg = 'MACHINERY' THEN x END) AS x2,
+         max(CASE WHEN seg = 'MACHINERY' THEN n END) AS n2
+  FROM s
+)
+SELECT n1, n2,
+       round(x1::DOUBLE / n1, 6) AS p1,
+       round(x2::DOUBLE / n2, 6) AS p2,
+       round((x1::DOUBLE / n1 - x2::DOUBLE / n2)
+             / sqrt(((x1 + x2)::DOUBLE / (n1 + n2))
+                    * (1.0 - (x1 + x2)::DOUBLE / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 6) AS z_stat
+FROM w
+""",
+)
+def two_proportion_ztest_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-proportion z-test components (urgent-order rate, BUILDING vs
+    MACHINERY customers) — the proportions member of the H-family
+    (reference analogue: the categorical contrasts around
+    BigDataProject.R:264): pooled-variance z from four exact integer
+    counts, every probability one division, the z a single fixed
+    expression — nothing in the fold can drift between engines at 6dp.
+
+    Scale: one broadcast dim join, one grouped count to 2 rows, then
+    scalar arithmetic; the canonical conversion-rate A/B readout."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    s = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    w = s.agg(
+        F.max(F.when(F.col("seg") == "BUILDING", F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("seg") == "BUILDING", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("seg") == "MACHINERY", F.col("x"))).alias("x2"),
+        F.max(F.when(F.col("seg") == "MACHINERY", F.col("n"))).alias("n2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    return w.select(
+        "n1",
+        "n2",
+        F.round(d("x1") / F.col("n1"), 6).alias("p1"),
+        F.round(d("x2") / F.col("n2"), 6).alias("p2"),
+        F.round(
+            (d("x1") / F.col("n1") - d("x2") / F.col("n2"))
+            / F.sqrt(
+                pp
+                * (F.lit(1.0) - pp)
+                * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+            ),
+            6,
+        ).alias("z_stat"),
+    )

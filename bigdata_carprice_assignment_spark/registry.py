@@ -146,6 +146,8 @@ PRIORITY: tuple[str, ...] = (
     "cross_source_dup_matrix",
     "time_hierarchy_rollup",
     "join_key_skew_report",
+    "two_proportion_ztest_components",
+    "event_conditional_entropy",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
