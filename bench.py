@@ -306,7 +306,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     plans: dict[str, str] = {}
-    for name in names:
+    for i, name in enumerate(names):
+        # spread ContextCleaner debt: with ~200 queries per pass the
+        # deferred broadcast/shuffle cleanup otherwise lands in one big
+        # untimed-GC-triggered stall inside whichever queries it hits
+        # (measured: identical queries 2x slower late in a long pass)
+        if i % 40 == 39:
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         df = registry.QUERIES[name](spark, sf_dir)
         df.collect()
@@ -326,7 +332,9 @@ def main() -> None:
     # inside whichever warm queries the GC interrupts.
     spark.sparkContext._jvm.System.gc()
     warm: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
+        if i % 40 == 39:
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         registry.QUERIES[name](spark, sf_dir).collect()
         warm[name] = round(time.perf_counter() - t0, 3)

@@ -26,6 +26,9 @@ def running_total(
     return df.withColumn("running_total", F.sum(value).over(w))
 
 
+_CUMSUM_SLOT = 0
+
+
 def range_partitioned_cumsum(
     df: DataFrame,
     order_cols: list[str],
@@ -61,11 +64,19 @@ def range_partitioned_cumsum(
     """
     from ..plans.materialize import pinned
 
+    # ROTATING pool slot: one fixed pool name would make the SECOND
+    # cumsum in a single query plan (Spearman ranks both variables,
+    # Kruskal ranks + ties) evict the first's blocks mid-plan, forcing a
+    # recompute of that branch from shuffle files. Four slots keep
+    # coexisting cumsums pinned while still bounding retained
+    # generations (the 5th call frees the 1st).
+    global _CUMSUM_SLOT
+    _CUMSUM_SLOT = (_CUMSUM_SLOT + 1) % 4
     part = pinned(
         df.repartitionByRange(
             num_ranges, *[F.asc(c) for c in order_cols]
         ).withColumn("_pid", F.spark_partition_id()),
-        "range_cumsum_part",
+        f"range_cumsum_part_{_CUMSUM_SLOT}",
     )
     w_in = (
         Window.partitionBy("_pid")
