@@ -223,6 +223,8 @@ HEADLINE: list[str] = [
     "join_key_skew_report",
     "two_proportion_ztest_components",
     "event_conditional_entropy",
+    "attribution_lag_percentiles",
+    "top1pct_customer_revenue_share",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -1866,3 +1866,71 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile(orders, "o_custkey", "orders.o_custkey"))
         .orderBy("key_col")
     )
+
+
+@query(
+    "top1pct_customer_revenue_share",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk
+  FROM per_cust
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n_customers, sum(cents)::HUGEINT AS total
+  FROM per_cust
+),
+cut AS (SELECT (n_customers + 99) // 100 AS k FROM tot)
+SELECT tot.n_customers,
+       cut.k::BIGINT AS n_top_customers,
+       round((SELECT sum(cents)::HUGEINT FROM ranked, cut
+              WHERE rk <= cut.k)::DOUBLE / tot.total::DOUBLE, 6)
+         AS top1pct_revenue_share
+FROM tot, cut
+""",
+)
+def top1pct_customer_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration at the whale end: the share of total
+    revenue carried by the top ceil(1%) of customers — the complement
+    of the Gini/HHI family that answers the question executives
+    actually ask. Per-customer revenue folds to exact cents; the top-k
+    cut is an integer ceil (n+99)//100; the top-k sum uses a rank from
+    a window over the per-CUSTOMER aggregate with a deterministic key
+    tiebreak so both engines cut the identical customer set.
+
+    Scale: the rank runs over the customer-grain aggregate, not
+    orders; at 100x you replace the full rank with the distributed
+    percentile threshold + one filtered sum (same machinery as
+    distributed_exact_quantiles_check) — the aggregate-grain window is
+    fine up to hundreds of millions of customers."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    tot = per_cust.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("total"),
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("cents"), F.asc("o_custkey")
+    )
+    ranked = per_cust.withColumn("rk", F.row_number().over(w))
+    topsum = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("rk") <= F.expr("(n_customers + 99) div 100"))
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("top_cents"))
+    )
+    return tot.crossJoin(F.broadcast(topsum)).select(
+        "n_customers",
+        F.expr("(n_customers + 99) div 100").alias("n_top_customers"),
+        F.round(
+            F.col("top_cents").cast("double") / F.col("total").cast("double"), 6
+        ).alias("top1pct_revenue_share"),
+    )

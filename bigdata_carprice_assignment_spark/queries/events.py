@@ -1507,3 +1507,71 @@ def event_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("information_rate_bits"),
         )
     )
+
+
+@query(
+    "attribution_lag_percentiles",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+),
+lags AS (
+  SELECT (epoch_us(pts) - epoch_us(cts)) / 60000000.0 AS lag_min
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND cts <= pts AND pts <= cts + INTERVAL 1 HOUR
+),
+qq AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         quantile_cont(lag_min, [0.5, 0.9, 0.99]) AS v
+  FROM lags
+)
+SELECT n_pairs,
+       round(v[1], 4) AS p50_min,
+       round(v[2], 4) AS p90_min,
+       round(v[3], 4) AS p99_min
+FROM qq
+""",
+)
+def attribution_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase latency percentiles (p50/p90/p99 minutes within
+    the 1-hour attribution window) — the SLA-style readout layered on
+    the attribution pair join, computed through the BUFFER-FREE
+    distributed exact-percentile path (exact_percentiles_distributed)
+    rather than the value-buffering aggregate: at 100 TB the pair list
+    is fact-sized and a single percentile buffer would not hold it.
+    Lags are exact integer microsecond differences scaled once, so the
+    value domain is identical across engines.
+
+    Scale: the pair join shuffles on user_id with the hour bound as a
+    join predicate; the percentile path is a hash-agg to distinct lag
+    values plus the two-pass range cumulative."""
+    from ..operators.aggregates import exact_percentiles_distributed
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("cus")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("pus")
+    )
+    lags = (
+        c.join(p, "user_id")
+        .filter(
+            (F.col("cus") <= F.col("pus"))
+            & (F.col("pus") <= F.col("cus") + 3_600_000_000)
+        )
+        .select(((F.col("pus") - F.col("cus")) / 60000000.0).alias("lag_min"))
+    )
+    n = lags.agg(F.count(F.lit(1)).alias("n_pairs"))
+    q = exact_percentiles_distributed(lags, "lag_min", [0.5, 0.9, 0.99])
+    wide = q.groupBy().pivot("p", [0.5, 0.9, 0.99]).agg(F.first("value"))
+    return n.crossJoin(F.broadcast(wide)).select(
+        "n_pairs",
+        F.round(F.col("`0.5`"), 4).alias("p50_min"),
+        F.round(F.col("`0.9`"), 4).alias("p90_min"),
+        F.round(F.col("`0.99`"), 4).alias("p99_min"),
+    )

@@ -148,6 +148,8 @@ PRIORITY: tuple[str, ...] = (
     "join_key_skew_report",
     "two_proportion_ztest_components",
     "event_conditional_entropy",
+    "attribution_lag_percentiles",
+    "top1pct_customer_revenue_share",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
