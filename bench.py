@@ -225,6 +225,7 @@ HEADLINE: list[str] = [
     "event_conditional_entropy",
     "attribution_lag_percentiles",
     "top1pct_customer_revenue_share",
+    "neyman_allocation_by_lang",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

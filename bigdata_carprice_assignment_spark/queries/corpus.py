@@ -795,3 +795,61 @@ def vocab_coverage_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_top10",
         )
     )
+
+
+@query(
+    "neyman_allocation_by_lang",
+    oracle="""
+WITH g AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         stddev_samp(n_chars) AS sd
+  FROM documents GROUP BY 1
+),
+t AS (SELECT sum(n_docs * sd) AS denom FROM g)
+SELECT lang, n_docs,
+       round(sd, 4) AS sd_chars,
+       round(1000.0 * n_docs * sd / t.denom, 2) AS neyman_alloc,
+       round(1000.0 * n_docs
+             / (SELECT sum(n_docs) FROM g), 2) AS proportional_alloc
+FROM g, t ORDER BY lang
+""",
+)
+def neyman_allocation_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (minimum-variance) stratified-sample allocation of a
+    1000-document budget across languages: n_h* = B * N_h s_h /
+    sum(N_h s_h), shown next to the proportional allocation it beats —
+    the sampling-design step that should precede
+    stratified_sample_by_lang when strata variances differ (high-
+    variance strata earn more than their share of the budget). Strata
+    moments come from one grouped aggregate; stddev_samp parity between
+    engines is already proven by the ANOVA family; both allocations are
+    single divisions of identically-computed operands.
+
+    Scale: one grouped pass to |langs| rows, arithmetic after — the
+    design computation is free at any corpus size; executing the
+    resulting per-stratum rates reuses the portable-hash Bernoulli
+    machinery."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.stddev_samp("n_chars").alias("sd"),
+    )
+    t = g.agg(
+        F.sum(F.col("n_docs") * F.col("sd")).alias("denom"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            F.round("sd", 4).alias("sd_chars"),
+            F.round(
+                F.lit(1000.0) * F.col("n_docs") * F.col("sd") / F.col("denom"), 2
+            ).alias("neyman_alloc"),
+            F.round(
+                F.lit(1000.0) * F.col("n_docs") / F.col("n_total"), 2
+            ).alias("proportional_alloc"),
+        )
+        .orderBy("lang")
+    )

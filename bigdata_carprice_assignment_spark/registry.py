@@ -150,6 +150,7 @@ PRIORITY: tuple[str, ...] = (
     "event_conditional_entropy",
     "attribution_lag_percentiles",
     "top1pct_customer_revenue_share",
+    "neyman_allocation_by_lang",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
