@@ -226,6 +226,7 @@ HEADLINE: list[str] = [
     "attribution_lag_percentiles",
     "top1pct_customer_revenue_share",
     "neyman_allocation_by_lang",
+    "kaplan_meier_second_order",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

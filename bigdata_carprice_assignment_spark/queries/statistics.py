@@ -1379,3 +1379,151 @@ def two_proportion_ztest_components(
             6,
         ).alias("z_stat"),
     )
+
+
+@query(
+    "kaplan_meier_second_order",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+mx AS (SELECT max(CAST(date_trunc('day', o_orderdate) AS DATE)) AS mxd
+       FROM orders),
+subj AS (
+  SELECT f.o_custkey,
+         CASE WHEN s.d IS NOT NULL THEN s.d - f.d
+              ELSE mx.mxd - f.d END AS dur,
+         CASE WHEN s.d IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM (SELECT o_custkey, d FROM r WHERE rn = 1) f
+  LEFT JOIN (SELECT o_custkey, d FROM r WHERE rn = 2) s USING (o_custkey)
+  CROSS JOIN mx
+),
+byd AS (
+  SELECT dur, count(*)::BIGINT AS c, sum(event)::BIGINT AS deaths
+  FROM subj GROUP BY 1
+),
+tot AS (SELECT sum(c)::BIGINT AS n FROM byd),
+risk AS (
+  SELECT dur, deaths,
+         tot.n - (sum(c) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) - c)
+           AS n_risk
+  FROM byd, tot
+),
+f AS (
+  SELECT dur, ln(1.0 - deaths::DOUBLE / n_risk) AS lnf
+  FROM risk WHERE deaths > 0 AND deaths < n_risk
+),
+h AS (SELECT unnest([7, 14, 30, 60, 90]) AS horizon)
+SELECT h.horizon::BIGINT AS horizon_days,
+       (SELECT sum(CASE WHEN dur >= h.horizon THEN c ELSE 0 END)
+        FROM byd)::BIGINT AS n_at_risk,
+       round(exp(coalesce((SELECT sum(lnf) FROM f WHERE dur <= h.horizon),
+                          0.0)), 6) AS survival
+FROM h ORDER BY horizon_days
+""",
+)
+def kaplan_meier_second_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate for time-to-REPEAT-order: each
+    customer enters at their first order; the event is the second order
+    (gap in days), censored at the corpus's last order date for
+    one-order customers — the right-censoring machinery a plain
+    quantile of observed gaps gets wrong (it ignores customers who
+    simply haven't repeated YET). S(t) = prod over event times <= t of
+    (1 - d_i/n_i), evaluated at 7/14/30/60/90-day horizons with the
+    at-risk count alongside. Durations are exact integer days; each
+    factor is ln of a ratio of exact counts; the per-horizon fold is
+    one aggregate sum of k doubles (reassociation noise ~1e-15,
+    invisible at 6dp) and one exp.
+
+    Scale: the subject table comes from a (customer)-partitioned
+    rank window; the risk table from grouped counts plus the
+    range-partitioned cumulative over the distinct-duration domain
+    (calendar-bounded); horizons fold via conditional aggregates —
+    no per-subject expansion beyond the one rank pass."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import range_partitioned_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = orders.select(
+        "o_custkey",
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    mx = orders.agg(
+        F.max(F.to_date(F.date_trunc("day", "o_orderdate"))).alias("mxd")
+    )
+    first = r.filter(F.col("rn") == 1).select("o_custkey", F.col("d").alias("fd"))
+    second = r.filter(F.col("rn") == 2).select("o_custkey", F.col("d").alias("sd"))
+    subj = (
+        first.join(second, "o_custkey", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("sd").isNotNull(), F.datediff("sd", "fd")
+            )
+            .otherwise(F.datediff("mxd", "fd"))
+            .alias("dur"),
+            F.when(F.col("sd").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    byd = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("event").alias("deaths")
+    )
+    from ..plans.materialize import pinned
+
+    byd = pinned(byd, "km_byd")  # consumed by risk, horizons, total
+    tot = byd.agg(F.sum("c").cast("long").alias("n"))
+    risk = (
+        range_partitioned_cumsum(byd, ["dur"], ["c"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dur",
+            "deaths",
+            (F.col("n") - (F.col("cum_c") - F.col("c"))).alias("n_risk"),
+        )
+    )
+    f = risk.filter(
+        (F.col("deaths") > 0) & (F.col("deaths") < F.col("n_risk"))
+    ).select(
+        "dur",
+        F.log(
+            F.lit(1.0) - F.col("deaths").cast("double") / F.col("n_risk")
+        ).alias("lnf"),
+    )
+    horizons = spark.createDataFrame(
+        [(h,) for h in (7, 14, 30, 60, 90)], "horizon long"
+    )
+    at_risk = horizons.join(F.broadcast(byd)).groupBy("horizon").agg(
+        F.sum(
+            F.when(F.col("dur") >= F.col("horizon"), F.col("c")).otherwise(0)
+        ).alias("n_at_risk")
+    )
+    surv = horizons.join(F.broadcast(f)).groupBy("horizon").agg(
+        F.round(
+            F.exp(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("dur") <= F.col("horizon"), F.col("lnf")
+                        )
+                    ),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("survival")
+    )
+    return (
+        at_risk.join(surv, "horizon")
+        .select(
+            F.col("horizon").alias("horizon_days"),
+            "n_at_risk",
+            "survival",
+        )
+        .orderBy("horizon_days")
+    )

@@ -151,6 +151,7 @@ PRIORITY: tuple[str, ...] = (
     "attribution_lag_percentiles",
     "top1pct_customer_revenue_share",
     "neyman_allocation_by_lang",
+    "kaplan_meier_second_order",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
