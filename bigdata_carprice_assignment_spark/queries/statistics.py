@@ -1527,3 +1527,151 @@ def kaplan_meier_second_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("horizon_days")
     )
+
+
+@query(
+    "logrank_test_components",
+    oracle="""
+WITH r AS (
+  SELECT o.o_custkey, CAST(date_trunc('day', o.o_orderdate) AS DATE) AS d,
+         row_number() OVER (PARTITION BY o.o_custkey
+                            ORDER BY o.o_orderdate, o.o_orderkey) AS rn,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+mx AS (SELECT max(d) AS mxd FROM r),
+subj AS (
+  SELECT f.g1,
+         CASE WHEN s.d IS NOT NULL THEN s.d - f.d ELSE mx.mxd - f.d END AS dur,
+         CASE WHEN s.d IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM (SELECT o_custkey, d, g1 FROM r WHERE rn = 1) f
+  LEFT JOIN (SELECT o_custkey, d FROM r WHERE rn = 2) s USING (o_custkey)
+  CROSS JOIN mx
+),
+byd AS (
+  SELECT dur,
+         sum(g1)::BIGINT AS c1, sum(1 - g1)::BIGINT AS c2,
+         sum(g1 * event)::BIGINT AS d1, sum((1 - g1) * event)::BIGINT AS d2
+  FROM subj GROUP BY 1
+),
+tot AS (SELECT sum(c1)::BIGINT AS n1tot, sum(c2)::BIGINT AS n2tot FROM byd),
+risk AS (
+  SELECT dur, d1, d2,
+         tot.n1tot - (sum(c1) OVER w - c1) AS n1,
+         tot.n2tot - (sum(c2) OVER w - c2) AS n2
+  FROM byd, tot
+  WINDOW w AS (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+),
+terms AS (
+  SELECT d1, d2, n1, n2, d1 + d2 AS dt, n1 + n2 AS nt
+  FROM risk WHERE d1 + d2 > 0
+),
+s AS (
+  SELECT sum(d1 - dt * (n1::DOUBLE / nt)) AS o_minus_e,
+         sum(CASE WHEN nt > 1 THEN
+               dt * (n1::DOUBLE / nt) * (1.0 - n1::DOUBLE / nt)
+                  * (nt - dt) / (nt - 1.0)
+             ELSE 0.0 END) AS v
+  FROM terms
+)
+SELECT tot.n1tot AS n1, tot.n2tot AS n2,
+       round(s.o_minus_e, 4) AS o_minus_e,
+       round(s.v, 4) AS variance,
+       round(s.o_minus_e / sqrt(s.v), 6) AS z_stat
+FROM s, tot
+""",
+)
+def logrank_test_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test components comparing time-to-repeat-
+    order between BUILDING customers and everyone else — the hypothesis
+    test that belongs with kaplan_meier_second_order (comparing raw gap
+    means ignores censoring; the log-rank weighs each event time by its
+    at-risk composition). At every event time: observed group-1 deaths
+    minus expected under the null (d_t * n1_t/n_t), and the
+    hypergeometric variance term; z = (O-E)/sqrt(V). Counts are exact
+    integers throughout; each term is a fixed double expression; the
+    folds run over the distinct-duration domain.
+
+    Scale: one ranked pass per customer (partitioned window), grouped
+    counts to the duration grain, the per-group at-risk table from ONE
+    range-partitioned cumulative carrying both group columns, then a
+    k-row fold."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import range_partitioned_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = j.select(
+        "o_custkey",
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+        F.row_number().over(w).alias("rn"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("g1"),
+    )
+    mx = r.agg(F.max("d").alias("mxd"))
+    first = r.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("d").alias("fd"), "g1"
+    )
+    second = r.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("d").alias("sd")
+    )
+    subj = (
+        first.join(second, "o_custkey", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "g1",
+            F.when(F.col("sd").isNotNull(), F.datediff("sd", "fd"))
+            .otherwise(F.datediff("mxd", "fd"))
+            .alias("dur"),
+            F.when(F.col("sd").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    byd = subj.groupBy("dur").agg(
+        F.sum("g1").alias("c1"),
+        F.sum(1 - F.col("g1")).alias("c2"),
+        F.sum(F.col("g1") * F.col("event")).alias("d1"),
+        F.sum((1 - F.col("g1")) * F.col("event")).alias("d2"),
+    )
+    tot = byd.agg(
+        F.sum("c1").cast("long").alias("n1tot"),
+        F.sum("c2").cast("long").alias("n2tot"),
+    )
+    risk = (
+        range_partitioned_cumsum(byd, ["dur"], ["c1", "c2"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d1",
+            "d2",
+            (F.col("n1tot") - (F.col("cum_c1") - F.col("c1"))).alias("n1"),
+            (F.col("n2tot") - (F.col("cum_c2") - F.col("c2"))).alias("n2"),
+        )
+    )
+    terms = risk.filter(F.col("d1") + F.col("d2") > 0).select(
+        "d1",
+        (F.col("d1") + F.col("d2")).alias("dt"),
+        (F.col("n1") + F.col("n2")).alias("nt"),
+        "n1",
+    )
+    p1 = F.col("n1").cast("double") / F.col("nt")
+    s = terms.agg(
+        F.sum(F.col("d1") - F.col("dt") * p1).alias("o_minus_e"),
+        F.sum(
+            F.when(
+                F.col("nt") > 1,
+                F.col("dt")
+                * p1
+                * (F.lit(1.0) - p1)
+                * (F.col("nt") - F.col("dt"))
+                / (F.col("nt") - F.lit(1.0)),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("n1tot").alias("n1"),
+        F.col("n2tot").alias("n2"),
+        F.round("o_minus_e", 4).alias("o_minus_e"),
+        F.round("v", 4).alias("variance"),
+        F.round(F.col("o_minus_e") / F.sqrt("v"), 6).alias("z_stat"),
+    )

@@ -152,6 +152,7 @@ PRIORITY: tuple[str, ...] = (
     "top1pct_customer_revenue_share",
     "neyman_allocation_by_lang",
     "kaplan_meier_second_order",
+    "logrank_test_components",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
