@@ -228,6 +228,7 @@ HEADLINE: list[str] = [
     "neyman_allocation_by_lang",
     "kaplan_meier_second_order",
     "logrank_test_components",
+    "embedding_cosine_calibration",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -1816,3 +1816,84 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "embedding_cosine_calibration",
+    oracle="""
+WITH p AS (
+  SELECT vec_id,
+         ('0x' || substr(md5('pair:' || vec_id), 1, 15))::BIGINT
+           % (SELECT count(*) FROM embeddings) AS partner
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.embedding AS ea, b.embedding AS eb
+  FROM p
+  JOIN embeddings a ON a.vec_id = p.vec_id
+  JOIN embeddings b ON b.vec_id = p.partner
+  WHERE p.partner <> p.vec_id
+),
+c AS (
+  SELECT list_sum(list_transform(list_zip(ea, eb),
+             q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(ea,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(eb,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM pairs
+),
+b AS (SELECT CAST(floor(cos * 10) AS BIGINT) AS bin, cos FROM c)
+SELECT bin,
+       round(bin / 10.0, 1) AS bin_lo,
+       count(*)::BIGINT AS n_pairs,
+       round(avg(cos), 6) AS mean_cosine
+FROM b GROUP BY bin ORDER BY bin
+""",
+)
+def embedding_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space calibration: the cosine distribution over
+    DETERMINISTIC pseudo-random vector pairs (each vector pairs with
+    the one at portable-hash('pair:'||id) mod N, self-pairs dropped) —
+    the anisotropy diagnostic for an embedding column: a healthy space
+    concentrates random-pair cosine near 0; a collapsed space (all
+    cosines high) makes every similarity threshold meaningless.
+    Reported as 0.1-wide histogram bins with per-bin means; the hash
+    pairing replaces rand() so both engines (and any retry) draw the
+    IDENTICAL pair sample.
+
+    Scale: the pairing is two int-key joins (no cross product, no
+    sampling pass); the cosine folds are per-row expressions; at 100 TB
+    you bound the probe side with keep_fraction first — the pairing is
+    already uniform."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    p = emb.crossJoin(F.broadcast(n)).select(
+        "vec_id",
+        F.pmod(
+            TX.portable_hash60(
+                F.concat(F.lit("pair:"), F.col("vec_id").cast("string"))
+            ),
+            F.col("n"),
+        ).alias("partner"),
+    ).filter(F.col("partner") != F.col("vec_id"))
+    a = emb.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        F.col("vec_id").alias("partner"), F.col("embedding").alias("eb")
+    )
+    pairs = p.join(a, "vec_id").join(b, "partner")
+    cos = S.cosine(F.col("ea"), F.col("eb")).alias("cos")
+    c = pairs.select(cos)
+    return (
+        c.select(
+            F.floor(F.col("cos") * 10).cast("long").alias("bin"), "cos"
+        )
+        .groupBy("bin")
+        .agg(
+            F.round(F.col("bin") / 10.0, 1).alias("bin_lo"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("cos"), 6).alias("mean_cosine"),
+        )
+        .select("bin", "bin_lo", "n_pairs", "mean_cosine")
+        .orderBy("bin")
+    )

@@ -153,6 +153,7 @@ PRIORITY: tuple[str, ...] = (
     "neyman_allocation_by_lang",
     "kaplan_meier_second_order",
     "logrank_test_components",
+    "embedding_cosine_calibration",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
