@@ -229,6 +229,7 @@ HEADLINE: list[str] = [
     "kaplan_meier_second_order",
     "logrank_test_components",
     "embedding_cosine_calibration",
+    "packing_efficiency_by_budget",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -1897,3 +1897,89 @@ def embedding_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "bin_lo", "n_pairs", "mean_cosine")
         .orderBy("bin")
     )
+
+
+@query(
+    "packing_efficiency_by_budget",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM d
+),
+b AS (SELECT unnest([128, 512, 2048]) AS budget)
+SELECT b.budget::BIGINT AS budget,
+       count(DISTINCT o.shard * 1000000000000 + o.off // b.budget)::BIGINT
+         AS n_sequences,
+       sum(o.n_tokens)::BIGINT AS total_tokens,
+       round(sum(o.n_tokens)::DOUBLE
+             / (count(DISTINCT o.shard * 1000000000000 + o.off // b.budget)
+                * b.budget), 6) AS utilization
+FROM o, b GROUP BY b.budget ORDER BY budget
+""",
+)
+def packing_efficiency_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency CURVE across context budgets
+    (128/512/2048 tokens) — the training-data planning readout behind
+    context-length choice: short contexts waste little but cap
+    attention span, long contexts amplify padding/fragmentation waste
+    unless documents are long. One hash-shard running-offset pass
+    (budget-independent) feeds all three budgets; a doc's sequence id
+    is offset div budget, so the per-budget fold is a distinct-count
+    over composed integer keys.
+
+    Scale: the offsets window is (shard)-partitioned; the budget
+    explode replicates the DOC-GRAIN offset table 3x, never the text;
+    utilization = total_tokens / (n_sequences * budget) from exact
+    integers."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (
+            TX.portable_hash60(F.col("doc_id").cast("string")) % 8
+        ).alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = d.select(
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("off"),
+    )
+    budgets = F.explode(F.array(*[F.lit(b) for b in (128, 512, 2048)])).alias(
+        "budget"
+    )
+    j = o.select("shard", "n_tokens", "off", budgets)
+    key = F.col("shard") * F.lit(1_000_000_000_000) + F.expr("off div budget")
+    return (
+        j.groupBy("budget")
+        .agg(
+            F.count_distinct(key).alias("n_sequences"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double")
+                / (F.count_distinct(key) * F.col("budget")),
+                6,
+            ).alias("utilization"),
+        )
+        .select(
+            F.col("budget").cast("long").alias("budget"),
+            "n_sequences",
+            "total_tokens",
+            "utilization",
+        )
+        .orderBy("budget")
+    )

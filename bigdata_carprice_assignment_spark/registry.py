@@ -154,6 +154,7 @@ PRIORITY: tuple[str, ...] = (
     "kaplan_meier_second_order",
     "logrank_test_components",
     "embedding_cosine_calibration",
+    "packing_efficiency_by_budget",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
