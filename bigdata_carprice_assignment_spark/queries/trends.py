@@ -989,3 +989,106 @@ def seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(percentile_expr("e", 0.5), 6).alias("median_ape"),
         F.round(percentile_expr("e", 0.9), 6).alias("p90_ape"),
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+WITH f AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cm
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT f.o_custkey, strftime(f.cm, '%Y-%m') AS cohort_month,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+           - (year(f.cm) * 12 + month(f.cm)) AS age,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+  WHERE f.cm < DATE '1995-07-01'
+),
+sz AS (
+  SELECT cohort_month, count(DISTINCT o_custkey)::BIGINT AS n_customers
+  FROM base GROUP BY 1
+),
+pa AS (
+  SELECT cohort_month, age, sum(cents) AS cents
+  FROM base WHERE age <= 5 GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_month, age,
+         sum(cents) OVER (PARTITION BY cohort_month ORDER BY age
+                          ROWS UNBOUNDED PRECEDING) AS cum_cents
+  FROM pa
+)
+SELECT c.cohort_month, c.age::BIGINT AS age_months, sz.n_customers,
+       round(c.cum_cents / 100.0 / sz.n_customers, 2)
+         AS cum_revenue_per_customer
+FROM cum c JOIN sz USING (cohort_month)
+ORDER BY cohort_month, age_months
+""",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: for each 1995-H1 acquisition cohort
+    (first-order month), cumulative revenue PER COHORT MEMBER through
+    the first six months of life — the revenue companion of
+    weekly_cohort_retention (retention says who came back; LTV says
+    what they were worth). Revenue folds as exact integer cents; the
+    cumulative runs inside each cohort partition over the <=6-row age
+    axis; the per-customer normalization divides by the cohort's
+    distinct-member count once.
+
+    Scale: two grouped passes over the fact (first-order month, then
+    cohort/age cells) plus a cohort-partitioned window over the
+    month-grain aggregate — the curve's size is cohorts x ages regardless
+    of fact size."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.groupBy("o_custkey").agg(
+        F.to_date(F.date_trunc("month", F.min("o_orderdate"))).alias("cm")
+    )
+    base = (
+        orders.join(f, "o_custkey")
+        .filter(F.col("cm") < F.lit("1995-07-01").cast("date"))
+        .select(
+            "o_custkey",
+            F.date_format("cm", "yyyy-MM").alias("cohort_month"),
+            (
+                (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                - (F.year("cm") * 12 + F.month("cm"))
+            ).alias("age"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    from ..plans.materialize import pinned
+
+    base = pinned(base, "ltv_base")  # consumed by sizes + age cells
+    sz = base.groupBy("cohort_month").agg(
+        F.count_distinct("o_custkey").alias("n_customers")
+    )
+    pa = (
+        base.filter(F.col("age") <= 5)
+        .groupBy("cohort_month", "age")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pa.select(
+        "cohort_month", "age", F.sum("cents").over(w).alias("cum_cents")
+    )
+    return (
+        cum.join(F.broadcast(sz), "cohort_month")
+        .select(
+            "cohort_month",
+            F.col("age").cast("long").alias("age_months"),
+            "n_customers",
+            F.round(
+                F.col("cum_cents") / 100.0 / F.col("n_customers"), 2
+            ).alias("cum_revenue_per_customer"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )

@@ -155,6 +155,7 @@ PRIORITY: tuple[str, ...] = (
     "logrank_test_components",
     "embedding_cosine_calibration",
     "packing_efficiency_by_budget",
+    "cohort_ltv_curve",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
