@@ -231,6 +231,7 @@ HEADLINE: list[str] = [
     "embedding_cosine_calibration",
     "packing_efficiency_by_budget",
     "cohort_ltv_curve",
+    "theil_sen_revenue_trend",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -1092,3 +1092,114 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+@query(
+    "theil_sen_revenue_trend",
+    oracle="""
+WITH d0 AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+d AS (
+  SELECT day - (SELECT min(day) FROM d0) AS x, cents AS y FROM d0
+),
+p AS (
+  SELECT (b.y - a.y)::DOUBLE / (b.x - a.x) AS slope
+  FROM d a JOIN d b ON a.x < b.x
+),
+m AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         quantile_cont(slope, 0.5) AS med_slope
+  FROM p
+),
+ols AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy
+  FROM d
+)
+SELECT (SELECT count(*) FROM d)::BIGINT AS n_days,
+       m.n_pairs,
+       round(m.med_slope / 100.0, 4) AS theil_sen_slope,
+       round((ols.n * ols.sxy - ols.sx * ols.sy)::DOUBLE
+             / (ols.n * ols.sxx - ols.sx * ols.sx)::DOUBLE / 100.0, 4)
+         AS ols_slope
+FROM m, ols
+""",
+)
+def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue (median of all pairwise
+    slopes, in dollars/day) next to the OLS slope it robustifies — the
+    estimator that shrugs off the outlier days that drag least-squares
+    around (29.3% breakdown point vs OLS's zero). Every pairwise slope
+    is ONE division of exact integer differences (identical doubles on
+    both engines); the median comes through the BUFFER-FREE distributed
+    percentile path over the slope domain; the OLS comparison folds
+    from exact decimal/HUGEINT moments.
+
+    Scale: the pairwise join is DAY-grain quadratic (bounded by the
+    calendar — ~3M pairs for 8 years — never fact-sized); at larger
+    spans you subsample pairs with the portable hash. The fact
+    contributes one grouped integer aggregate."""
+    from ..operators.aggregates import exact_percentiles_distributed
+    from ..plans.materialize import pinned
+
+    orders = load_table(spark, sf_dir, "orders")
+    d0 = orders.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    mn = d0.agg(F.min("day").alias("mnd"))
+    d = pinned(
+        d0.crossJoin(F.broadcast(mn)).select(
+            F.datediff("day", "mnd").alias("x"), F.col("cents").alias("y")
+        ),
+        "theil_sen_days",
+    )
+    a = d.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    # try_divide: the a.x < b.x join guard makes the denominator >= 1
+    # on every surviving row, but ANSI mode still rejects the plain
+    # division when codegen evaluates the projection speculatively
+    p = a.join(b, F.col("xa") < F.col("xb")).select(
+        F.try_divide(
+            (F.col("yb") - F.col("ya")).cast("double"),
+            (F.col("xb") - F.col("xa")),
+        ).alias("slope")
+    )
+    n_pairs = p.agg(F.count(F.lit(1)).alias("n_pairs"))
+    med = exact_percentiles_distributed(p, "slope", [0.5]).select(
+        F.col("value").alias("med_slope")
+    )
+    h = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    ols = d.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(h("x")).alias("sx"),
+        F.sum(h("y")).alias("sy"),
+        F.sum(h("x") * h("x")).alias("sxx"),
+        F.sum(h("x") * h("y")).alias("sxy"),
+    )
+    n_days = d.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        n_days.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(ols))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round(F.col("med_slope") / F.lit(100.0), 4).alias(
+                "theil_sen_slope"
+            ),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                / F.lit(100.0),
+                4,
+            ).alias("ols_slope"),
+        )
+    )

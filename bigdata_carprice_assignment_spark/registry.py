@@ -156,6 +156,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_cosine_calibration",
     "packing_efficiency_by_budget",
     "cohort_ltv_curve",
+    "theil_sen_revenue_trend",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
