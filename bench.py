@@ -232,6 +232,7 @@ HEADLINE: list[str] = [
     "packing_efficiency_by_budget",
     "cohort_ltv_curve",
     "theil_sen_revenue_trend",
+    "anderson_darling_k_sample",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

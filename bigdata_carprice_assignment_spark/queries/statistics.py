@@ -1675,3 +1675,128 @@ def logrank_test_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 4).alias("variance"),
         F.round(F.col("o_minus_e") / F.sqrt("v"), 6).alias("z_stat"),
     )
+
+
+@query(
+    "anderson_darling_k_sample",
+    oracle="""
+WITH s AS (SELECT o_totalprice AS v, o_orderpriority AS g FROM orders),
+vg AS (SELECT v, g, count(*)::BIGINT AS f FROM s GROUP BY 1, 2),
+bv AS (SELECT v, sum(f)::BIGINT AS l FROM vg GROUP BY 1),
+cumv AS (
+  SELECT v, l,
+         2 * sum(l) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - l AS b2
+  FROM bv
+),
+grps AS (SELECT g, sum(f)::BIGINT AS ni FROM vg GROUP BY 1),
+grid AS (
+  SELECT cumv.v, cumv.l, cumv.b2, grps.g, grps.ni,
+         coalesce(vg.f, 0) AS f
+  FROM cumv CROSS JOIN grps
+  LEFT JOIN vg ON vg.v = cumv.v AND vg.g = grps.g
+),
+mg AS (
+  SELECT g, ni, l, b2,
+         2 * sum(f) OVER (PARTITION BY g ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) - f AS m2
+  FROM grid
+),
+tot AS (SELECT sum(l)::BIGINT AS n, count(*)::BIGINT AS ld FROM bv),
+kk AS (SELECT count(*)::BIGINT AS k FROM grps),
+terms AS (
+  SELECT g, ni,
+         l * (tot.n * m2 - ni * b2)::DOUBLE * (tot.n * m2 - ni * b2)
+           / (b2::DOUBLE * (2 * tot.n - b2) - tot.n * l) AS t
+  FROM mg, tot
+  WHERE b2::DOUBLE * (2 * tot.n - b2) - tot.n * l > 0
+),
+per_g AS (SELECT g, sum(t) / max(ni) AS sg FROM terms GROUP BY 1)
+SELECT kk.k, tot.n, tot.ld AS n_distinct,
+       round((tot.n - 1.0) * (SELECT sum(sg) FROM per_g)
+             / (tot.n::DOUBLE * tot.n), 6) AS a2_akn
+FROM tot, kk
+""",
+)
+def anderson_darling_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-adjusted k-sample Anderson-Darling statistic (order value
+    across all five priorities) — the heavy-tail-sensitive companion of
+    Kruskal-Wallis (AD weights the distribution TAILS where KW's rank
+    sums are tail-blind). Scholz-Stephens midrank form: with doubled
+    midranks m2 = 2*cumsum - f and b2 = 2*cum - l every intermediate is
+    an exact integer (the doubled-rank /2s cancel between numerator and
+    denominator, leaving one final /N^2); each term is one IEEE expression over exact operands and
+    the per-group fold divides by n_i once.
+
+    Scale: the dense (group x distinct-value) grid is k*L rows; the
+    pooled cumulative runs over the value-compressed domain and the
+    per-group cumulative inside (group) partitions — no global
+    single-task window over data-sized input (the pooled ordered
+    cumulative here uses the calendar... value domain, which at true
+    100 TB would route through range_partitioned_cumsum exactly like
+    kruskal_wallis_components; the per-group pass is already
+    partitioned)."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import range_partitioned_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.col("o_totalprice").alias("v"), F.col("o_orderpriority").alias("g")
+    )
+    vg = s.groupBy("v", "g").agg(F.count(F.lit(1)).alias("f"))
+    bv = vg.groupBy("v").agg(F.sum("f").alias("l"))
+    cumv = range_partitioned_cumsum(bv, ["v"], ["l"]).select(
+        "v", "l", (2 * F.col("cum_l") - F.col("l")).alias("b2")
+    )
+    grps = vg.groupBy("g").agg(F.sum("f").alias("ni"))
+    grid = (
+        cumv.crossJoin(F.broadcast(grps))
+        .join(vg, ["v", "g"], "left")
+        .select(
+            "v", "l", "b2", "g", "ni", F.coalesce("f", F.lit(0)).alias("f")
+        )
+    )
+    wg = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mg = grid.select(
+        "g",
+        "ni",
+        "l",
+        "b2",
+        (2 * F.sum("f").over(wg) - F.col("f")).alias("m2"),
+    )
+    tot = bv.agg(
+        F.sum("l").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("ld"),
+    )
+    kk = grps.agg(F.count(F.lit(1)).alias("k"))
+    j = mg.crossJoin(F.broadcast(tot))
+    num = (F.col("n") * F.col("m2") - F.col("ni") * F.col("b2")).cast("double")
+    den = F.col("b2").cast("double") * (2 * F.col("n") - F.col("b2")) - F.col(
+        "n"
+    ) * F.col("l")
+    terms = j.filter(den > 0).select(
+        "g", "ni", (F.col("l") * num * num / den).alias("t")
+    )
+    per_g = terms.groupBy("g").agg(
+        (F.sum("t") / F.max("ni")).alias("sg")
+    )
+    ssum = per_g.agg(F.sum("sg").alias("ssum"))
+    return (
+        tot.crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(ssum))
+        .select(
+            "k",
+            "n",
+            F.col("ld").alias("n_distinct"),
+            F.round(
+                (F.col("n") - F.lit(1.0))
+                * F.col("ssum")
+                / (F.col("n").cast("double") * F.col("n")),
+                6,
+            ).alias("a2_akn"),
+        )
+    )

@@ -157,6 +157,7 @@ PRIORITY: tuple[str, ...] = (
     "packing_efficiency_by_budget",
     "cohort_ltv_curve",
     "theil_sen_revenue_trend",
+    "anderson_darling_k_sample",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
