@@ -1203,3 +1203,104 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ols_slope"),
         )
     )
+
+
+@query(
+    "mann_kendall_trend_test",
+    oracle="""
+WITH d0 AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+d AS (
+  SELECT day - (SELECT min(day) FROM d0) AS x, cents AS y FROM d0
+),
+p AS (
+  SELECT sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+             ELSE 0 END)::BIGINT AS s
+  FROM d a JOIN d b ON a.x < b.x
+),
+ties AS (
+  SELECT coalesce(sum(t::HUGEINT * (t - 1) * (2 * t + 5)), 0)::DOUBLE AS tt
+  FROM (SELECT count(*)::BIGINT AS t FROM d GROUP BY y HAVING count(*) > 1)
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM d)
+SELECT nn.n AS n_days, p.s AS s_stat,
+       round((nn.n::DOUBLE * (nn.n - 1) * (2 * nn.n + 5) - ties.tt) / 18.0,
+             4) AS variance,
+       round((p.s - CASE WHEN p.s > 0 THEN 1 WHEN p.s < 0 THEN -1
+                    ELSE 0 END)
+             / sqrt((nn.n::DOUBLE * (nn.n - 1) * (2 * nn.n + 5) - ties.tt)
+                    / 18.0), 6) AS z_stat
+FROM p, ties, nn
+""",
+)
+def mann_kendall_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on daily revenue — the
+    significance companion of theil_sen_revenue_trend (Theil-Sen says
+    how steep; Mann-Kendall says whether a monotonic trend exists at
+    all, with no distributional assumption): S = sum of pairwise signs
+    (an exact integer), the tie-corrected variance from exact tie
+    multiplicities, and the continuity-corrected z. Nothing floats
+    until the single variance division and sqrt.
+
+    Scale: reuses the same day-grain pair join as Theil-Sen (bounded by
+    the calendar, never fact-sized); the tie term is one grouped count
+    over the day frame."""
+    from ..plans.materialize import pinned
+
+    orders = load_table(spark, sf_dir, "orders")
+    d0 = orders.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    mn = d0.agg(F.min("day").alias("mnd"))
+    d = pinned(
+        d0.crossJoin(F.broadcast(mn)).select(
+            F.datediff("day", "mnd").alias("x"), F.col("cents").alias("y")
+        ),
+        "mann_kendall_days",
+    )
+    a = d.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    p = a.join(b, F.col("xa") < F.col("xb")).agg(
+        F.sum(
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+        ).alias("s")
+    )
+    h = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    ties = (
+        d.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(h("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+            .cast("double")
+            .alias("tt")
+        )
+    )
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    var = (
+        F.col("n").cast("double")
+        * (F.col("n") - 1)
+        * (2 * F.col("n") + 5)
+        - F.col("tt")
+    ) / F.lit(18.0)
+    cc = (
+        F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    )
+    return (
+        p.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            F.round(var, 4).alias("variance"),
+            F.round((F.col("s") - cc) / F.sqrt(var), 6).alias("z_stat"),
+        )
+    )

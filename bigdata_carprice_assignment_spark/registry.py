@@ -158,6 +158,7 @@ PRIORITY: tuple[str, ...] = (
     "cohort_ltv_curve",
     "theil_sen_revenue_trend",
     "anderson_darling_k_sample",
+    "mann_kendall_trend_test",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
