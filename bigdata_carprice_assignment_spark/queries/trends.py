@@ -1304,3 +1304,81 @@ def mann_kendall_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("s") - cc) / F.sqrt(var), 6).alias("z_stat"),
         )
     )
+
+
+@query(
+    "grubbs_outlier_test",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT count(*)::HUGEINT AS n, sum(cents::HUGEINT) AS s1,
+         sum(cents::HUGEINT * cents) AS s2
+  FROM d
+),
+dev AS (
+  SELECT day, abs(cents::HUGEINT * m.n - m.s1) AS devn FROM d, m
+),
+mx AS (SELECT max(devn) AS mxd FROM dev),
+pick AS (SELECT min(day) AS oday FROM dev, mx WHERE devn = mx.mxd)
+SELECT m.n::BIGINT AS n_days,
+       strftime(pick.oday, '%Y-%m-%d') AS outlier_day,
+       round((mx.mxd::DOUBLE / m.n::DOUBLE) / 100.0, 2)
+         AS max_abs_dev_dollars,
+       round((mx.mxd::DOUBLE / m.n::DOUBLE)
+             / sqrt((m.s2::DOUBLE - m.s1::DOUBLE * m.s1::DOUBLE / m.n::DOUBLE)
+                    / (m.n::DOUBLE - 1.0)), 6) AS g_stat
+FROM m, mx, pick
+""",
+)
+def grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs maximum-studentized-deviate test on daily revenue — the
+    formalized single-outlier detector (g = max|x - mean|/sd; compare
+    to the t-based critical value for the alarm): the candidate day is
+    selected by EXACT integer deviation (|cents*n - sum| in HUGEINT, no
+    float argmax ties), ties break to the earliest day, and g folds
+    from exact moments with one division chain.
+
+    Scale: one grouped integer aggregate over the fact, moments to one
+    row, the deviation scan over the calendar-bounded day frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    h = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = d.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(h("cents")).alias("s1"),
+        F.sum(h("cents") * h("cents")).alias("s2"),
+    )
+    dev = d.crossJoin(F.broadcast(m)).select(
+        "day", F.abs(h("cents") * F.col("n") - F.col("s1")).alias("devn")
+    )
+    from ..plans.materialize import pinned
+
+    dev = pinned(dev, "grubbs_dev")  # consumed by max + argmin pick
+    mx = dev.agg(F.max("devn").alias("mxd"))
+    pick = (
+        dev.crossJoin(F.broadcast(mx))
+        .filter(F.col("devn") == F.col("mxd"))
+        .agg(F.min("day").alias("oday"))
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    g = (dd("mxd") / dd("n")) / F.sqrt(
+        (dd("s2") - dd("s1") * dd("s1") / dd("n")) / (dd("n") - F.lit(1.0))
+    )
+    return (
+        m.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(pick))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.date_format("oday", "yyyy-MM-dd").alias("outlier_day"),
+            F.round((dd("mxd") / dd("n")) / F.lit(100.0), 2).alias(
+                "max_abs_dev_dollars"
+            ),
+            F.round(g, 6).alias("g_stat"),
+        )
+    )

@@ -159,6 +159,7 @@ PRIORITY: tuple[str, ...] = (
     "theil_sen_revenue_trend",
     "anderson_darling_k_sample",
     "mann_kendall_trend_test",
+    "grubbs_outlier_test",
     "min_cost_supplier_per_part",
     "nation_year_profit",
     "bulk_part_suppliers",
