@@ -325,6 +325,11 @@ def main() -> None:
         # (measured: identical queries 2x slower late in a long pass)
         if i % 40 == 39:
             spark.sparkContext._jvm.System.gc()
+            # let the ContextCleaner / BlockManager drain the refs the GC
+            # just released OUTSIDE any query's timing — round 3 showed
+            # the async remove-block work otherwise lands inside whatever
+            # cheap query follows (2-5x inflation on 0.3s queries)
+            time.sleep(0.5)
         t0 = time.perf_counter()
         df = registry.QUERIES[name](spark, sf_dir)
         df.collect()
@@ -343,20 +348,28 @@ def main() -> None:
     # ContextCleaner to release them, and that debt otherwise lands
     # inside whichever warm queries the GC interrupts.
     spark.sparkContext._jvm.System.gc()
+    time.sleep(0.5)
     warm: dict[str, float] = {}
     for i, name in enumerate(names):
         if i % 40 == 39:
             spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5)
         t0 = time.perf_counter()
         registry.QUERIES[name](spark, sf_dir).collect()
         warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     # Driver contract: stdout gets EXACTLY one compact JSON line, printed
-    # last (round 2's combined cold+warm+plans line was truncated by the
-    # driver's tail capture → "parsed": null, losing the round's perf
-    # signal). Warm timings and plan fingerprints go to bench_detail.json.
+    # last. The driver's tail capture keeps only ~2,000 characters, so a
+    # line carrying all ~200 per-query timings (~8 KB) gets its head —
+    # metric/value — chopped off and fails to parse (BENCH_r02/r03:
+    # "parsed": null). The printed line therefore carries the totals plus
+    # a SMALL representative "queries" subset (kept well under the capture
+    # window); the full cold timings, warm timings, and plan fingerprints
+    # all go to bench_detail.json.
     detail = {
+        "queries_cold": timings,
+        "value_cold": total,
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 3),
         "plans": plans,
@@ -366,17 +379,43 @@ def main() -> None:
         json.dumps(detail, indent=1) + "\n"
     )
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    # Representative subset for the printed line: the flagship, the
+    # relational/stats/event/mining cores, and the LLM-data headliners.
+    SHOWN = [
+        "flagship_price_band_summary",
+        "pricing_summary_report",
+        "region_revenue",
+        "largest_order_per_customer",
+        "order_value_deciles",
+        "customer_running_spend",
+        "user_sessionization",
+        "asof_last_event_before_order",
+        "anova_f_components",
+        "fpgrowth_rules",
+        "exact_dedup_documents",
+        "minhash_near_dup_documents",
+        "char_ngram_jaccard_pairs",
+        "lsh_knn_join_top1",
+        "ivf_knn_join_top1",
+        "exact_cosine_pairs_blocked",
+        "multimodal_feature_extract",
+        "sequence_packing_stats",
+        "stratified_sample_by_lang",
+        "keyword_search_bm25",
+    ]
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": {n: timings[n] for n in SHOWN if n in timings},
+            "sf": float(sf),
+            "n_queries": len(timings),
+            "value_warm": round(sum(warm.values()), 3),
+        }
     )
+    assert len(line) < 1800, f"bench line too long for driver capture: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -98,15 +98,24 @@ def minhash_band_pairs(
     id_col: str,
     bands: int = 8,
     max_bucket: int = 500,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows of equal width,
     bucket-join on (band, hash-of-row). Returns candidate pairs (a < b).
     Buckets larger than ``max_bucket`` (boilerplate explosions) are
-    dropped — a deliberate, logged cap, not silent truncation."""
-    first = signatures.select(F.size("signature").alias("n")).first()
-    if first is None:  # empty corpus
-        return signatures.sparkSession.createDataFrame([], "a long, b long")
-    width = first["n"] // bands
+    dropped — a deliberate, logged cap, not silent truncation.
+
+    ``num_hashes`` is the signature length (callers built the signatures,
+    so they know it — pass it through). Falling back to a ``.first()``
+    probe costs a full Spark job at PLAN-BUILD time (the signature
+    pipeline runs once just to read an array length), so the probe is
+    only a back-compat path for callers that genuinely don't know."""
+    if num_hashes is None:
+        first = signatures.select(F.size("signature").alias("n")).first()
+        if first is None:  # empty corpus
+            return signatures.sparkSession.createDataFrame([], "a long, b long")
+        num_hashes = first["n"]
+    width = num_hashes // bands
     banded = signatures.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -209,7 +218,7 @@ def minhash_dedup(
     """Full MinHash+LSH near-dup pipeline: signatures → banded candidate
     pairs → exact-Jaccard verify → connected components → canonical id."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingled)
-    pairs = minhash_band_pairs(sigs, id_col, bands)
+    pairs = minhash_band_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     verified = jaccard_verify(
         df, pairs, text_col, id_col, threshold, shingle_n, shingled
     )

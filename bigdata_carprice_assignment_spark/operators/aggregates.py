@@ -211,13 +211,24 @@ def exact_percentiles_distributed(
         F.min(F.when(F.col("cum") >= F.col("i_lo"), F.col("v"))).alias("x_lo"),
         F.min(F.when(F.col("cum") >= F.col("i_hi"), F.col("v"))).alias("x_hi"),
     )
+    # Degenerate-input parity: on an empty/all-null column ``cum`` is
+    # empty, so the grouped probe yields NO rows — but ``percentile``/
+    # ``quantile_cont`` return a NULL row per requested p. Left-join the
+    # probe frame back onto the requested percentiles so each p always
+    # yields exactly one row (value NULL when no data exists); composing
+    # queries keep their row count instead of silently losing rows.
     frac = F.col("h") - F.floor("h")
-    return per.select(
-        "p",
-        (
-            F.col("x_lo") + (F.col("x_hi") - F.col("x_lo")) * frac
-        ).alias("value"),
-    ).orderBy("p")
+    return (
+        idx.select("p", "h")
+        .join(per, ["p", "h"], "left")
+        .select(
+            "p",
+            (
+                F.col("x_lo") + (F.col("x_hi") - F.col("x_lo")) * frac
+            ).alias("value"),
+        )
+        .orderBy("p")
+    )
 
 
 def exact_percentiles_distributed_grouped(

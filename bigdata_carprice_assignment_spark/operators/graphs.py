@@ -25,7 +25,12 @@ def triangle_census(e: DataFrame, pool: str = "tri_edges") -> DataFrame:
     endpoint → self-join oriented edges on src with an orientation-order
     guard (counts each out-out wedge once) → closure check against the
     undirected edge set. The edge frame is pinned (pooled persist)
-    because degree, orientation, and closure all consume it."""
+    because degree, orientation, and closure all consume it.
+
+    The degree table is O(V) rows — NOT broadcast-hinted: at graph scale
+    a node-cardinality broadcast would overwhelm driver and executors,
+    so the degree joins are left to AQE (which broadcasts them only when
+    the measured size is actually under the threshold)."""
     e = pinned(e, pool)
     deg = (
         e.select(F.col("u").alias("node"))
@@ -34,8 +39,8 @@ def triangle_census(e: DataFrame, pool: str = "tri_edges") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
     )
     du, dv = deg.alias("du"), deg.alias("dv")
-    ed = e.join(F.broadcast(du), F.col("u") == F.col("du.node")).join(
-        F.broadcast(dv), F.col("v") == F.col("dv.node")
+    ed = e.join(du, F.col("u") == F.col("du.node")).join(
+        dv, F.col("v") == F.col("dv.node")
     )
     u_first = (F.col("du.d") < F.col("dv.d")) | (
         (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))

@@ -26,9 +26,6 @@ def running_total(
     return df.withColumn("running_total", F.sum(value).over(w))
 
 
-_CUMSUM_SLOT = 0
-
-
 def range_partitioned_cumsum(
     df: DataFrame,
     order_cols: list[str],
@@ -62,21 +59,21 @@ def range_partitioned_cumsum(
     eviction stays safe because lineage recompute re-reads the SAME
     shuffle files (boundaries are fixed at shuffle-write time).
     """
-    from ..plans.materialize import pinned
+    from ..plans.materialize import pinned_lru
 
-    # ROTATING pool slot: one fixed pool name would make the SECOND
-    # cumsum in a single query plan (Spearman ranks both variables,
-    # Kruskal ranks + ties) evict the first's blocks mid-plan, forcing a
-    # recompute of that branch from shuffle files. Four slots keep
-    # coexisting cumsums pinned while still bounding retained
-    # generations (the 5th call frees the 1st).
-    global _CUMSUM_SLOT
-    _CUMSUM_SLOT = (_CUMSUM_SLOT + 1) % 4
-    part = pinned(
+    # LRU pool family: one fixed pool name would make the SECOND cumsum
+    # in a single query plan (Spearman ranks both variables, Kruskal
+    # ranks + ties) evict the first's blocks mid-plan, forcing a
+    # recompute of that branch from shuffle files. pinned_lru keys each
+    # build by a monotonic id (no name reuse — a pin is only evicted by
+    # age, never by slot collision, and concurrent builds can't race a
+    # shared slot counter) and keeps the 4 most recent generations.
+    part = pinned_lru(
         df.repartitionByRange(
             num_ranges, *[F.asc(c) for c in order_cols]
         ).withColumn("_pid", F.spark_partition_id()),
-        f"range_cumsum_part_{_CUMSUM_SLOT}",
+        "range_cumsum_part",
+        keep=4,
     )
     w_in = (
         Window.partitionBy("_pid")

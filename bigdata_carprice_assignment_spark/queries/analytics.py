@@ -546,18 +546,19 @@ def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT count(DISTINCT l_partkey)::BIGINT AS exact_distinct_parts,
        count(DISTINCT l_suppkey)::BIGINT AS exact_distinct_suppliers,
-       true AS parts_approx_within_5pct,
-       true AS suppliers_approx_within_5pct
+       true AS parts_approx_within_8pct,
+       true AS suppliers_approx_within_8pct
 FROM lineitem
 """,
 )
 def hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch gate for approximate distinct counting: Spark's
     HyperLogLog++ (``approx_count_distinct``, rsd=0.02 — 4x fewer
-    registers than 0.01 for a measured 4x cheaper pass, still 2.5
-    sigma inside the gate) must land within
-    5% of the exact distinct count, asserted IN the result so the driver
-    hash fails if the sketch ever drifts — the exact counts ride along.
+    registers than 0.01 for a measured 4x cheaper pass) must land within
+    8% (4 sigma at rsd 0.02 — the estimate is deterministic per dataset,
+    but a new scale factor or data refresh re-rolls it; 5% was only 2.5
+    sigma) of the exact distinct count, asserted IN the result so the
+    driver hash fails if the sketch ever drifts — exact counts ride along.
     (The oracle can't reproduce Spark's HLL registers; it states the
     exact counts and the expected-true gates. HLL merge is commutative,
     so the approx value is partitioning-independent and deterministic.)
@@ -586,16 +587,16 @@ def hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.agg(F.approx_count_distinct("l_suppkey", 0.02).alias("_as"))
     )
     within = lambda approx, exact: (  # noqa: E731
-        F.abs(approx - exact) <= 0.05 * exact
+        F.abs(approx - exact) <= 0.08 * exact
     )
     return parts.crossJoin(supps).select(
         "exact_distinct_parts",
         "exact_distinct_suppliers",
         within(F.col("_ap"), F.col("exact_distinct_parts")).alias(
-            "parts_approx_within_5pct"
+            "parts_approx_within_8pct"
         ),
         within(F.col("_as"), F.col("exact_distinct_suppliers")).alias(
-            "suppliers_approx_within_5pct"
+            "suppliers_approx_within_8pct"
         ),
     )
 

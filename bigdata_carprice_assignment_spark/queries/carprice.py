@@ -27,16 +27,205 @@ def _cleaned(spark: SparkSession) -> DataFrame:
     return cp.clean(cp.load_raw(spark)).localCheckpoint()
 
 
-@query("carprice_cleaned")
+# DuckDB oracle for the full cleaned table: replays the reference pipeline
+# (BigDataProject.R:41-130) in SQL on the reference CSV itself —
+# trim-on-read (the typed CSV scan sets ignoreLeading/TrailingWhiteSpace,
+# matching the committed golden), brand = first word, all 16 numeric
+# columns winsorized at the type-7 1%/99% quantiles (quantile_cont IS
+# type 7 — bit-identical interpolation to Spark percentile), R `cut`
+# right-closed price-quartile buckets, log_price = ln(1+price).
+# Imputation is a no-op on this dataset (zero NAs — asserted in
+# tests/test_carprice_golden.py territory), so the SQL omits it.
+_CLEANED_ORACLE = """
+WITH raw AS (
+  SELECT * FROM read_csv('/root/reference/CarPrice_Assignment.csv', header=true)
+),
+base AS (
+  SELECT car_ID::DOUBLE AS car_id, symboling::DOUBLE AS symboling,
+         trim(CarName) AS carname, fueltype, aspiration, doornumber, carbody,
+         drivewheel, enginelocation, wheelbase::DOUBLE AS wheelbase,
+         carlength::DOUBLE AS carlength, carwidth::DOUBLE AS carwidth,
+         carheight::DOUBLE AS carheight, curbweight::DOUBLE AS curbweight,
+         enginetype, cylindernumber, enginesize::DOUBLE AS enginesize,
+         fuelsystem, boreratio::DOUBLE AS boreratio, stroke::DOUBLE AS stroke,
+         compressionratio::DOUBLE AS compressionratio,
+         horsepower::DOUBLE AS horsepower, peakrpm::DOUBLE AS peakrpm,
+         citympg::DOUBLE AS citympg, highwaympg::DOUBLE AS highwaympg,
+         price::DOUBLE AS price, split_part(trim(CarName), ' ', 1) AS brand
+  FROM raw
+),
+q AS (
+  SELECT quantile_cont(car_id, 0.01) AS car_id_lo, quantile_cont(car_id, 0.99) AS car_id_hi,
+    quantile_cont(symboling, 0.01) AS symboling_lo, quantile_cont(symboling, 0.99) AS symboling_hi,
+    quantile_cont(wheelbase, 0.01) AS wheelbase_lo, quantile_cont(wheelbase, 0.99) AS wheelbase_hi,
+    quantile_cont(carlength, 0.01) AS carlength_lo, quantile_cont(carlength, 0.99) AS carlength_hi,
+    quantile_cont(carwidth, 0.01) AS carwidth_lo, quantile_cont(carwidth, 0.99) AS carwidth_hi,
+    quantile_cont(carheight, 0.01) AS carheight_lo, quantile_cont(carheight, 0.99) AS carheight_hi,
+    quantile_cont(curbweight, 0.01) AS curbweight_lo, quantile_cont(curbweight, 0.99) AS curbweight_hi,
+    quantile_cont(enginesize, 0.01) AS enginesize_lo, quantile_cont(enginesize, 0.99) AS enginesize_hi,
+    quantile_cont(boreratio, 0.01) AS boreratio_lo, quantile_cont(boreratio, 0.99) AS boreratio_hi,
+    quantile_cont(stroke, 0.01) AS stroke_lo, quantile_cont(stroke, 0.99) AS stroke_hi,
+    quantile_cont(compressionratio, 0.01) AS compressionratio_lo, quantile_cont(compressionratio, 0.99) AS compressionratio_hi,
+    quantile_cont(horsepower, 0.01) AS horsepower_lo, quantile_cont(horsepower, 0.99) AS horsepower_hi,
+    quantile_cont(peakrpm, 0.01) AS peakrpm_lo, quantile_cont(peakrpm, 0.99) AS peakrpm_hi,
+    quantile_cont(citympg, 0.01) AS citympg_lo, quantile_cont(citympg, 0.99) AS citympg_hi,
+    quantile_cont(highwaympg, 0.01) AS highwaympg_lo, quantile_cont(highwaympg, 0.99) AS highwaympg_hi,
+    quantile_cont(price, 0.01) AS price_lo, quantile_cont(price, 0.99) AS price_hi
+  FROM base
+),
+w AS (
+  SELECT greatest(least(b.car_id, q.car_id_hi), q.car_id_lo) AS car_id,
+    greatest(least(b.symboling, q.symboling_hi), q.symboling_lo) AS symboling,
+    greatest(least(b.wheelbase, q.wheelbase_hi), q.wheelbase_lo) AS wheelbase,
+    greatest(least(b.carlength, q.carlength_hi), q.carlength_lo) AS carlength,
+    greatest(least(b.carwidth, q.carwidth_hi), q.carwidth_lo) AS carwidth,
+    greatest(least(b.carheight, q.carheight_hi), q.carheight_lo) AS carheight,
+    greatest(least(b.curbweight, q.curbweight_hi), q.curbweight_lo) AS curbweight,
+    greatest(least(b.enginesize, q.enginesize_hi), q.enginesize_lo) AS enginesize,
+    greatest(least(b.boreratio, q.boreratio_hi), q.boreratio_lo) AS boreratio,
+    greatest(least(b.stroke, q.stroke_hi), q.stroke_lo) AS stroke,
+    greatest(least(b.compressionratio, q.compressionratio_hi), q.compressionratio_lo) AS compressionratio,
+    greatest(least(b.horsepower, q.horsepower_hi), q.horsepower_lo) AS horsepower,
+    greatest(least(b.peakrpm, q.peakrpm_hi), q.peakrpm_lo) AS peakrpm,
+    greatest(least(b.citympg, q.citympg_hi), q.citympg_lo) AS citympg,
+    greatest(least(b.highwaympg, q.highwaympg_hi), q.highwaympg_lo) AS highwaympg,
+    greatest(least(b.price, q.price_hi), q.price_lo) AS price,
+    b.carname, b.fueltype, b.aspiration, b.doornumber, b.carbody, b.drivewheel, b.enginelocation, b.enginetype, b.cylindernumber, b.fuelsystem, b.brand
+  FROM base b, q
+),
+pq AS (
+  SELECT quantile_cont(price, 0.00) AS p0, quantile_cont(price, 0.25) AS p25,
+         quantile_cont(price, 0.50) AS p50, quantile_cont(price, 0.75) AS p75,
+         quantile_cont(price, 1.00) AS p100
+  FROM w
+)
+SELECT w.*,
+  CASE WHEN w.price < pq.p0 THEN NULL
+       WHEN w.price <= pq.p25 THEN 'Low'
+       WHEN w.price <= pq.p50 THEN 'Medium'
+       WHEN w.price <= pq.p75 THEN 'High'
+       WHEN w.price <= pq.p100 THEN 'VeryHigh'
+       ELSE NULL END AS price_bucket,
+  ln(1 + w.price) AS log_price
+FROM w, pq
+"""
+
+@query("carprice_cleaned", oracle=_CLEANED_ORACLE)
 def carprice_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EP1 phases 1-5 (clean/impute/cap/bucket) — golden-parity table."""
+    """EP1 phases 1-5 (clean/impute/cap/bucket) — golden-parity table,
+    hash-checked against the SQL replay of the same pipeline."""
     return _cleaned(spark)
 
 
-@query("carprice_ml_matrix")
+# One-hot oracle: dummyVars(fullRank=TRUE) over the FIXED reference
+# CSV's 28 distinct brands in R factor order (casefold, lowercase-first
+# on case ties) with the first level (alfa-romero) dropped — the level
+# set is data-dependent but the input is the immutable reference CSV,
+# so enumerating it in SQL is exact. The messy data has both 'nissan'
+# and 'Nissan' as distinct factor levels; DuckDB column names are
+# case-INsensitive, so the uppercase variant's dummy is aliased
+# brand_Nissan_uc on BOTH sides (golden naming lives in
+# pipelines.carprice.ml_ready, which tests/test_carprice_golden.py
+# checks cell-for-cell — this wrapper renames only the driver surface).
+_ML_ORACLE = """
+WITH raw AS (
+  SELECT * FROM read_csv('/root/reference/CarPrice_Assignment.csv', header=true)
+),
+base AS (
+  SELECT car_ID::DOUBLE AS car_id, symboling::DOUBLE AS symboling,
+         trim(CarName) AS carname, fueltype, aspiration, doornumber, carbody,
+         drivewheel, enginelocation, wheelbase::DOUBLE AS wheelbase,
+         carlength::DOUBLE AS carlength, carwidth::DOUBLE AS carwidth,
+         carheight::DOUBLE AS carheight, curbweight::DOUBLE AS curbweight,
+         enginetype, cylindernumber, enginesize::DOUBLE AS enginesize,
+         fuelsystem, boreratio::DOUBLE AS boreratio, stroke::DOUBLE AS stroke,
+         compressionratio::DOUBLE AS compressionratio,
+         horsepower::DOUBLE AS horsepower, peakrpm::DOUBLE AS peakrpm,
+         citympg::DOUBLE AS citympg, highwaympg::DOUBLE AS highwaympg,
+         price::DOUBLE AS price, split_part(trim(CarName), ' ', 1) AS brand
+  FROM raw
+),
+q AS (
+  SELECT quantile_cont(car_id, 0.01) AS car_id_lo, quantile_cont(car_id, 0.99) AS car_id_hi,
+    quantile_cont(symboling, 0.01) AS symboling_lo, quantile_cont(symboling, 0.99) AS symboling_hi,
+    quantile_cont(wheelbase, 0.01) AS wheelbase_lo, quantile_cont(wheelbase, 0.99) AS wheelbase_hi,
+    quantile_cont(carlength, 0.01) AS carlength_lo, quantile_cont(carlength, 0.99) AS carlength_hi,
+    quantile_cont(carwidth, 0.01) AS carwidth_lo, quantile_cont(carwidth, 0.99) AS carwidth_hi,
+    quantile_cont(carheight, 0.01) AS carheight_lo, quantile_cont(carheight, 0.99) AS carheight_hi,
+    quantile_cont(curbweight, 0.01) AS curbweight_lo, quantile_cont(curbweight, 0.99) AS curbweight_hi,
+    quantile_cont(enginesize, 0.01) AS enginesize_lo, quantile_cont(enginesize, 0.99) AS enginesize_hi,
+    quantile_cont(boreratio, 0.01) AS boreratio_lo, quantile_cont(boreratio, 0.99) AS boreratio_hi,
+    quantile_cont(stroke, 0.01) AS stroke_lo, quantile_cont(stroke, 0.99) AS stroke_hi,
+    quantile_cont(compressionratio, 0.01) AS compressionratio_lo, quantile_cont(compressionratio, 0.99) AS compressionratio_hi,
+    quantile_cont(horsepower, 0.01) AS horsepower_lo, quantile_cont(horsepower, 0.99) AS horsepower_hi,
+    quantile_cont(peakrpm, 0.01) AS peakrpm_lo, quantile_cont(peakrpm, 0.99) AS peakrpm_hi,
+    quantile_cont(citympg, 0.01) AS citympg_lo, quantile_cont(citympg, 0.99) AS citympg_hi,
+    quantile_cont(highwaympg, 0.01) AS highwaympg_lo, quantile_cont(highwaympg, 0.99) AS highwaympg_hi,
+    quantile_cont(price, 0.01) AS price_lo, quantile_cont(price, 0.99) AS price_hi
+  FROM base
+),
+w AS (
+  SELECT greatest(least(b.car_id, q.car_id_hi), q.car_id_lo) AS car_id,
+    greatest(least(b.symboling, q.symboling_hi), q.symboling_lo) AS symboling,
+    greatest(least(b.wheelbase, q.wheelbase_hi), q.wheelbase_lo) AS wheelbase,
+    greatest(least(b.carlength, q.carlength_hi), q.carlength_lo) AS carlength,
+    greatest(least(b.carwidth, q.carwidth_hi), q.carwidth_lo) AS carwidth,
+    greatest(least(b.carheight, q.carheight_hi), q.carheight_lo) AS carheight,
+    greatest(least(b.curbweight, q.curbweight_hi), q.curbweight_lo) AS curbweight,
+    greatest(least(b.enginesize, q.enginesize_hi), q.enginesize_lo) AS enginesize,
+    greatest(least(b.boreratio, q.boreratio_hi), q.boreratio_lo) AS boreratio,
+    greatest(least(b.stroke, q.stroke_hi), q.stroke_lo) AS stroke,
+    greatest(least(b.compressionratio, q.compressionratio_hi), q.compressionratio_lo) AS compressionratio,
+    greatest(least(b.horsepower, q.horsepower_hi), q.horsepower_lo) AS horsepower,
+    greatest(least(b.peakrpm, q.peakrpm_hi), q.peakrpm_lo) AS peakrpm,
+    greatest(least(b.citympg, q.citympg_hi), q.citympg_lo) AS citympg,
+    greatest(least(b.highwaympg, q.highwaympg_hi), q.highwaympg_lo) AS highwaympg,
+    greatest(least(b.price, q.price_hi), q.price_lo) AS price,
+    b.carname, b.fueltype, b.aspiration, b.doornumber, b.carbody, b.drivewheel, b.enginelocation, b.enginetype, b.cylindernumber, b.fuelsystem, b.brand
+  FROM base b, q
+)
+SELECT w.horsepower, w.enginesize, w.curbweight, w.citympg, w.highwaympg, w.carwidth, w.carlength,
+  CASE WHEN brand = 'audi' THEN 1.0 ELSE 0.0 END AS "brand_audi",
+  CASE WHEN brand = 'bmw' THEN 1.0 ELSE 0.0 END AS "brand_bmw",
+  CASE WHEN brand = 'buick' THEN 1.0 ELSE 0.0 END AS "brand_buick",
+  CASE WHEN brand = 'chevrolet' THEN 1.0 ELSE 0.0 END AS "brand_chevrolet",
+  CASE WHEN brand = 'dodge' THEN 1.0 ELSE 0.0 END AS "brand_dodge",
+  CASE WHEN brand = 'honda' THEN 1.0 ELSE 0.0 END AS "brand_honda",
+  CASE WHEN brand = 'isuzu' THEN 1.0 ELSE 0.0 END AS "brand_isuzu",
+  CASE WHEN brand = 'jaguar' THEN 1.0 ELSE 0.0 END AS "brand_jaguar",
+  CASE WHEN brand = 'maxda' THEN 1.0 ELSE 0.0 END AS "brand_maxda",
+  CASE WHEN brand = 'mazda' THEN 1.0 ELSE 0.0 END AS "brand_mazda",
+  CASE WHEN brand = 'mercury' THEN 1.0 ELSE 0.0 END AS "brand_mercury",
+  CASE WHEN brand = 'mitsubishi' THEN 1.0 ELSE 0.0 END AS "brand_mitsubishi",
+  CASE WHEN brand = 'nissan' THEN 1.0 ELSE 0.0 END AS "brand_nissan",
+  CASE WHEN brand = 'Nissan' THEN 1.0 ELSE 0.0 END AS "brand_Nissan_uc",
+  CASE WHEN brand = 'peugeot' THEN 1.0 ELSE 0.0 END AS "brand_peugeot",
+  CASE WHEN brand = 'plymouth' THEN 1.0 ELSE 0.0 END AS "brand_plymouth",
+  CASE WHEN brand = 'porcshce' THEN 1.0 ELSE 0.0 END AS "brand_porcshce",
+  CASE WHEN brand = 'porsche' THEN 1.0 ELSE 0.0 END AS "brand_porsche",
+  CASE WHEN brand = 'renault' THEN 1.0 ELSE 0.0 END AS "brand_renault",
+  CASE WHEN brand = 'saab' THEN 1.0 ELSE 0.0 END AS "brand_saab",
+  CASE WHEN brand = 'subaru' THEN 1.0 ELSE 0.0 END AS "brand_subaru",
+  CASE WHEN brand = 'toyota' THEN 1.0 ELSE 0.0 END AS "brand_toyota",
+  CASE WHEN brand = 'toyouta' THEN 1.0 ELSE 0.0 END AS "brand_toyouta",
+  CASE WHEN brand = 'vokswagen' THEN 1.0 ELSE 0.0 END AS "brand_vokswagen",
+  CASE WHEN brand = 'volkswagen' THEN 1.0 ELSE 0.0 END AS "brand_volkswagen",
+  CASE WHEN brand = 'volvo' THEN 1.0 ELSE 0.0 END AS "brand_volvo",
+  CASE WHEN brand = 'vw' THEN 1.0 ELSE 0.0 END AS "brand_vw",
+  w.price
+FROM w
+"""
+
+@query("carprice_ml_matrix", oracle=_ML_ORACLE)
 def carprice_ml_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phase 8 one-hot ML matrix (golden: car_prices_ml_ready.csv)."""
-    return cp.ml_ready(_cleaned(spark), target="price")
+    """Phase 8 one-hot ML matrix (golden: car_prices_ml_ready.csv),
+    hash-checked against the SQL replay."""
+    ml = cp.ml_ready(_cleaned(spark), target="price")
+    # exact-string rename via toDF: withColumnRenamed resolves with the
+    # session's case-INsensitive resolver and would rename brand_nissan too
+    return ml.toDF(
+        *[("brand_Nissan_uc" if c == "brand_Nissan" else c) for c in ml.columns]
+    )
 
 
 @query("carprice_model_metrics")

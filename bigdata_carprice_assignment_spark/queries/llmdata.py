@@ -299,7 +299,7 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(spark, sf_dir)
     sigs = D.minhash_signatures(docs, "text", "doc_id", shingled=sh)
-    pairs = D.minhash_band_pairs(sigs, "doc_id")
+    pairs = D.minhash_band_pairs(sigs, "doc_id", num_hashes=32)
     verified = D.jaccard_verify(
         docs, pairs, "text", "doc_id", threshold=0.5, shingled=sh
     )
@@ -529,7 +529,7 @@ def _verified_minhash_pairs_08(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(spark, sf_dir)
     sigs = D.minhash_signatures(docs, "text", "doc_id", num_hashes=64, shingled=sh)
-    pairs = D.minhash_band_pairs(sigs, "doc_id", bands=16)
+    pairs = D.minhash_band_pairs(sigs, "doc_id", bands=16, num_hashes=64)
     verified = D.jaccard_verify(
         docs, pairs, "text", "doc_id", threshold=0.8, shingled=sh
     )
@@ -1690,7 +1690,7 @@ def char_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signatures(
         docs, "text", "doc_id", num_hashes=128, shingled=chsh
     )
-    pairs = D.minhash_band_pairs(sigs, "doc_id", bands=16)
+    pairs = D.minhash_band_pairs(sigs, "doc_id", bands=16, num_hashes=128)
     verified = D.jaccard_verify(
         docs, pairs, "text", "doc_id", threshold=0.8, shingled=chsh
     )

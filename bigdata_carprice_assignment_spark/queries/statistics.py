@@ -1040,8 +1040,10 @@ c AS (
 ),
 t AS (SELECT sum(n_ref)::DOUBLE AS tr, sum(n_cur)::DOUBLE AS tc FROM c)
 SELECT bin, n_ref, n_cur,
-       round((n_cur / tc - n_ref / tr)
-             * ln((n_cur / tc) / (n_ref / tr)), 8) AS psi_term
+       CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+         round((n_cur / tc - n_ref / tr)
+               * ln((n_cur / tc) / (n_ref / tr)), 8)
+       ELSE NULL END AS psi_term
 FROM c, t ORDER BY bin
 """,
 )
@@ -1054,7 +1056,11 @@ def order_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     its signed PSI term (p_cur - p_ref) * ln(p_cur/p_ref); the sum >
     0.2 is the conventional retrain alarm. Emitting per-bin terms makes
     the drift ATTRIBUTABLE (which deciles moved), and every probability
-    is a ratio of exact integer counts.
+    is a ratio of exact integer counts. A bin empty on either half has
+    an undefined PSI term (ln of 0 or a 0 factor) — guarded to NULL
+    IDENTICALLY on both engines (Spark's log(<=0) is silently NULL,
+    DuckDB's ln errors; without the guard the engines diverge on
+    degenerate data instead of agreeing loudly).
 
     Scale: one exact-percentile pass over the reference, then a single
     scan bins both halves against the 9 broadcast edges via a when
@@ -1094,7 +1100,10 @@ def order_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             "n_ref",
             "n_cur",
-            F.round((pc - pr) * F.log(pc / pr), 8).alias("psi_term"),
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.round((pc - pr) * F.log(pc / pr), 8),
+            ).alias("psi_term"),
         )
         .orderBy("bin")
     )
@@ -1728,13 +1737,10 @@ def anderson_darling_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-group fold divides by n_i once.
 
     Scale: the dense (group x distinct-value) grid is k*L rows; the
-    pooled cumulative runs over the value-compressed domain and the
-    per-group cumulative inside (group) partitions — no global
-    single-task window over data-sized input (the pooled ordered
-    cumulative here uses the calendar... value domain, which at true
-    100 TB would route through range_partitioned_cumsum exactly like
-    kruskal_wallis_components; the per-group pass is already
-    partitioned)."""
+    pooled cumulative runs over the value-compressed domain via
+    range_partitioned_cumsum (no global single-task window — same route
+    as kruskal_wallis_components), and the per-group cumulative runs
+    inside (group) partitions, which are bounded by the 5-priority key."""
     from pyspark.sql import Window
 
     from ..operators.windows import range_partitioned_cumsum
