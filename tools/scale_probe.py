@@ -1,0 +1,78 @@
+"""Scale-up probe: time the expensive headliners at sf0.1 / sf0.3 / sf1.0.
+
+sf0.3 and sf1.0 are replicated-with-shifted-keys copies of sf0.1
+(generated outside the repo under /tmp/scaleprobe; key domains stay
+join-consistent, documents/embeddings are cloned so dedup/ANN candidate
+counts grow ~linearly with corpus size). The question this answers is
+the VERDICT's: do the observed time ratios track the data ratio (the
+plans are linear-shuffle shapes), or does some operator hide a
+superlinear term that bench-SF timing can't see?
+
+Each query runs twice per SF in one long-lived session (first = cold
+incl. per-corpus pool builds, second = warm steady state); a driver GC
+between SFs keeps cleaner debt out of the timings.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bigdata_carprice_assignment_spark import registry  # noqa: E402
+from bigdata_carprice_assignment_spark.session import get_spark  # noqa: E402
+
+PROBES = [
+    "flagship_price_band_summary",
+    "pricing_summary_report",
+    "minhash_near_dup_documents",
+    "char_ngram_jaccard_pairs",
+    "lsh_knn_join_top1",
+    "ivf_knn_join_top1",
+    "exact_cosine_pairs_blocked",
+    "theil_sen_revenue_trend",
+    "sequence_packing_stats",
+    "user_sessionization",
+]
+
+SFS = [
+    ("0.1", "/root/testdata/sf0.1"),
+    ("0.3", "/tmp/scaleprobe/sf0.3"),
+    ("1.0", "/tmp/scaleprobe/sf1.0"),
+]
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("scale_probe")
+    # warm the JVM/Arrow paths on the smallest SF before timing anything
+    registry.QUERIES[PROBES[0]](spark, SFS[0][1]).collect()
+    out: dict[str, dict[str, list[float]]] = {}
+    for sf, sf_dir in SFS:
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+        for name in PROBES:
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                registry.QUERIES[name](spark, sf_dir).collect()
+                ts.append(round(time.perf_counter() - t0, 3))
+            out.setdefault(name, {})[sf] = ts
+            print(f"sf{sf} {name}: {ts}", flush=True)
+    spark.stop()
+    Path("/tmp/scaleprobe/results.json").write_text(json.dumps(out, indent=1))
+    # summary: warm ratios vs sf0.1
+    print("\nwarm scaling (x vs sf0.1; data ratio 3x / 10x):")
+    for name in PROBES:
+        w = {sf: out[name][sf][1] for sf, _ in SFS}
+        print(
+            f"  {name}: {w['0.1']}s -> {w['0.3']}s ({w['0.3']/max(w['0.1'],1e-9):.1f}x) "
+            f"-> {w['1.0']}s ({w['1.0']/max(w['0.1'],1e-9):.1f}x)"
+        )
+
+
+if __name__ == "__main__":
+    main()
