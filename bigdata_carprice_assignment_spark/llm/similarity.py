@@ -217,7 +217,7 @@ def _cell_ranking_udf(centroids):
 def ivf_index(
     df: DataFrame,
     vec_col: str,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     seed: int = 42,
     max_iter: int = 10,
     id_col: str | None = None,
@@ -236,7 +236,18 @@ def ivf_index(
     quantizer doesn't need convergence, only locality; training it on a
     ≤train_cap sample is the standard IVF build), so the index build is
     sample-collect + numpy Lloyd + one narrow projection instead of
-    max_iter distributed k-means jobs."""
+    max_iter distributed k-means jobs.
+
+    ``n_cells=None`` selects the FAISS-guideline adaptive cell count
+    ``≈4·sqrt(n)`` (clamped to [8, 4096]): with a FIXED cell count the
+    per-cell candidate matmul in :func:`ivf_knn_join` is
+    O(n/n_cells · n·nprobe/n_cells) = O(n²) as the corpus grows (the
+    scale probe measured 5x time at 3x data with n_cells=8); √n cells
+    keep cell size AND probe fan-out at O(√n), restoring ~O(n^1.5 /
+    parallelism) total work — the standard IVF-Flat scaling. Fixed
+    n_cells remains available for pinned-recall gates at bench SF."""
+    import math
+
     import numpy as np
 
     from ..plans.materialize import pinned
@@ -249,6 +260,8 @@ def ivf_index(
     # (round-2 bench showed warm ANN runs slower than cold from exactly
     # this accumulation).
     df = pinned(df, "ivf_index")
+    if n_cells is None:
+        n_cells = int(min(4096, max(8, 4 * math.sqrt(df.count()))))
     if id_col is not None:
         sample = df.select(vec_col)
         n = df.count()
@@ -263,19 +276,30 @@ def ivf_index(
         sample = df.select(vec_col).limit(train_cap)
     X = np.asarray(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
 
-    # kmeans++ seeding + bounded Lloyd, n_init deterministic restarts
-    # (seed, seed+1, …) keeping the lowest-inertia fit — restarts matter
-    # on small train sets where one unlucky seeding costs real recall
+    # Seeding/restart policy scales with the cell count: kmeans++ with
+    # n_init restarts for SMALL quantizers (recall variance from one
+    # unlucky seeding is real when cells are few), but kmeans++ is
+    # O(n_cells·|X|·dim) SEQUENTIAL steps and restarts multiply it — at
+    # the adaptive ~4√n cell counts the build would dominate the whole
+    # pipeline (measured 86s of a 90s index+join at 50k×512d, vs the
+    # join's ~5s). Large quantizers therefore seed from a random
+    # distinct sample with a single restart — FAISS's own coarse-
+    # quantizer training discipline (random init, few iterations;
+    # locality, not convergence, is the requirement).
+    plus_plus = n_cells <= 64
     best_inertia, centroids = None, None
-    for restart in range(max(1, n_init)):
+    for restart in range(max(1, n_init) if plus_plus else 1):
         rng = np.random.default_rng(seed + restart)
-        C = np.empty((n_cells, X.shape[1]))
-        C[0] = X[rng.integers(len(X))]
-        d2 = ((X - C[0]) ** 2).sum(axis=1)
-        for j in range(1, n_cells):
-            p = d2 / d2.sum() if d2.sum() > 0 else None
-            C[j] = X[rng.choice(len(X), p=p)]
-            d2 = np.minimum(d2, ((X - C[j]) ** 2).sum(axis=1))
+        if plus_plus:
+            C = np.empty((n_cells, X.shape[1]))
+            C[0] = X[rng.integers(len(X))]
+            d2 = ((X - C[0]) ** 2).sum(axis=1)
+            for j in range(1, n_cells):
+                p = d2 / d2.sum() if d2.sum() > 0 else None
+                C[j] = X[rng.choice(len(X), p=p)]
+                d2 = np.minimum(d2, ((X - C[j]) ** 2).sum(axis=1))
+        else:
+            C = X[rng.choice(len(X), size=n_cells, replace=False)].copy()
         for _ in range(max_iter):
             dist = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[
                 None, :

@@ -44,10 +44,57 @@ SFS = [
     ("1.0", "/tmp/scaleprobe/sf1.0"),
 ]
 
+# Probes measured infeasible at a given SF (recorded, not re-run): the
+# LSH recall GATE joins brute-force-verified pairs against the BRP
+# candidate set, and at these settings BRP prunes nothing (unit-normed
+# random projection spread ≪ bucket width), so the gate pays the
+# all-pairs cost at 10x data — >900s observed before the probe was
+# killed. The gate is verification machinery; the production ANN path
+# is what probe_engine times.
+SKIP = {
+    ("1.0", "lsh_knn_join_top1"):
+        ">900s: all-pairs recall gate, quadratic by construction",
+}
+
+
+def probe_engine(spark) -> None:
+    """Engine-path ANN scaling (no exact-verify gate): IVF kNN-join over
+    the embeddings table with the adaptive ~4·sqrt(n) cell count vs the
+    bench-pinned fixed count. The registry's ivf_knn_join_top1 query is
+    a RECALL GATE whose cost is its brute-force verification side; this
+    section times what a production ANN lookup actually runs."""
+    from pyspark.sql import functions as F
+
+    from bigdata_carprice_assignment_spark.llm import similarity as S
+
+    for sf, sf_dir in SFS:
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", F.col("embedding").alias("vec"))
+        )
+        for label, cells in [("adaptive", None), ("fixed8", 8)]:
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                model, assigned = S.ivf_index(
+                    emb, "vec", n_cells=cells, id_col="vec_id"
+                )
+                n = S.ivf_knn_join(
+                    model, assigned, "vec", "vec_id", k=1, nprobe=4
+                ).count()
+                ts.append(round(time.perf_counter() - t0, 3))
+            print(f"engine sf{sf} ivf_{label}: {ts} ({n} rows)", flush=True)
+
 
 def main() -> None:
     registry.load_all()
     spark = get_spark("scale_probe")
+    if "--engine-only" in sys.argv:
+        probe_engine(spark)
+        spark.stop()
+        return
     # warm the JVM/Arrow paths on the smallest SF before timing anything
     registry.QUERIES[PROBES[0]](spark, SFS[0][1]).collect()
     out: dict[str, dict[str, list[float]]] = {}
@@ -55,6 +102,9 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
         for name in PROBES:
+            if (sf, name) in SKIP:
+                print(f"sf{sf} {name}: SKIPPED ({SKIP[(sf, name)]})", flush=True)
+                continue
             ts = []
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -67,7 +117,10 @@ def main() -> None:
     # summary: warm ratios vs sf0.1
     print("\nwarm scaling (x vs sf0.1; data ratio 3x / 10x):")
     for name in PROBES:
-        w = {sf: out[name][sf][1] for sf, _ in SFS}
+        w = {sf: out[name][sf][1] for sf, _ in SFS if sf in out.get(name, {})}
+        if len(w) < len(SFS):
+            print(f"  {name}: partial {w} (skipped SFs noted above)")
+            continue
         print(
             f"  {name}: {w['0.1']}s -> {w['0.3']}s ({w['0.3']/max(w['0.1'],1e-9):.1f}x) "
             f"-> {w['1.0']}s ({w['1.0']/max(w['0.1'],1e-9):.1f}x)"
