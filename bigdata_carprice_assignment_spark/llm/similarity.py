@@ -184,6 +184,173 @@ def cosine_topk_lsh(
     ).orderBy(F.desc("cosine"), F.asc(id_col))
 
 
+def _srp_rademacher(n_bits: int, dim: int):
+    """±1 hyperplane matrix derived from md5 — ENGINE-PORTABLE: DuckDB
+    reproduces entry (i, j) as
+    ``('0x'||substr(md5('srp:'||i||':'||j),1,15))::BIGINT & 1``.
+    Rademacher (Achlioptas-style) projections are a standard sign-LSH
+    choice; deriving them from a hash instead of an RNG is what makes
+    the whole signature oracle-replayable."""
+    import hashlib
+
+    import numpy as np
+
+    S = np.empty((n_bits, dim), dtype=np.float64)
+    for i in range(n_bits):
+        for j in range(dim):
+            h = int(hashlib.md5(f"srp:{i}:{j}".encode()).hexdigest()[:15], 16)
+            S[i, j] = 1.0 if h & 1 else -1.0
+    return S
+
+
+def srp_signatures(
+    df: DataFrame, vec_col: str, id_col: str, n_bits: int = 60
+) -> DataFrame:
+    """Sign-random-projection (Charikar cosine-LSH) signatures over a
+    COUNT-VALUED feature column, bit-replayable in DuckDB.
+
+    bit i = (Σ_j feat_j · s_ij ≥ 0) with s_ij ∈ {+1, −1} md5-derived
+    (:func:`_srp_rademacher`). On integer-valued features every product
+    and partial sum is an exactly-representable integer in float64, so
+    the BLAS matmul here and DuckDB's sequential list_sum produce the
+    SAME sign no matter how either engine associates the additions —
+    the property that makes an approximate index's candidate mechanism
+    hash-checkable, not just recall-spot-checked. n_bits=60 keeps the
+    packed signature in positive BIGINT range (same discipline as the
+    md5-portable SimHash variant) so ``>>`` banding needs no unsigned
+    shift on either engine.
+
+    Scale: one Arrow-batched pandas_udf projection (X @ Sᵀ per batch),
+    no shuffle; the signature table is n rows of one long."""
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def sig(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        S = _srp_matrix_cached(n_bits, X.shape[1])
+        bits = (X @ S.T) >= 0.0
+        out = np.zeros(len(X), dtype=np.int64)
+        for b in range(n_bits):
+            out |= bits[:, b].astype(np.int64) << b
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sig(F.col(vec_col)).alias("srp_sig"))
+
+
+def _srp_matrix_cached(n_bits: int, dim: int):
+    key = (n_bits, dim)
+    if key not in _SRP_CACHE:
+        _SRP_CACHE[key] = _srp_rademacher(n_bits, dim)
+    return _SRP_CACHE[key]
+
+
+_SRP_CACHE: dict = {}
+
+
+def srp_band_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    n_bits: int = 60,
+    band_bits: int = 10,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """SRP banding: split the n_bits signature into n_bits/band_bits
+    chunks; vectors sharing any chunk are candidates — the cosine-LSH
+    candidate join that ACTUALLY PRUNES on angular data (unlike
+    euclidean BRP buckets on unit-norm vectors, where the projection
+    spread collapses below any usable bucket width —
+    ``blocked_cosine_pairs`` documents that failure). Random pairs
+    collide per band w.p. ~2^-band_bits; near-angular pairs (θ→0)
+    collide w.p. →1. Returns distinct (a < b, hamming); buckets larger
+    than ``max_bucket`` are dropped (capped, logged shape — same
+    boilerplate guard as MinHash banding)."""
+    from ..plans.materialize import pinned
+
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.col("srp_sig").alias("sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("srp_sig", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sh", "bb.band", "bb.key")
+    banded = pinned(banded, "srp_banded")
+    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
+    banded = banded.join(
+        sizes.filter(F.col("sz") <= max_bucket).select("band", "key"),
+        ["band", "key"],
+    )
+    a = banded.select("band", "key", F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
+    b = banded.select("band", "key", F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .drop("sh_a", "sh_b")
+    )
+
+
+def srp_knn_join(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 1,
+    n_bits: int = 60,
+    band_bits: int = 10,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Approximate kNN-join via SRP banding: candidates from the band
+    join, exact double-precision cosine rerank, per-vector top-k window.
+    The production cosine-ANN shape when the corpus is angular (text
+    embeddings): candidate count ~ n·(n/2^band_bits)·n_bands instead of
+    n², tunable by (band_bits, n_bands); vectors whose true neighbor
+    shares no band are missed (approximate by contract — recall rises
+    with more bands / fewer bits per band).
+
+    Returns (id, nn_id, cosine, rank) for vectors with ≥1 candidate."""
+    from pyspark.sql import Window
+
+    sigs = srp_signatures(df, vec_col, id_col, n_bits)
+    pairs = srp_band_pairs(sigs, id_col, n_bits, band_bits, max_bucket)
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    scored = (
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+        .select("a", "b", "_cos")
+    )
+    sym = scored.unionByName(
+        scored.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), F.col("_cos")
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("_cos"), F.asc("b"))
+    return (
+        sym.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("a").alias(id_col),
+            F.col("b").alias("nn_id"),
+            F.col("_cos").alias("cosine"),
+            F.col("_rn").alias("rank"),
+        )
+    )
+
+
 class _CoarseQuantizer:
     """Driver-trained coarse quantizer (numpy centroids). Mirrors the
     MLlib KMeansModel surface the probe path needs."""

@@ -6,11 +6,14 @@ reference's manual train/test column-alignment hack,
 BigDataProject.R:297-299).
 
 Known semantic deltas (documented in SURVEY.md §2.8): caret's stratified
-split → uniform randomSplit; rpart cp-pruning → maxDepth; e1071
-kernel-density NB → gaussian NB; SVR (no Spark equivalent) → tuned
-GBTRegressor in the nonlinear-regressor slot; R Lloyd+nstart k-means →
-k-means‖ init. Metric-level parity is asserted in tests, not structural
-parity.
+split → uniform randomSplit; rpart cp-pruning → maxDepth; SVR (no Spark
+equivalent) → tuned GBTRegressor in the nonlinear-regressor slot; R
+Lloyd+nstart k-means → k-means‖ init. Metric-level parity is asserted in
+tests, not structural parity. The kernel-density-NB delta is CLOSED:
+``ml/kde_nb.py`` implements the reference's actual
+``naiveBayes(usekernel=TRUE)`` (klaR-style per-(class,feature) gaussian
+KDE, bw.nrd0 bandwidths, 512-point density grid + interpolated predict);
+the gaussian variant below remains as the cheap alternative.
 """
 
 from __future__ import annotations

@@ -258,6 +258,22 @@ def carprice_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlp.confusion_matrix(model, test, "price_bucket")
 
 
+@query("carprice_kde_nb_confusion")
+def carprice_kde_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 at FULL fidelity: kernel-density NB (the reference's actual
+    ``naiveBayes(usekernel=TRUE)``, BigDataProject.R:349-364 — klaR-style
+    per-(class,feature) gaussian KDE with bw.nrd0 bandwidths on a
+    512-point grid) + A14 confusion counts on the same split as the
+    gaussian variant. Closes the documented gaussian-for-kernel delta."""
+    from ..ml.kde_nb import fit_kde_naive_bayes
+
+    df = _cleaned(spark)
+    numeric = ["horsepower", "enginesize", "curbweight", "citympg", "carwidth"]
+    train, test = mlp.train_test_split(df, 0.8, seed=123)
+    model = fit_kde_naive_bayes(train, numeric, "price_bucket")
+    return model.confusion(test, "price_bucket")
+
+
 @query("carprice_kmeans_profile")
 def carprice_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9-M11: k=3 k-means on standardized numeric features; cluster sizes

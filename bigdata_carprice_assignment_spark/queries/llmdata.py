@@ -660,6 +660,61 @@ def ivf_knn_join_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_SRP_ORACLE = _DUCK_HASHED_FEATURES + """
+, sm AS (
+  SELECT i.range AS i, j.range AS j,
+         CASE WHEN ('0x' || substr(md5('srp:' || i.range || ':' || j.range), 1, 15))::BIGINT & 1 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM range(0, 60) i, range(0, 64) j
+),
+bt AS (
+  SELECT f.doc_id, sm.i,
+         CASE WHEN sum(f.feat[sm.j + 1] * sm.s) >= 0
+              THEN (1::BIGINT << sm.i) ELSE 0::BIGINT END AS bitval
+  FROM f, sm GROUP BY f.doc_id, sm.i
+),
+sg AS (SELECT doc_id, sum(bitval)::BIGINT AS sig FROM bt GROUP BY doc_id),
+cp AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         bit_count(xor(x.sig, y.sig))::BIGINT AS hamming
+  FROM sg x JOIN sg y ON x.doc_id < y.doc_id
+  WHERE ((x.sig >> 0) & 1023) = ((y.sig >> 0) & 1023)
+     OR ((x.sig >> 10) & 1023) = ((y.sig >> 10) & 1023)
+     OR ((x.sig >> 20) & 1023) = ((y.sig >> 20) & 1023)
+     OR ((x.sig >> 30) & 1023) = ((y.sig >> 30) & 1023)
+     OR ((x.sig >> 40) & 1023) = ((y.sig >> 40) & 1023)
+     OR ((x.sig >> 50) & 1023) = ((y.sig >> 50) & 1023)
+)
+SELECT a, b, hamming FROM cp WHERE hamming <= 20 ORDER BY a, b
+"""
+
+
+@query("srp_candidate_pairs_exact", oracle=_SRP_ORACLE)
+def srp_candidate_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection (cosine-LSH) candidate generation,
+    MECHANISM-exact against DuckDB: the ±1 hyperplanes are md5-derived
+    (engine-portable) and the features are integer counts, so every
+    signature bit is an exact-integer sign decision that both engines
+    reproduce bit-for-bit regardless of summation order — the oracle
+    replays signatures, banding, and hamming, not just a recall spot
+    check. This is the cosine-native LSH whose banding actually PRUNES
+    on angular data (the euclidean BRP alternative collapses to one
+    bucket on unit-norm vectors — see blocked_cosine_pairs); candidates
+    at hamming ≤ 20 of 60 are the near-angular pairs. No bucket cap in
+    this exactness gate (cap is production posture, srp_knn_join keeps
+    it)."""
+    feats = _hashed_doc_features(spark, sf_dir)
+    sigs = S.srp_signatures(feats, "feat", "doc_id", n_bits=60)
+    pairs = S.srp_band_pairs(
+        sigs, "doc_id", n_bits=60, band_bits=10, max_bucket=1_000_000
+    )
+    return (
+        pairs.filter(F.col("hamming") <= 20)
+        .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("a", "b")
+    )
+
+
 @query(
     "stratified_sample_by_lang",
     oracle=r"""

@@ -147,6 +147,10 @@ PRIORITY: tuple[str, ...] = (
     "doc_dup_cluster_sizes",
     "clicks_near_purchase_activity",
     "doc_bigram_logprob_quality",
+    # round-4 addition: SRP cosine-LSH mechanism-exact gate (md5-derived
+    # Rademacher hyperplanes over integer count features — the oracle
+    # replays signatures+banding+hamming bit-for-bit):
+    "srp_candidate_pairs_exact",
     # ---- positions 96+: previously driver-hash-green (r1∪r2∪r3) and
     # rows-only queries keep module registration order (handled by
     # load_all: any registered query not named here follows after).

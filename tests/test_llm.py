@@ -256,6 +256,40 @@ def test_ivf_adaptive_cells_knn_join(spark, sf_smoke):
     assert all(r["rank"] == 1 and r["nn_id"] != r["vec_id"] for r in rows)
 
 
+def test_srp_knn_join_recall_and_pruning(spark, sf_smoke):
+    """SRP (sign-random-projection cosine LSH) kNN join: on the hashed
+    doc features, every vector whose TRUE nearest neighbor has cosine
+    ≥ 0.95 must retrieve exactly that neighbor (measured 45/45 at
+    sf0.001 — deterministic: md5-derived hyperplanes, fixed data), and
+    the banded candidate set must actually prune (< 10% of all pairs —
+    the property euclidean BRP lacks on unit-norm vectors). Random
+    ~0.7-cosine 'neighbors' are legitimately missed (approximate by
+    contract)."""
+    import numpy as np
+
+    from bigdata_carprice_assignment_spark.queries import llmdata as L
+
+    feats = L._hashed_doc_features(spark, sf_smoke)
+    pdf = feats.toPandas()
+    X = np.array(pdf["feat"].tolist(), dtype=np.float64)
+    ids = pdf["doc_id"].to_numpy()
+    n = len(ids)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn @ Xn.T
+    np.fill_diagonal(C, -2)
+    true_nn = {int(ids[i]): (int(ids[C[i].argmax()]), float(C[i].max())) for i in range(n)}
+    top1 = {
+        r["doc_id"]: r["nn_id"]
+        for r in S.srp_knn_join(feats, "feat", "doc_id", k=1).collect()
+    }
+    strong = {i for i, (_, c) in true_nn.items() if c >= 0.95}
+    assert strong, "corpus should contain near-dup feature pairs"
+    assert all(top1.get(i) == true_nn[i][0] for i in strong)
+    sigs = S.srp_signatures(feats, "feat", "doc_id", 60)
+    cands = S.srp_band_pairs(sigs, "doc_id", 60, 10).count()
+    assert cands < 0.10 * n * (n - 1) / 2
+
+
 def test_multimodal_fake_decode_deterministic(spark):
     from bigdata_carprice_assignment_spark.llm import multimodal as MM
 

@@ -144,3 +144,33 @@ def test_tuned_gbt_runs_and_predicts(cleaned):
     model = mlp.tuned_gbt(train, FEAT_NUMERIC, ["brand"], "log_price")
     m = mlp.regression_metrics_dollars(model, test, "log_price")
     assert m["r2"] > 0.6, m
+
+
+def test_kde_naive_bayes_beats_chance_and_tracks_gaussian(spark):
+    """Kernel NB (the reference's actual usekernel=TRUE estimator) must
+    beat chance clearly on the price-bucket task and land in the same
+    accuracy regime as the gaussian variant (the two differ only in the
+    class-conditional density family)."""
+    from bigdata_carprice_assignment_spark.ml import pipelines as mlp
+    from bigdata_carprice_assignment_spark.ml.kde_nb import fit_kde_naive_bayes
+    from bigdata_carprice_assignment_spark.pipelines import carprice as cp
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    df = cp.clean(cp.load_raw(spark)).localCheckpoint()
+    numeric = ["horsepower", "enginesize", "curbweight", "citympg", "carwidth"]
+    train, test = mlp.train_test_split(df, 0.8, seed=123)
+    model = fit_kde_naive_bayes(train, numeric, "price_bucket")
+    pred = model.transform(test)
+    n = pred.count()
+    acc = pred.filter(F.col("predicted") == F.col("price_bucket")).count() / n
+    assert acc > 0.5  # 4 balanced classes — chance is 0.25
+    g = mlp.fit_naive_bayes(train, numeric, "price_bucket")
+    gacc = mlp.classifier_accuracy(g, test)
+    # same regime: kernel NB within 0.2 absolute of gaussian NB
+    assert abs(acc - gacc) < 0.2
+    # deterministic: refit + repredict reproduces the confusion exactly
+    again = fit_kde_naive_bayes(train, numeric, "price_bucket")
+    c1 = sorted(map(tuple, model.confusion(test, "price_bucket").collect()))
+    c2 = sorted(map(tuple, again.confusion(test, "price_bucket").collect()))
+    assert c1 == c2
