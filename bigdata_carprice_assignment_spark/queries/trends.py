@@ -858,6 +858,130 @@ def daily_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("lag")
 
 
+_PAGERANK_ORACLE = r"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 30
+),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+),
+ed AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v AS src, u AS dst FROM e),
+deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM ed GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM deg),
+p0 AS (SELECT src AS node, 1.0 / n.n AS rank FROM deg, n),
+p1 AS (
+  SELECT ed.dst AS node,
+         (SELECT (1 - 0.85) / n.n FROM n)
+           + 0.85 * sum(p0.rank / deg.outdeg) AS rank
+  FROM ed JOIN deg USING (src) JOIN p0 ON p0.node = ed.src
+  GROUP BY ed.dst
+),
+p2 AS (
+  SELECT ed.dst AS node,
+         (SELECT (1 - 0.85) / n.n FROM n)
+           + 0.85 * sum(p1.rank / deg.outdeg) AS rank
+  FROM ed JOIN deg USING (src) JOIN p1 ON p1.node = ed.src
+  GROUP BY ed.dst
+),
+p3 AS (
+  SELECT ed.dst AS node,
+         (SELECT (1 - 0.85) / n.n FROM n)
+           + 0.85 * sum(p2.rank / deg.outdeg) AS rank
+  FROM ed JOIN deg USING (src) JOIN p2 ON p2.node = ed.src
+  GROUP BY ed.dst
+),
+p4 AS (
+  SELECT ed.dst AS node,
+         (SELECT (1 - 0.85) / n.n FROM n)
+           + 0.85 * sum(p3.rank / deg.outdeg) AS rank
+  FROM ed JOIN deg USING (src) JOIN p3 ON p3.node = ed.src
+  GROUP BY ed.dst
+),
+p5 AS (
+  SELECT ed.dst AS node,
+         (SELECT (1 - 0.85) / n.n FROM n)
+           + 0.85 * sum(p4.rank / deg.outdeg) AS rank
+  FROM ed JOIN deg USING (src) JOIN p4 ON p4.node = ed.src
+  GROUP BY ed.dst
+),
+p6 AS (
+  SELECT ed.dst AS node,
+         (SELECT (1 - 0.85) / n.n FROM n)
+           + 0.85 * sum(p5.rank / deg.outdeg) AS rank
+  FROM ed JOIN deg USING (src) JOIN p5 ON p5.node = ed.src
+  GROUP BY ed.dst
+),
+p7 AS (
+  SELECT ed.dst AS node,
+         (SELECT (1 - 0.85) / n.n FROM n)
+           + 0.85 * sum(p6.rank / deg.outdeg) AS rank
+  FROM ed JOIN deg USING (src) JOIN p6 ON p6.node = ed.src
+  GROUP BY ed.dst
+),
+p8 AS (
+  SELECT ed.dst AS node,
+         (SELECT (1 - 0.85) / n.n FROM n)
+           + 0.85 * sum(p7.rank / deg.outdeg) AS rank
+  FROM ed JOIN deg USING (src) JOIN p7 ON p7.node = ed.src
+  GROUP BY ed.dst
+),
+p9 AS (
+  SELECT ed.dst AS node,
+         (SELECT (1 - 0.85) / n.n FROM n)
+           + 0.85 * sum(p8.rank / deg.outdeg) AS rank
+  FROM ed JOIN deg USING (src) JOIN p8 ON p8.node = ed.src
+  GROUP BY ed.dst
+),
+p10 AS (
+  SELECT ed.dst AS node,
+         (SELECT (1 - 0.85) / n.n FROM n)
+           + 0.85 * sum(p9.rank / deg.outdeg) AS rank
+  FROM ed JOIN deg USING (src) JOIN p9 ON p9.node = ed.src
+  GROUP BY ed.dst
+)
+SELECT node AS p_partkey, round(rank * 1000000, 4) AS rank_ppm
+FROM p10 ORDER BY rank_ppm DESC, p_partkey LIMIT 20
+"""
+
+
+@query("copurchase_pagerank_top20", oracle=_PAGERANK_ORACLE)
+def copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by PageRank over the same co-purchase graph as the
+    triangle census — iterative graph centrality, ORACLE-REPLAYED: the
+    10 synchronous power iterations are unrolled as ten DuckDB CTEs, so
+    the driver hash checks the ITERATIVE computation, not just a
+    spot-value ("iterative algorithms" are the contract's canonical
+    rows-only exemption — this one doesn't need it). Ranks are reported
+    in parts-per-million rounded to 4dp (the engines' per-node
+    contribution sums associate differently; ~1e-15 relative noise is
+    buried well under the rounding grain)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    from ..operators.graphs import pagerank
+
+    ranks = pagerank(e, iterations=10, damping=0.85)
+    return (
+        ranks.select(
+            F.col("node").alias("p_partkey"),
+            F.round(F.col("rank") * 1_000_000, 4).alias("rank_ppm"),
+        )
+        .orderBy(F.desc("rank_ppm"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
 @query(
     "copurchase_triangle_count",
     oracle="""

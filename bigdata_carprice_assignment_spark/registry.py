@@ -151,6 +151,9 @@ PRIORITY: tuple[str, ...] = (
     # Rademacher hyperplanes over integer count features — the oracle
     # replays signatures+banding+hamming bit-for-bit):
     "srp_candidate_pairs_exact",
+    # round-4 addition: iterative PageRank, oracle-replayed via ten
+    # unrolled power-iteration CTEs (iterative != rows-only here):
+    "copurchase_pagerank_top20",
     # ---- positions 96+: previously driver-hash-green (r1∪r2∪r3) and
     # rows-only queries keep module registration order (handled by
     # load_all: any registered query not named here follows after).

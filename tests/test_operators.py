@@ -165,3 +165,21 @@ def test_orc_roundtrip(spark, sf_smoke, tmp_path):
     assert back.count() == li.count()
     assert back.agg(F.round(F.sum("l_extendedprice"), 2).alias("s")).first()["s"] == \
         li.agg(F.round(F.sum("l_extendedprice"), 2).alias("s")).first()["s"]
+
+
+def test_pagerank_star_graph_and_mass(spark):
+    """On a star graph the center must dominate; total rank mass is
+    conserved (sums to 1 up to FP noise) because the symmetric graph has
+    no dangling nodes."""
+    from pyspark.sql import functions as F
+
+    from bigdata_carprice_assignment_spark.operators.graphs import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "u long, v long"
+    )
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    center, leaves = pr[0], [pr[i] for i in range(1, 9)]
+    assert all(center > 3 * lv for lv in leaves)
+    assert max(leaves) - min(leaves) < 1e-12  # symmetry
