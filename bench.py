@@ -405,18 +405,24 @@ def main() -> None:
         "stratified_sample_by_lang",
         "keyword_search_bm25",
     ]
-    line = json.dumps(
-        {
-            "metric": "total_query_wall_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": {n: timings[n] for n in SHOWN if n in timings},
-            "sf": float(sf),
-            "n_queries": len(timings),
-            "value_warm": round(sum(warm.values()), 3),
-        }
-    )
-    assert len(line) < 1800, f"bench line too long for driver capture: {len(line)}"
+    shown = [n for n in SHOWN if n in timings]
+    while True:
+        line = json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": {n: timings[n] for n in shown},
+                "sf": float(sf),
+                "n_queries": len(timings),
+                "value_warm": round(sum(warm.values()), 3),
+            }
+        )
+        # never exceed the driver's ~2000-char tail capture: drop shown
+        # queries until the line fits (totals always survive)
+        if len(line) < 1800 or not shown:
+            break
+        shown.pop()
     print(line)
 
 
