@@ -36,9 +36,9 @@ def _cleaned(spark: SparkSession) -> DataFrame:
 # right-closed price-quartile buckets, log_price = ln(1+price).
 # Imputation is a no-op on this dataset (zero NAs — asserted in
 # tests/test_carprice_golden.py territory), so the SQL omits it.
-_CLEANED_ORACLE = """
+_CLEANED_ORACLE = f"""
 WITH raw AS (
-  SELECT * FROM read_csv('/root/reference/CarPrice_Assignment.csv', header=true)
+  SELECT * FROM read_csv('{cp.REFERENCE_CSV}', header=true)
 ),
 base AS (
   SELECT car_ID::DOUBLE AS car_id, symboling::DOUBLE AS symboling,
@@ -127,9 +127,9 @@ def carprice_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # brand_Nissan_uc on BOTH sides (golden naming lives in
 # pipelines.carprice.ml_ready, which tests/test_carprice_golden.py
 # checks cell-for-cell — this wrapper renames only the driver surface).
-_ML_ORACLE = """
+_ML_ORACLE = f"""
 WITH raw AS (
-  SELECT * FROM read_csv('/root/reference/CarPrice_Assignment.csv', header=true)
+  SELECT * FROM read_csv('{cp.REFERENCE_CSV}', header=true)
 ),
 base AS (
   SELECT car_ID::DOUBLE AS car_id, symboling::DOUBLE AS symboling,
@@ -480,3 +480,198 @@ def carprice_loess_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope = 0.0 if sxx == 0 else (w * (x - xm) * (y - ym)).sum() / sxx
         rows.append((float(g), float(round(ym + slope * (g - xm), 2))))
     return spark.createDataFrame(rows, "horsepower double, smoothed_price double")
+
+
+# --------------------------------------------------------------------------
+# M3 exact half: lm(log_price ~ .) coefficients in CLOSED FORM.
+#
+# The MLlib fit behind ``carprice_lm_coefficients`` cannot hash-match a
+# SQL engine (iterative solver, implementation-defined last ulps), but
+# OLS itself is deterministic: one distributed aggregate collects the
+# p(p+3)/2 + 3 sufficient statistics (sums, cross-products, responses)
+# and the normal equations solve in correlation form via Cholesky — the
+# exact algebra DuckDB replays below from SQL generated by the SAME
+# index spec, term for term in the same association order, so both
+# engines execute the identical IEEE expression tree on (bit-identical,
+# carprice_ml_matrix is driver-hash-green) inputs. Correlation-form
+# scaling keeps the 34x34 system well-conditioned (one-hot dummies +
+# collinear mpg columns), so last-ulp sum differences stay far inside
+# the 6dp round.
+#
+# Scale: this is the "normal equation" regression path (cf. Spark ML's
+# WeightedLeastSquares 'normal' solver) — ONE pass over the fact table
+# reduces to a p^2-sized aggregate; the O(p^3) solve is driver-side on
+# ~700 doubles, never data-sized. At 100 TB this is how you fit an
+# exact linear model without an iterative shuffle per epoch.
+# Reference: BigDataProject.R:305 (lm(log_price ~ ., data=model_df)).
+# --------------------------------------------------------------------------
+
+_LM_PREDS: list[str] = [
+    "horsepower", "enginesize", "curbweight", "citympg", "highwaympg",
+    "carwidth", "carlength",
+    "brand_audi", "brand_bmw", "brand_buick", "brand_chevrolet",
+    "brand_dodge", "brand_honda", "brand_isuzu", "brand_jaguar",
+    "brand_maxda", "brand_mazda", "brand_mercury", "brand_mitsubishi",
+    "brand_nissan", "brand_Nissan_uc", "brand_peugeot", "brand_plymouth",
+    "brand_porcshce", "brand_porsche", "brand_renault", "brand_saab",
+    "brand_subaru", "brand_toyota", "brand_toyouta", "brand_vokswagen",
+    "brand_volkswagen", "brand_volvo", "brand_vw",
+]
+
+
+def _lm_exact_oracle() -> str:
+    """Generate the DuckDB oracle: the ml-matrix CTE + sufficient-stat
+    aggregate + an UNROLLED correlation-form Cholesky solve (one CTE
+    layer per elimination column, one per back-substitution step). The
+    recurrences are emitted in the same term order as
+    :func:`_lm_solve`, so both engines evaluate the same expression
+    tree."""
+    p = len(_LM_PREDS)
+    x = [f"x{i}" for i in range(p)]
+    parts: list[str] = []
+    parts.append(f"WITH ml AS ({_ML_ORACLE}\n),")
+    sel = ", ".join(f'"{c}" AS {x[i]}' for i, c in enumerate(_LM_PREDS))
+    parts.append(f"mlx AS (SELECT {sel}, ln(1 + price) AS y FROM ml),")
+    st = ["count(*)::DOUBLE AS n"]
+    st += [f"sum({x[i]}) AS s{i}" for i in range(p)]
+    st += [
+        f"sum({x[i]}*{x[j]}) AS s{i}_{j}"
+        for i in range(p)
+        for j in range(i, p)
+    ]
+    st += [f"sum({x[i]}*y) AS sy{i}" for i in range(p)]
+    st += ["sum(y) AS sy", "sum(y*y) AS syy"]
+    parts.append(f"st AS (SELECT {', '.join(st)} FROM mlx),")
+    cv = [
+        f"s{i}_{j} - s{i}*s{j}/n AS c{i}_{j}"
+        for i in range(p)
+        for j in range(i, p)
+    ]
+    cv += [f"sy{i} - s{i}*sy/n AS cy{i}" for i in range(p)]
+    cv += ["syy - sy*sy/n AS cyy"]
+    parts.append(f"cv AS (SELECT *, {', '.join(cv)} FROM st),")
+    cr = [
+        f"c{i}_{j}/sqrt(c{i}_{i}*c{j}_{j}) AS r{i}_{j}"
+        for i in range(p)
+        for j in range(i, p)
+    ]
+    cr += [f"cy{i}/sqrt(c{i}_{i}*cyy) AS ry{i}" for i in range(p)]
+    parts.append(f"cr AS (SELECT *, {', '.join(cr)} FROM cv),")
+    prev = "cr"
+    for k in range(p):
+        cols: list[str] = []
+        acc = " + ".join(f"l{k}_{m}*l{k}_{m}" for m in range(k))
+        dkk = f"r{k}_{k} - ({acc})" if acc else f"r{k}_{k}"
+        cols.append(f"sqrt({dkk}) AS l{k}_{k}")
+        for j in range(k + 1, p):
+            accj = " + ".join(f"l{j}_{m}*l{k}_{m}" for m in range(k))
+            num = f"r{k}_{j} - ({accj})" if accj else f"r{k}_{j}"
+            cols.append(f"({num})/sqrt({dkk}) AS l{j}_{k}")
+        accz = " + ".join(f"l{k}_{m}*z{m}" for m in range(k))
+        numz = f"ry{k} - ({accz})" if accz else f"ry{k}"
+        cols.append(f"({numz})/sqrt({dkk}) AS z{k}")
+        parts.append(f"ch{k} AS (SELECT *, {', '.join(cols)} FROM {prev}),")
+        prev = f"ch{k}"
+    for k in range(p - 1, -1, -1):
+        accb = " + ".join(f"l{m}_{k}*b{m}" for m in range(k + 1, p))
+        numb = f"z{k} - ({accb})" if accb else f"z{k}"
+        parts.append(
+            f"bk{k} AS (SELECT *, ({numb})/l{k}_{k} AS b{k} FROM {prev}),"
+        )
+        prev = f"bk{k}"
+    bt = [
+        f"b{i}*sqrt(cyy)/sqrt(c{i}_{i}) AS beta{i}" for i in range(p)
+    ]
+    parts.append(f"bt0 AS (SELECT *, {', '.join(bt)} FROM {prev}),")
+    icept = " + ".join(f"beta{i}*(s{i}/n)" for i in range(p))
+    parts.append(f"bt AS (SELECT *, sy/n - ({icept}) AS icept FROM bt0)")
+    finals = [
+        "SELECT '(intercept)' AS feature, round(icept, 6) AS coefficient FROM bt"
+    ]
+    finals += [
+        f"SELECT '{c}', round(beta{i}, 6) FROM bt"
+        for i, c in enumerate(_LM_PREDS)
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(finals)
+
+
+def _lm_solve(row: dict) -> list[tuple[str, float]]:
+    """Driver-side normal-equation solve, mirroring the oracle's
+    generated recurrences term for term (left-to-right accumulation,
+    identical division/multiplication order) so the IEEE result is the
+    same function of the sufficient statistics on both engines."""
+    import math
+
+    p = len(_LM_PREDS)
+    n = row["n"]
+    s = [row[f"s{i}"] for i in range(p)]
+    sy, syy = row["sy"], row["syy"]
+    c: dict[tuple[int, int], float] = {}
+    for i in range(p):
+        for j in range(i, p):
+            c[(i, j)] = row[f"s{i}_{j}"] - s[i] * s[j] / n
+    cy = [row[f"sy{i}"] - s[i] * sy / n for i in range(p)]
+    cyy = syy - sy * sy / n
+    r: dict[tuple[int, int], float] = {}
+    for i in range(p):
+        for j in range(i, p):
+            r[(i, j)] = c[(i, j)] / math.sqrt(c[(i, i)] * c[(j, j)])
+    ry = [cy[i] / math.sqrt(c[(i, i)] * cyy) for i in range(p)]
+    lo: dict[tuple[int, int], float] = {}
+    z = [0.0] * p
+    for k in range(p):
+        acc = 0.0
+        for m in range(k):
+            acc += lo[(k, m)] * lo[(k, m)]
+        dkk = r[(k, k)] - acc
+        lo[(k, k)] = math.sqrt(dkk)
+        for j in range(k + 1, p):
+            accj = 0.0
+            for m in range(k):
+                accj += lo[(j, m)] * lo[(k, m)]
+            lo[(j, k)] = (r[(k, j)] - accj) / math.sqrt(dkk)
+        accz = 0.0
+        for m in range(k):
+            accz += lo[(k, m)] * z[m]
+        z[k] = (ry[k] - accz) / math.sqrt(dkk)
+    b = [0.0] * p
+    for k in range(p - 1, -1, -1):
+        accb = 0.0
+        for m in range(k + 1, p):
+            accb += lo[(m, k)] * b[m]
+        b[k] = (z[k] - accb) / lo[(k, k)]
+    beta = [b[i] * math.sqrt(cyy) / math.sqrt(c[(i, i)]) for i in range(p)]
+    acc_i = 0.0
+    for i in range(p):
+        acc_i += beta[i] * (s[i] / n)
+    icept = sy / n - acc_i
+    return [("(intercept)", icept)] + list(zip(_LM_PREDS, beta))
+
+
+@query("carprice_lm_coefficients_exact", oracle=_lm_exact_oracle())
+def carprice_lm_coefficients_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 (BigDataProject.R:305) as an EXACT query: OLS coefficients of
+    lm(log_price ~ .) on the full one-hot ml matrix via the closed-form
+    normal equations — one distributed aggregate of the sufficient
+    statistics (p(p+3)/2 + 3 sums; map-side combine, one 700-double row
+    to the driver), then a correlation-scaled Cholesky solve replayed
+    identically by the DuckDB oracle. coalesce(1) keeps the 205-row sum
+    association order deterministic (the table is tiny; at scale you'd
+    accept last-ulp sum noise, which correlation scaling keeps ~1e-12
+    in the coefficients, far under the 6dp round)."""
+    ml = carprice_ml_matrix(spark, sf_dir).coalesce(1)
+    xs = [F.col(f"`{c}`") for c in _LM_PREDS]
+    y = F.log1p(F.col("price"))
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [F.sum(xs[i]).alias(f"s{i}") for i in range(len(xs))]
+    aggs += [
+        F.sum(xs[i] * xs[j]).alias(f"s{i}_{j}")
+        for i in range(len(xs))
+        for j in range(i, len(xs))
+    ]
+    aggs += [F.sum(xs[i] * y).alias(f"sy{i}") for i in range(len(xs))]
+    aggs += [F.sum(y).alias("sy"), F.sum(y * y).alias("syy")]
+    row = ml.agg(*aggs).collect()[0].asDict()
+    coefs = _lm_solve(row)
+    out = spark.createDataFrame(coefs, "feature string, coefficient double")
+    return out.select("feature", F.round("coefficient", 6).alias("coefficient"))

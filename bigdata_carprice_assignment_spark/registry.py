@@ -42,64 +42,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # in r1-r3 (143 checked, all green at last check) are rotated BEHIND the
 # window so never-checked oracle queries get their first hard check.
 PRIORITY: tuple[str, ...] = (
-    # ---- round-4 window head: 50 oracle-backed queries never driver-
-    # hash-checked in r1-r3 (all locally hash-green at sf0.001/0.01/0.1
-    # every pytest run, tests/test_oracle_queries.py).
-    "kruskal_wallis_components",
-    "levene_brown_forsythe_components",
-    "daily_revenue_autocorrelation",
-    "weighted_median_price_by_brand",
-    "bloom_prefilter_join_audit",
-    "scd2_event_type_history",
-    "copurchase_triangle_count",
-    "prefix_filter_jaccard_pairs",
-    "sketch_set_overlap_check",
-    "group_aware_split_leakage_audit",
-    "incremental_daily_refresh_accounting",
-    "brand_rank_kendall_tau",
-    "order_value_psi_drift",
-    "vocab_coverage_thresholds",
-    "schema_evolution_roundtrip",
-    "click_purchase_reconciliation",
-    "top_user_day_journeys",
-    "seasonal_naive_mape",
-    "jackknife_mean_se",
-    "distributed_exact_quantiles_check",
-    "grouped_distributed_quantiles_check",
-    "ratio_metric_delta_se",
-    "cross_source_dup_matrix",
-    "time_hierarchy_rollup",
-    "join_key_skew_report",
-    "two_proportion_ztest_components",
-    "event_conditional_entropy",
-    "attribution_lag_percentiles",
-    "top1pct_customer_revenue_share",
-    "neyman_allocation_by_lang",
-    "kaplan_meier_second_order",
-    "logrank_test_components",
-    "embedding_cosine_calibration",
-    "packing_efficiency_by_budget",
-    "cohort_ltv_curve",
-    "theil_sen_revenue_trend",
-    "anderson_darling_k_sample",
-    "mann_kendall_trend_test",
-    "grubbs_outlier_test",
-    "min_cost_supplier_per_part",
-    "nation_year_profit",
-    "bulk_part_suppliers",
-    "char_ngram_jaccard_pairs",
-    "rolling_7d_active_users",
-    "event_value_mad_by_type",
-    "qty_price_spearman",
-    "source_unigram_kl",
-    "event_burst_dedup",
-    # round-4 additions: the carprice reference-parity pipeline, newly
-    # oracle-backed (the DuckDB oracle replays clean/winsorize/bucket/
-    # one-hot on read_csv of the reference CSV — bit-exact locally):
-    "carprice_cleaned",
-    "carprice_ml_matrix",
-    # ---- positions 51-97: the round-5 rotation queue — the remaining
-    # never-driver-checked oracle queries, promoted next round.
+    # ---- round-5 window head: the 49 oracle-backed queries never
+    # driver-hash-checked in r1-r4 (CORRECTNESS_r01-r04 union), plus the
+    # new exact OLS-coefficients query. All locally hash-green at
+    # sf0.001/0.01/0.1 every pytest run (tests/test_oracle_queries.py);
+    # this window converts that local claim into the driver's hard check
+    # (cumulative driver-checked goes 191 -> 241).
     "daily_order_cusum",
     "rolling_7d_active_users_hll",
     "lineitem_two_var_ols",
@@ -147,14 +95,25 @@ PRIORITY: tuple[str, ...] = (
     "doc_dup_cluster_sizes",
     "clicks_near_purchase_activity",
     "doc_bigram_logprob_quality",
-    # round-4 addition: SRP cosine-LSH mechanism-exact gate (md5-derived
-    # Rademacher hyperplanes over integer count features — the oracle
-    # replays signatures+banding+hamming bit-for-bit):
     "srp_candidate_pairs_exact",
-    # round-4 addition: iterative PageRank, oracle-replayed via ten
-    # unrolled power-iteration CTEs (iterative != rows-only here):
     "copurchase_pagerank_top20",
-    # ---- positions 96+: previously driver-hash-green (r1∪r2∪r3) and
+    "carprice_lm_coefficients_exact",
+    # ---- positions 51+: the round-6 queue — queries added or changed
+    # this round (multimodal decode became content-derived), the five
+    # rows-only queries the driver has never run, then three sentinel
+    # re-checks of long-green queries whose shared operators (agg core,
+    # broadcast join, FPGrowth) would carry any systemic regression.
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "carprice_kde_nb_confusion",
+    "carprice_loess_smooth",
+    "approx_vs_exact_stats",
+    "hypothesis_suite",
+    "tukey_hsd_priority",
+    "pricing_summary_report",
+    "region_revenue",
+    "fpgrowth_rules",
+    # ---- everything else: previously driver-hash-green (r1-r4) and
     # rows-only queries keep module registration order (handled by
     # load_all: any registered query not named here follows after).
 )

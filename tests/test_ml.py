@@ -174,3 +174,26 @@ def test_kde_naive_bayes_beats_chance_and_tracks_gaussian(spark):
     c1 = sorted(map(tuple, model.confusion(test, "price_bucket").collect()))
     c2 = sorted(map(tuple, again.confusion(test, "price_bucket").collect()))
     assert c1 == c2
+
+
+def test_lm_exact_closed_form_matches_numpy(spark):
+    """carprice_lm_coefficients_exact: the closed-form normal-equation
+    solve (shared algebra with its DuckDB oracle) must agree with
+    numpy's lstsq on the identical design matrix to ~1e-6 — pins the
+    generated Cholesky recurrences to an independent solver."""
+    import numpy as np
+
+    from bigdata_carprice_assignment_spark.queries import carprice as qc
+
+    got = {
+        r["feature"]: r["coefficient"]
+        for r in qc.carprice_lm_coefficients_exact(spark, "").collect()
+    }
+    ml = qc.carprice_ml_matrix(spark, "").toPandas()
+    X = ml[qc._LM_PREDS].to_numpy(dtype=float)
+    y = np.log1p(ml["price"].to_numpy(dtype=float))
+    Xd = np.hstack([np.ones((len(X), 1)), X])
+    beta, *_ = np.linalg.lstsq(Xd, y, rcond=None)
+    assert abs(got["(intercept)"] - beta[0]) < 1e-5
+    for i, c in enumerate(qc._LM_PREDS):
+        assert abs(got[c] - beta[i + 1]) < 1e-5, c
