@@ -425,8 +425,13 @@ def ivf_index(
     # Pooled persist, not localCheckpoint: repeated index builds on a
     # long-lived session must release the previous build's blocks
     # (round-2 bench showed warm ANN runs slower than cold from exactly
-    # this accumulation).
-    df = pinned(df, "ivf_index")
+    # this accumulation). SKIP the pin when the caller already persisted
+    # the input (e.g. a shared feature pool): persist() would alias the
+    # SAME storage under this pool's name, and the next index build's
+    # eviction would silently unpersist the caller's cache out from
+    # under every other query sharing it.
+    if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
+        df = pinned(df, "ivf_index")
     if n_cells is None:
         n_cells = int(min(4096, max(8, 4 * math.sqrt(df.count()))))
     if id_col is not None:
@@ -442,6 +447,11 @@ def ivf_index(
         # an unbounded toPandas of the full corpus OOMs the driver
         sample = df.select(vec_col).limit(train_cap)
     X = np.asarray(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
+    # The adaptive cell count derives from the FULL corpus size but the
+    # centroids seed from the ≤train_cap sample — clamp so an
+    # undershooting sample degrades to fewer cells instead of raising in
+    # rng.choice(replace=False).
+    n_cells = max(1, min(n_cells, len(X)))
 
     # Seeding/restart policy scales with the cell count: kmeans++ with
     # n_init restarts for SMALL quantizers (recall variance from one
