@@ -86,20 +86,25 @@ def range_partitioned_cumsum(
     ptot = part.groupBy("_pid").agg(
         *[F.sum(c).alias(f"_pt_{c}") for c in sum_cols]
     )
-    # offsets window runs over the num_ranges-row per-partition totals —
-    # bounded by construction, so a single (constant-keyed) partition is
-    # deliberate, not a data-sized global sort
-    w_off = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # Offsets = exclusive prefix sum over the num_ranges-row totals.
+    # A constant-keyed window would compute it, but Catalyst folds the
+    # constant away and the physical WindowExec runs partitionless (and
+    # logs "No Partition Defined" into every bench run) — a triangle
+    # broadcast join over the bounded totals (≤ num_ranges² pairs)
+    # computes the identical exclusive sum with no window at all.
+    ptot_b = ptot.select(
+        F.col("_pid").alias("_bpid"),
+        *[F.col(f"_pt_{c}").alias(f"_bpt_{c}") for c in sum_cols],
     )
-    off = ptot.select(
-        "_pid",
-        *[
-            F.coalesce(F.sum(f"_pt_{c}").over(w_off), F.lit(0)).alias(f"_off_{c}")
-            for c in sum_cols
-        ],
+    off = (
+        ptot.join(F.broadcast(ptot_b), F.col("_bpid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_bpt_{c}"), F.lit(0)).alias(f"_off_{c}")
+                for c in sum_cols
+            ]
+        )
     )
     return within.join(F.broadcast(off), "_pid").select(
         *df.columns,
@@ -215,3 +220,21 @@ def gap_filled_hourly_counts(
     if value_col:
         out = out.fillna({"total_value": 0.0})
     return out
+
+
+def range_partitioned_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "rank",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Global ``row_number`` over a TOTAL order (caller supplies the
+    tiebreak column) without a global single-task window: the rank of a
+    row is the globally-ordered cumulative count of ones, which
+    :func:`range_partitioned_cumsum` computes on the parallel
+    range-partitioned two-pass plan. For descending keys, pass a negated
+    column. 100 TB-safe replacement for ``row_number().over(orderBy(...))``
+    with no partition spec."""
+    d = df.withColumn("_one", F.lit(1).cast("long"))
+    cum = range_partitioned_cumsum(d, order_cols, ["_one"], num_ranges)
+    return cum.withColumn(out, F.col("cum__one")).drop("_one", "cum__one")

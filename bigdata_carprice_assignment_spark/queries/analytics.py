@@ -1900,17 +1900,11 @@ def top1pct_customer_revenue_share(spark: SparkSession, sf_dir: str) -> DataFram
     revenue carried by the top ceil(1%) of customers — the complement
     of the Gini/HHI family that answers the question executives
     actually ask. Per-customer revenue folds to exact cents; the top-k
-    cut is an integer ceil (n+99)//100; the top-k sum uses a rank from
-    a window over the per-CUSTOMER aggregate with a deterministic key
-    tiebreak so both engines cut the identical customer set.
-
-    Scale: the rank runs over the customer-grain aggregate, not
-    orders; at 100x you replace the full rank with the distributed
-    percentile threshold + one filtered sum (same machinery as
-    distributed_exact_quantiles_check) — the aggregate-grain window is
-    fine up to hundreds of millions of customers."""
-    from pyspark.sql import Window
-
+    cut is an integer ceil (n+99)//100; the top-k sum uses a GLOBAL
+    rank over the per-CUSTOMER aggregate with a deterministic key
+    tiebreak so both engines cut the identical customer set — computed
+    by the range-partitioned two-pass rank (parallel, no single-task
+    sort window even at hundreds of millions of customers)."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
@@ -1919,10 +1913,13 @@ def top1pct_customer_revenue_share(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("total"),
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.desc("cents"), F.asc("o_custkey")
-    )
-    ranked = per_cust.withColumn("rk", F.row_number().over(w))
+    from ..operators.windows import range_partitioned_rank
+
+    ranked = range_partitioned_rank(
+        per_cust.withColumn("_negcents", -F.col("cents")),
+        ["_negcents", "o_custkey"],
+        out="rk",
+    ).drop("_negcents")
     topsum = (
         ranked.crossJoin(F.broadcast(tot))
         .filter(F.col("rk") <= F.expr("(n_customers + 99) div 100"))

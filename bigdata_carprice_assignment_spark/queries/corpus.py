@@ -45,16 +45,18 @@ def lang_sampling_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled mixture plus the low-resource boost factor. Scale shape: one
     hash aggregate collapses the corpus to |langs| rows; the windows run
     on that k-row frame, never on the corpus."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    whole = Window.partitionBy()
-    total = F.sum("n").over(whole)
-    t = c.select("lang", "n", total.alias("total"))
+    # whole-frame totals via broadcast scalar joins (1-row aggregates),
+    # not an empty-partition window — WindowExec with no partition spec
+    # serializes its input to one task and warns on every run
+    tot = c.agg(F.sum("n").alias("total"))
+    t = c.crossJoin(F.broadcast(tot))
     wt = F.pow(F.col("n") / F.col("total"), F.lit(0.3))
     w = t.select("lang", "n", "total", wt.alias("wt"))
-    sum_wt = F.sum("wt").over(whole)
+    swt = w.agg(F.sum("wt").alias("_sum_wt"))
+    sum_wt = F.col("_sum_wt")
+    w = w.crossJoin(F.broadcast(swt))
     return w.select(
         "lang",
         F.col("n").alias("n_docs"),
@@ -87,29 +89,32 @@ def vocab_zipf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     with their Zipf rank and share of all token occurrences. Scale
     shape: explode → hash-aggregate to vocab size (map-side partials do
     the heavy lifting), total via a 1-row broadcast aggregate — the
-    rank window runs only on the top-k candidate frame, never the
-    corpus."""
-    from pyspark.sql import Window
-
+    rank triangle-join runs only on the top-k candidate frame, never
+    the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w")
     ).filter(F.col("w") != "")
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_occurrences"))
     total = counts.groupBy().agg(F.sum("n_occurrences").alias("total"))
-    # constant-keyed partition: the window input is the LIMIT-64
-    # candidate frame (bounded by construction, never the corpus), so a
-    # single partition is deliberate — and the plan gate in
-    # tests/test_plans.py can verify no window runs partitionless
-    rank_w = Window.partitionBy(F.lit(0)).orderBy(
-        F.desc("n_occurrences"), F.asc("w")
+    # top-(20+ties) candidate cut FIRST (TakeOrderedAndProject — per-
+    # partition heaps, never a global sort), then rank the 64-row
+    # candidate frame with a triangle broadcast self-join: rank = 1 +
+    # |rows strictly ahead in the total order| — exact integers, no
+    # window, so nothing can run as a partitionless WindowExec.
+    cand = counts.orderBy(F.desc("n_occurrences"), F.asc("w")).limit(64)
+    ahead = cand.select(
+        F.col("w").alias("_bw"), F.col("n_occurrences").alias("_bn")
     )
-    # top-(20+ties) candidate cut BEFORE the unpartitioned rank window:
-    # the window sees at most a driver-bounded candidate frame.
     top = (
-        counts.orderBy(F.desc("n_occurrences"), F.asc("w"))
-        .limit(64)
-        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        cand.join(
+            F.broadcast(ahead),
+            (F.col("_bn") > F.col("n_occurrences"))
+            | ((F.col("_bn") == F.col("n_occurrences")) & (F.col("_bw") < F.col("w"))),
+            "left",
+        )
+        .groupBy("w", "n_occurrences")
+        .agg((F.count("_bw") + F.lit(1)).cast("long").alias("rank"))
     )
     return (
         top.crossJoin(F.broadcast(total))

@@ -192,11 +192,15 @@ FROM t, tot ORDER BY event_type
 """,
 )
 def event_type_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Share-of-total via a window over the grouped aggregate."""
+    """Share-of-total via a broadcast scalar join on the 1-row total
+    (an empty-partition window would serialize the aggregate to one
+    task and log partitionless-WindowExec warnings)."""
     ev = load_table(spark, sf_dir, "events")
     t = ev.groupBy("event_type").agg(F.sum("value").alias("v"))
+    tot = t.agg(F.sum("v").alias("_tot"))
     return (
-        t.withColumn("share", F.col("v") / F.sum("v").over(Window.partitionBy()))
+        t.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("v") / F.col("_tot"))
         .select(
             "event_type",
             F.round("v", 2).alias("total_value"),
@@ -465,20 +469,19 @@ def daily_new_and_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFram
     this corpus's users all appear within the first days — the daily
     curve collapses to two rows and shows nothing.
 
-    The bounded cumulative uses the constant-key partition convention
-    (input is the per-hour aggregate — hundreds of rows at most)."""
+    The cumulative runs over the per-hour aggregate (hundreds of rows
+    at most) via the range-partitioned two-pass cumsum — exact integer
+    sums, no partitionless window."""
     ev = load_table(spark, sf_dir, "events")
     fs = ev.groupBy("user_id").agg(
         F.min(F.date_trunc("hour", F.col("ts"))).alias("first_hour")
     )
+    from ..operators.windows import range_partitioned_cumsum
+
     d = fs.groupBy("first_hour").agg(F.count(F.lit(1)).alias("new_users"))
-    w = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("first_hour")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    cum = range_partitioned_cumsum(d, ["first_hour"], ["new_users"])
     return (
-        d.withColumn("cumulative_users", F.sum("new_users").over(w))
+        cum.withColumn("cumulative_users", F.col("cum_new_users"))
         .select(
             F.date_format("first_hour", "yyyy-MM-dd HH:mm:ss").alias(
                 "first_hour"
@@ -859,13 +862,14 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     you whether a user-keyed shuffle needs salting BEFORE it falls over.
     Every intermediate is an exact integer (counts, ranks, weighted
     rank sum), so the closed-form Gini is two deterministic divisions;
-    the rank window runs over the |users|-row aggregate
-    (``partitionBy(lit(0))`` documents the deliberate bounded single
-    partition)."""
+    the global rank runs over the |users|-row aggregate via the
+    range-partitioned two-pass rank (parallel; no single-task sort
+    window)."""
+    from ..operators.windows import range_partitioned_rank
+
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy(F.lit(0)).orderBy("n", "user_id")
-    r = c.select("n", F.row_number().over(w).alias("i"))
+    r = range_partitioned_rank(c, ["n", "user_id"], out="i").select("n", "i")
     t = r.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("n").alias("tot"),

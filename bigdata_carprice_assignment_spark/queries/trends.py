@@ -87,25 +87,23 @@ FROM m ORDER BY month
 """,
 )
 def monthly_revenue_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Month-grain revenue with its running total. The window runs over
-    the |months|-row AGGREGATE (bounded by the calendar, ~80 rows —
-    `partitionBy(lit(0))` documents the deliberate single partition),
-    never over raw orders; both engines accumulate in identical month
-    order, so the cumulative doubles match bit-for-bit before
-    rounding."""
+    """Month-grain revenue with its running total. The cumulative runs
+    over the |months|-row AGGREGATE (bounded by the calendar, ~80 rows),
+    never over raw orders, via the range-partitioned two-pass cumsum —
+    no partitionless window, no single-task sort; the 2dp round absorbs
+    the partial-sum reassociation (~1e-8 relative on 1e8-scale
+    revenue)."""
+    from ..operators.windows import range_partitioned_cumsum
+
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
     ).agg(F.sum("o_totalprice").alias("rev"))
-    w = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("month")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return m.select(
+    cum = range_partitioned_cumsum(m, ["month"], ["rev"])
+    return cum.select(
         "month",
         F.round("rev", 2).alias("revenue"),
-        F.round(F.sum("rev").over(w), 2).alias("cumulative_revenue"),
+        F.round("cum_rev", 2).alias("cumulative_revenue"),
     ).orderBy("month")
 
 

@@ -192,8 +192,8 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_smoke):
 
 
 def test_no_partitionless_windows_in_registered_queries(spark, sf_smoke):
-    """Scale gate: every window in every oracle-backed registered query
-    declares a partition spec. A partitionless ``Window.orderBy`` funnels
+    """Scale gate: every window in EVERY registered query (oracle-backed
+    and rows-only alike) declares a partition spec. A partitionless ``Window.orderBy`` funnels
     the whole input through ONE task — the round-2 scale-killers (global
     ntile, pooled-rank, ECDF cumsum) are now range-partitioned two-pass
     cumsums. Deliberate bounded single-partition windows (offsets over a
@@ -207,7 +207,7 @@ def test_no_partitionless_windows_in_registered_queries(spark, sf_smoke):
 
     registry.load_all()
     offenders: list[str] = []
-    for name in sorted(registry.ORACLES):
+    for name in sorted(registry.QUERIES):
         df = registry.QUERIES[name](spark, sf_smoke)
         txt = df._jdf.queryExecution().analyzed().toString()
         for m in re.finditer(r"windowspecdefinition\(([^,]*),", txt):
