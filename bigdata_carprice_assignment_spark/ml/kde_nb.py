@@ -134,7 +134,11 @@ def fit_kde_naive_bayes(
             F.expr("percentile(_v, 0.75) - percentile(_v, 0.25)").alias("iqr"),
             F.min("_v").alias("mn"),
             F.max("_v").alias("mx"),
-            F.first("_v").alias("fb"),
+            # deterministic bandwidth fallback for degenerate sd/IQR:
+            # min(|v|) is partition-order-independent (F.first is not,
+            # and would make the fitted bandwidth vary across runs),
+            # mirroring R's abs(x[1]) intent
+            F.min(F.abs("_v")).alias("fb"),
         )
         .collect()
     )
@@ -147,7 +151,17 @@ def fit_kde_naive_bayes(
         )
         for r in stats
     }
-    labels = sorted({c for c, _ in meta})
+    # The class list comes from the PRIORS pass (every non-null label in
+    # train), not from the melted stats: a class whose numeric features
+    # are all NULL would otherwise appear in the priors but not here and
+    # KeyError below; its density cells get a flat floor instead.
+    pri = (
+        train.filter(F.col(label).isNotNull())
+        .groupBy(label)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    labels = sorted(r[label] for r in pri)
     # 3. broadcast (class, feature, grid index → grid x, bw, n) and
     #    reduce value-compressed counts against it
     grid_rows = []
@@ -189,11 +203,23 @@ def fit_kde_naive_bayes(
     gd = np.zeros((C, Fn, G))
     li = {c: i for i, c in enumerate(labels)}
     fi = {f_: i for i, f_ in enumerate(feats)}
+    seen = np.zeros((C, Fn), dtype=bool)
     for r in dens:
+        if r["_cls"] not in li:
+            continue  # NULL-label rows never define a class
         ci, fj = li[r["_cls"]], fi[r["_feat"]]
         gx[ci, fj, r["gi"]] = r["lo"] + r["gi"] * r["step"]
         gd[ci, fj, r["gi"]] = r["d"]
-    pri = train.groupBy(label).agg(F.count(F.lit(1)).alias("n")).collect()
+        seen[ci, fj] = True
+    # (class, feature) cells with no density grid (all values NULL for
+    # that class) get a strictly-increasing dummy grid with zero density
+    # — np.interp's behavior on a non-increasing grid is unspecified;
+    # this way every lookup returns 0 and the klaR threshold floor
+    # applies, i.e. the feature is uninformative for that class.
+    for ci in range(C):
+        for fj in range(Fn):
+            if not seen[ci, fj]:
+                gx[ci, fj] = np.arange(G, dtype=np.float64)
     tot = sum(r["n"] for r in pri)
     log_priors = np.full(C, -np.inf)
     for r in pri:

@@ -197,3 +197,18 @@ def test_lm_exact_closed_form_matches_numpy(spark):
     assert abs(got["(intercept)"] - beta[0]) < 1e-5
     for i, c in enumerate(qc._LM_PREDS):
         assert abs(got[c] - beta[i + 1]) < 1e-5, c
+
+
+def test_kde_nb_degenerate_class_and_null_features(spark):
+    """A class whose numeric feature is entirely NULL must still fit
+    (labels come from the priors pass) and predict without KeyError or
+    interp on a non-increasing grid; the all-NULL cell contributes only
+    the threshold floor."""
+    from bigdata_carprice_assignment_spark.ml.kde_nb import fit_kde_naive_bayes
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", None), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "cls string, x double")
+    model = fit_kde_naive_bayes(df, ["x"], "cls")
+    assert model.labels == ["a", "b"]
+    out = {r["cls"]: r["predicted"] for r in model.transform(df).collect()}
+    assert out["a"] in ("a", "b")  # must not raise; sane output shape
