@@ -1100,28 +1100,50 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_feature_extract",
-    oracle="""
+    oracle=r"""
+WITH f AS (
+  SELECT octet_length(encode(text)) AS n_bytes, sha256(text) AS sha,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                   / length(text) END AS digit_ratio,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '\s', '', 'g')))::DOUBLE
+                   / length(text) END AS ws_ratio,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+                   / length(text) END AS upper_ratio
+  FROM documents
+)
 SELECT count(*) AS n_media,
        count(*) AS n_decoded,
-       round(avg(octet_length(encode(text))), 2) AS avg_bytes,
-       count(DISTINCT sha256(text)) AS n_distinct_payloads
-FROM documents
+       round(avg(n_bytes), 2) AS avg_bytes,
+       count(DISTINCT sha) AS n_distinct_payloads,
+       round(avg(digit_ratio), 6) AS avg_digit_ratio,
+       round(avg(ws_ratio), 6) AS avg_ws_ratio,
+       round(avg(upper_ratio), 6) AS avg_upper_ratio
+FROM f
 """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched mapInPandas
-    (decode stubbed deterministically — no codecs in this container).
-    The Python-side sha256/byte stats are hash-checked against DuckDB's
-    native blob functions — the oracle proves the Arrow round trip is
-    byte-exact."""
+    with the REAL pure-stdlib decode (character-class ratios for these
+    text payloads; the same kernel parses BMP/PNM pixel rasters and WAV
+    PCM — pinned by tests/test_llm.py on hand-built payloads). The
+    oracle recomputes the content-derived ratios with DuckDB regexp
+    counts (identical operand order, so the doubles match before the
+    round) plus the sha256/byte identity stats — proving both the Arrow
+    round trip AND the decode outputs are content-exact."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.documents_as_media(docs)
-    feats = MM.extract_features(media, decode="fake")
+    feats = MM.extract_features(media, decode="stdlib")
     return feats.agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
         F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
         F.countDistinct("sha256").alias("n_distinct_payloads"),
+        F.round(F.avg(F.element_at("feat", 1)), 6).alias("avg_digit_ratio"),
+        F.round(F.avg(F.element_at("feat", 2)), 6).alias("avg_ws_ratio"),
+        F.round(F.avg(F.element_at("feat", 4)), 6).alias("avg_upper_ratio"),
     )
 
 

@@ -328,3 +328,62 @@ def test_weighted_sample_skews_toward_quality(spark, sf_smoke):
     informative = [r for r in rows if r["n_docs"] >= 2 * r["n_sampled"]]
     assert informative
     assert all(r["avg_score_sampled"] > r["avg_score_all"] for r in informative)
+
+
+def test_stdlib_decode_bmp_ppm_wav_text():
+    """The pure-stdlib decoders must recover EXACT content statistics
+    from hand-built uncompressed payloads (pixel means, PCM stats,
+    char-class ratios) — content-derived, not hash-derived."""
+    import struct
+
+    from bigdata_carprice_assignment_spark.llm.multimodal import (
+        stdlib_decode_features,
+    )
+
+    # 2x2 24-bpp BMP, bottom-up, rows padded to 4 bytes (2*3=6 -> 8).
+    # pixels (BGR): row0 = (B=10,G=20,R=30), (40,50,60); row1 = (70,80,90), (100,110,120)
+    px = bytes([10, 20, 30, 40, 50, 60, 0, 0, 70, 80, 90, 100, 110, 120, 0, 0])
+    header = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(px), 0, 0, 0, 0)
+    feat, ok = stdlib_decode_features(header + dib + px)
+    assert ok and feat[7] == 1.0
+    assert feat[:3] == [2.0, 2.0, 3.0]
+    assert abs(feat[3] - (30 + 60 + 90 + 120) / 4 / 255) < 1e-12  # mean R
+    assert abs(feat[5] - (10 + 40 + 70 + 100) / 4 / 255) < 1e-12  # mean B
+
+    # P6 PPM with a comment; 1x2, maxval 255
+    ppm = b"P6\n# c\n2 1\n255\n" + bytes([255, 0, 0, 0, 0, 255])
+    feat, ok = stdlib_decode_features(ppm)
+    assert ok and feat[:3] == [2.0, 1.0, 3.0]
+    assert abs(feat[3] - 0.5) < 1e-12 and abs(feat[5] - 0.5) < 1e-12
+
+    # PCM-16 mono WAV: samples [1000, -1000, 2000, -2000]
+    import array
+
+    pcm = array.array("h", [1000, -1000, 2000, -2000]).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    feat, ok = stdlib_decode_features(wav)
+    assert ok and feat[7] == 2.0
+    assert feat[:3] == [1.0, 8000.0, 16.0]
+    assert abs(feat[3] - 0.0) < 1e-12  # mean
+    assert abs(feat[5] - 1.0) < 1e-12  # every adjacent pair flips sign
+
+    # text ratios
+    feat, ok = stdlib_decode_features(b"Ab 12!\n")
+    assert ok and feat[7] == 0.0
+    n = 7
+    assert abs(feat[0] - 2 / n) < 1e-12   # digits
+    assert abs(feat[1] - 2 / n) < 1e-12   # ws (space + newline)
+    assert abs(feat[2] - 1 / n) < 1e-12   # punct (!)
+    assert abs(feat[3] - 1 / n) < 1e-12   # upper
+    assert feat[6] == float(n)
+
+    # corrupt payloads quarantine, never raise
+    assert stdlib_decode_features(b"BM\x00\x01") == ([0.0] * 8, False)
+    assert stdlib_decode_features(b"RIFFxxxx") == ([0.0] * 8, False)
+    assert stdlib_decode_features(None) == ([0.0] * 8, False)
