@@ -25,15 +25,35 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from bigdata_carprice_assignment_spark import registry  # noqa: E402
 from bigdata_carprice_assignment_spark.session import get_spark  # noqa: E402
 
+# Round-5 probe set: the 20 slowest bench queries (BENCH_r04 cold
+# ranking) plus the fast-shape sentinels from the round-4 probe —
+# evidence for the "no query >10x its sf0.1 time at 10x data" gate
+# (known-quadratic recall gates are SKIPped with the reason recorded).
 PROBES = [
-    "flagship_price_band_summary",
-    "pricing_summary_report",
+    "lsh_knn_join_top1",
+    "copurchase_pagerank_top20",
+    "theil_sen_revenue_trend",
     "minhash_near_dup_documents",
     "char_ngram_jaccard_pairs",
-    "lsh_knn_join_top1",
+    "minhash_lsh_recall_pairs",
+    "srp_candidate_pairs_exact",
+    "copurchase_triangle_count",
+    "anderson_darling_k_sample",
+    "distributed_exact_quantiles_check",
+    "prefix_filter_jaccard_pairs",
+    "qty_price_spearman",
     "ivf_knn_join_top1",
+    "logrank_test_components",
+    "simhash_candidate_pairs",
+    "kaplan_meier_second_order",
+    "iqr_capped_price_stats",
+    "attribution_lag_percentiles",
+    "weighted_median_price_by_brand",
+    "kruskal_wallis_components",
+    # fast-shape sentinels (round-4 probe continuity)
+    "flagship_price_band_summary",
+    "pricing_summary_report",
     "exact_cosine_pairs_blocked",
-    "theil_sen_revenue_trend",
     "sequence_packing_stats",
     "user_sessionization",
 ]
