@@ -303,13 +303,113 @@ def srp_band_pairs(
     )
 
 
+def srp_signatures_wide(
+    df: DataFrame, vec_col: str, id_col: str, n_bits: int
+) -> DataFrame:
+    """Multi-word SRP signatures (``array<long>`` of 60-bit words, same
+    md5-derived hyperplanes with GLOBAL bit indices — word w carries
+    bits [60w, 60w+60)). The single-long :func:`srp_signatures` caps at
+    60 bits, which caps banding at 2^10 buckets for 6 bands — and a
+    FIXED bucket count saturates: candidate pairs grow O(n²/2^band_bits)
+    once n ≫ 2^band_bits (measured 75x time at 10x data on the clone
+    corpus, SCALE.md round-5 probe). Longer signatures let band_bits
+    scale with log2(n) so expected random collisions stay ~O(n) per
+    band."""
+    import numpy as np
+
+    n_words = (n_bits + 59) // 60
+
+    @F.pandas_udf("array<long>")
+    def sig(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        S = _srp_matrix_cached(n_bits, X.shape[1])
+        bits = (X @ S.T) >= 0.0
+        words = np.zeros((len(X), n_words), dtype=np.int64)
+        for b in range(n_bits):
+            words[:, b // 60] |= bits[:, b].astype(np.int64) << (b % 60)
+        return pd.Series(list(words))
+
+    return df.select(F.col(id_col), sig(F.col(vec_col)).alias("srp_sig"))
+
+
+def srp_band_pairs_wide(
+    sigs: DataFrame,
+    id_col: str,
+    n_bits: int,
+    band_bits: int,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Banding over multi-word signatures: each 60-bit word is split
+    into ``60 // band_bits`` chunks independently (bands never span a
+    word boundary — layout simplicity; the hyperplanes are i.i.d., so
+    which bits form a band is immaterial). Hamming distance folds
+    bit_count(xor) across the word arrays natively."""
+    from ..plans.materialize import pinned
+
+    per_word = max(1, 60 // band_bits)
+    mask = (1 << band_bits) - 1
+    n_words = (n_bits + 59) // 60
+    banded = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.col("srp_sig").alias("sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w * per_word + c).alias("band"),
+                        F.shiftright(F.col("srp_sig")[w], c * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for w in range(n_words)
+                    for c in range(per_word)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sh", "bb.band", "bb.key")
+    banded = pinned(banded, "srp_banded_wide")
+    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
+    banded = banded.join(
+        sizes.filter(F.col("sz") <= max_bucket).select("band", "key"),
+        ["band", "key"],
+    )
+    a = banded.select("band", "key", F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
+    b = banded.select("band", "key", F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
+    ham = F.aggregate(
+        F.zip_with(
+            "sh_a", "sh_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", ham)
+        .drop("sh_a", "sh_b")
+    )
+
+
+def srp_adaptive_band_bits(n: int, floor_bits: int = 10, cap_bits: int = 20) -> int:
+    """Band width that keeps expected RANDOM band collisions ~O(n):
+    pairs per band ≈ n²/2^bits, so bits ≈ log2(n) (clamped). With the
+    fixed 10-bit gate setting the bucket count saturates at 1024 and
+    candidates grow quadratically — this is the knob that restores
+    linear candidate growth at cluster scale."""
+    import math
+
+    return max(floor_bits, min(cap_bits, math.ceil(math.log2(max(n, 2)))))
+
+
 def srp_knn_join(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     k: int = 1,
     n_bits: int = 60,
-    band_bits: int = 10,
+    band_bits: int | None = 10,
     max_bucket: int = 2000,
 ) -> DataFrame:
     """Approximate kNN-join via SRP banding: candidates from the band
@@ -320,11 +420,27 @@ def srp_knn_join(
     shares no band are missed (approximate by contract — recall rises
     with more bands / fewer bits per band).
 
+    ``band_bits=None`` selects :func:`srp_adaptive_band_bits` from the
+    corpus size and widens the signature to keep ~6 bands — the
+    scale-default; the fixed 60-bit/10-bit setting remains for the
+    mechanism-exact oracle gate.
+
     Returns (id, nn_id, cosine, rank) for vectors with ≥1 candidate."""
     from pyspark.sql import Window
 
-    sigs = srp_signatures(df, vec_col, id_col, n_bits)
-    pairs = srp_band_pairs(sigs, id_col, n_bits, band_bits, max_bucket)
+    if band_bits is None:
+        band_bits = srp_adaptive_band_bits(df.count())
+    if n_bits <= 60 and band_bits <= 10 and 60 // band_bits >= 6:
+        sigs = srp_signatures(df, vec_col, id_col, n_bits)
+        pairs = srp_band_pairs(sigs, id_col, n_bits, band_bits, max_bucket)
+    else:
+        # keep ~6 bands at the chosen width; bands never span words, so
+        # round the per-word layout up to whole words
+        per_word = max(1, 60 // band_bits)
+        n_words = max(1, -(-6 // per_word))
+        wide_bits = n_words * 60
+        sigs = srp_signatures_wide(df, vec_col, id_col, wide_bits)
+        pairs = srp_band_pairs_wide(sigs, id_col, wide_bits, band_bits, max_bucket)
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     scored = (

@@ -23,6 +23,13 @@ def _cleaned(spark: SparkSession) -> DataFrame:
     # disable it for whatever session runs these queries (the driver's
     # session doesn't use our factory), and cut lineage before the model
     # fits — 205 rows, so the checkpoint is free.
+    #
+    # Deliberately NOT restored on exit: optimization runs at ACTION
+    # time, so the conf must still be set when the caller collects the
+    # returned (lazy) DataFrame — a scoped set/restore around this
+    # builder would re-enable the exponential rule before the plan ever
+    # optimizes. Session-level engine requirement, documented here and
+    # in __spark_entry__._with_safe_confs.
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     return cp.clean(cp.load_raw(spark)).localCheckpoint()
 

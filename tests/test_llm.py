@@ -387,3 +387,35 @@ def test_stdlib_decode_bmp_ppm_wav_text():
     assert stdlib_decode_features(b"BM\x00\x01") == ([0.0] * 8, False)
     assert stdlib_decode_features(b"RIFFxxxx") == ([0.0] * 8, False)
     assert stdlib_decode_features(None) == ([0.0] * 8, False)
+
+
+def test_srp_wide_signatures_and_adaptive_bands(spark):
+    """Wide (multi-word) SRP path: adaptive band bits widen with corpus
+    size, identical vectors always collide (hamming 0, cosine 1 top-1),
+    and the wide band join returns the same near-dup pairs the 60-bit
+    gate finds on a small corpus."""
+    import numpy as np
+
+    from bigdata_carprice_assignment_spark.llm import similarity as S
+
+    assert S.srp_adaptive_band_bits(500) == 10      # floor
+    assert S.srp_adaptive_band_bits(50_000) == 16   # log2 regime
+    assert S.srp_adaptive_band_bits(10**9) == 20    # cap
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 9, size=(40, 16)).astype(float)
+    rows = [(i, base[i % 40].tolist()) for i in range(80)]  # each vec twice
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+
+    top1 = S.srp_knn_join(df, "vec", "vid", k=1, n_bits=120, band_bits=15)
+    got = {r["vid"]: (r["nn_id"], r["cosine"]) for r in top1.collect()}
+    assert len(got) == 80
+    for vid, (nn, cos) in got.items():
+        assert abs(cos - 1.0) < 1e-12  # its clone is an exact-cosine match
+        assert nn % 40 == vid % 40
+
+    sigs = S.srp_signatures_wide(df, "vec", "vid", 120)
+    pairs = S.srp_band_pairs_wide(sigs, "vid", 120, 15)
+    clone_pairs = {(r["a"], r["b"]) for r in pairs.collect() if r["hamming"] == 0}
+    for i in range(40):
+        assert (i, i + 40) in clone_pairs

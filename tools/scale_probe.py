@@ -106,6 +106,39 @@ def probe_engine(spark) -> None:
                 ).count()
                 ts.append(round(time.perf_counter() - t0, 3))
             print(f"engine sf{sf} ivf_{label}: {ts} ({n} rows)", flush=True)
+    # SRP production path: adaptive band bits (wide signatures) vs the
+    # gate-pinned 60-bit/10-bit setting, over the hashed doc features —
+    # the round-5 probe showed the 10-bit bands saturating (1024
+    # buckets) into O(n^2/1024) candidates on the clone corpus.
+    from bigdata_carprice_assignment_spark.llm import text as TX
+    from bigdata_carprice_assignment_spark.plans.materialize import pinned
+
+    for sf, sf_dir in SFS:
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        feats = pinned(
+            TX.hashed_shingle_features_df(
+                docs.repartition(32, "doc_id"), "text", "doc_id"
+            ),
+            "probe_feats",
+        )
+        for label, bits in [("adaptive", None), ("fixed10", 10)]:
+            if sf == "1.0" and label == "fixed10":
+                print(
+                    f"engine sf{sf} srp_fixed10: SKIPPED "
+                    "(saturated banding, 289s in the query probe)",
+                    flush=True,
+                )
+                continue
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = S.srp_knn_join(
+                    feats, "feat", "doc_id", k=1, band_bits=bits
+                ).count()
+                ts.append(round(time.perf_counter() - t0, 3))
+            print(f"engine sf{sf} srp_{label}: {ts} ({n} rows)", flush=True)
 
 
 def main() -> None:
