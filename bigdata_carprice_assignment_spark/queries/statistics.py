@@ -1806,3 +1806,217 @@ def anderson_darling_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("a2_akn"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: repeated-measures + association + model diagnostics.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "friedman_test_components",
+    oracle=r"""
+WITH d AS (
+  SELECT date_trunc('week', o_orderdate) AS wk, dayofweek(o_orderdate) AS dow,
+         sum(round(o_totalprice * 100)::BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+full_wk AS (
+  SELECT wk FROM d GROUP BY wk HAVING count(*) = 7
+),
+r AS (
+  SELECT d.wk, d.dow,
+         row_number() OVER (PARTITION BY d.wk ORDER BY d.cents, d.dow) AS rk
+  FROM d JOIN full_wk USING (wk)
+),
+rb AS (SELECT dow, avg(rk::DOUBLE) AS rbar, count(*)::BIGINT AS n_blocks FROM r GROUP BY dow),
+q AS (
+  SELECT max(n_blocks) AS n, 7::BIGINT AS k,
+         sum((rbar - (7 + 1) / 2.0) * (rbar - (7 + 1) / 2.0)) AS ss
+  FROM rb
+)
+SELECT n AS n_blocks, k AS n_treatments,
+       round(12.0 * n / (k * (k + 1)) * ss, 6) AS q_stat,
+       (k - 1)::BIGINT AS df
+FROM q
+""",
+)
+def friedman_test_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test (nonparametric repeated-measures ANOVA):
+    blocks = complete ISO weeks, treatments = the 7 weekdays, response =
+    daily revenue in exact cents. Ranks are per-block windows (partition
+    key = week — bounded 7-row frames, embarrassingly parallel at any
+    week count); Q = 12n/(k(k+1))·Σ(R̄_j − (k+1)/2)². Ties are broken by
+    weekday on BOTH engines (cents collisions across the days of one
+    week are measure-zero, and the deterministic tiebreak makes the
+    rank assignment engine-identical regardless).
+
+    Scale: one day-grain aggregate, one 7-row-per-block window, one
+    k-row reduce — the repeated-measures test that replaces a driver
+    loop over blocks at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("wk"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    full_wk = d.groupBy("wk").count().filter(F.col("count") == 7).select("wk")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("wk").orderBy("cents", "dow")
+    r = d.join(full_wk, "wk").withColumn("rk", F.row_number().over(w))
+    rb = r.groupBy("dow").agg(
+        F.avg(F.col("rk").cast("double")).alias("rbar"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+    k = 7
+    q = rb.agg(
+        F.max("n_blocks").alias("n"),
+        F.sum(
+            (F.col("rbar") - (k + 1) / 2.0) * (F.col("rbar") - (k + 1) / 2.0)
+        ).alias("ss"),
+    )
+    return q.select(
+        F.col("n").alias("n_blocks"),
+        F.lit(k).cast("long").alias("n_treatments"),
+        F.round(12.0 * F.col("n") / (k * (k + 1)) * F.col("ss"), 6).alias("q_stat"),
+        F.lit(k - 1).cast("long").alias("df"),
+    )
+
+
+@query(
+    "urgent_highvalue_kappa",
+    oracle=r"""
+WITH med AS (SELECT quantile_cont(o_totalprice, 0.5) AS m FROM orders),
+lab AS (
+  SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS r1,
+         (o_totalprice > med.m) AS r2
+  FROM orders, med
+),
+c AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum((r1 AND r2)::BIGINT)::DOUBLE AS a,
+         sum((r1 AND NOT r2)::BIGINT)::DOUBLE AS b,
+         sum((NOT r1 AND r2)::BIGINT)::DOUBLE AS c_,
+         sum((NOT r1 AND NOT r2)::BIGINT)::DOUBLE AS d
+  FROM lab
+),
+k AS (
+  SELECT n, a, b, c_, d,
+         (a + d) / n AS po,
+         ((a + b) / n) * ((a + c_) / n) + ((c_ + d) / n) * ((b + d) / n) AS pe
+  FROM c
+)
+SELECT n::BIGINT AS n_orders, a::BIGINT AS both_yes, d::BIGINT AS both_no,
+       round(po, 6) AS observed_agreement,
+       round(pe, 6) AS expected_agreement,
+       round((po - pe) / (1 - pe), 6) AS cohens_kappa
+FROM k
+""",
+)
+def urgent_highvalue_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two binary labelers of the same orders —
+    'is urgent/high priority' vs 'is above-median value' — the
+    chance-corrected agreement measure behind every labeling-quality
+    audit (two annotators, model-vs-heuristic, weak supervision). κ =
+    (p_o − p_e)/(1 − p_e) from the exact 2×2 contingency counts; the
+    median threshold comes from the type-7 distributed percentile both
+    engines interpolate identically.
+
+    Scale: one percentile pass + one 4-cell contingency aggregate."""
+    from ..operators.aggregates import percentile_expr
+
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.agg(percentile_expr("o_totalprice", 0.5).alias("m"))
+    lab = orders.crossJoin(F.broadcast(med)).select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("r1"),
+        (F.col("o_totalprice") > F.col("m")).alias("r2"),
+    )
+    c = lab.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum((F.col("r1") & F.col("r2")).cast("long")).cast("double").alias("a"),
+        F.sum((F.col("r1") & ~F.col("r2")).cast("long")).cast("double").alias("b"),
+        F.sum((~F.col("r1") & F.col("r2")).cast("long")).cast("double").alias("c_"),
+        F.sum((~F.col("r1") & ~F.col("r2")).cast("long")).cast("double").alias("d"),
+    )
+    po = (F.col("a") + F.col("d")) / F.col("n")
+    pe = ((F.col("a") + F.col("b")) / F.col("n")) * (
+        (F.col("a") + F.col("c_")) / F.col("n")
+    ) + ((F.col("c_") + F.col("d")) / F.col("n")) * (
+        (F.col("b") + F.col("d")) / F.col("n")
+    )
+    return c.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("a").cast("long").alias("both_yes"),
+        F.col("d").cast("long").alias("both_no"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round((po - pe) / (1 - pe), 6).alias("cohens_kappa"),
+    )
+
+
+@query(
+    "priority_status_cramers_v",
+    oracle=r"""
+WITH ct AS (
+  SELECT o_orderpriority AS r, o_orderstatus AS c, count(*)::DOUBLE AS o
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT r, c, o,
+         sum(o) OVER (PARTITION BY r) AS rt,
+         sum(o) OVER (PARTITION BY c) AS ct_,
+         sum(o) OVER () AS n
+  FROM ct
+),
+chi AS (
+  SELECT max(n) AS n, sum((o - rt * ct_ / n) * (o - rt * ct_ / n) / (rt * ct_ / n)) AS chi2,
+         count(DISTINCT r)::BIGINT AS nr, count(DISTINCT c)::BIGINT AS nc
+  FROM m
+)
+SELECT n::BIGINT AS n_orders, round(chi2, 6) AS chi2,
+       ((nr - 1) * (nc - 1))::BIGINT AS dof,
+       round(sqrt(chi2 / (n * (least(nr, nc) - 1))), 6) AS cramers_v
+FROM chi
+""",
+)
+def priority_status_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0, 1]-normalized effect size of the χ²
+    independence test between order priority (5 levels) and order
+    status (3 levels): V = √(χ²/(n·(min(r,c)−1))). The χ² itself folds
+    from the k×m contingency cells exactly as
+    ``chi2_independence_components`` does; V is what makes association
+    strengths comparable ACROSS tables of different shape (the feature-
+    selection readout, where raw χ² is dof-incomparable).
+
+    Scale: one contingency aggregate (k×m cells), marginals by windows
+    over the CELL table (bounded by cardinality product, never rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ct = orders.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    from pyspark.sql import Window
+
+    m = ct.select(
+        "r",
+        "c",
+        "o",
+        F.sum("o").over(Window.partitionBy("r")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("c")).alias("ct_"),
+    )
+    tot = ct.agg(F.sum("o").alias("n"))
+    m = m.crossJoin(F.broadcast(tot))
+    e = F.col("rt") * F.col("ct_") / F.col("n")
+    chi = m.agg(
+        F.max("n").alias("n"),
+        F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+        F.count_distinct("r").alias("nr"),
+        F.count_distinct("c").alias("nc"),
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.round("chi2", 6).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("nr", "nc") - 1))), 6
+        ).alias("cramers_v"),
+    )

@@ -1504,3 +1504,296 @@ def grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(g, 6).alias("g_stat"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: residual diagnostics + graph-shape fit.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "durbin_watson_daily_revenue",
+    oracle=r"""
+WITH d AS (
+  SELECT o_orderdate AS day, sum(round(o_totalprice * 100)::BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+mn AS (SELECT min(day) AS mnd FROM d),
+xy AS (
+  SELECT datediff('day', mn.mnd, d.day)::DOUBLE AS x, d.cents::DOUBLE AS y,
+         row_number() OVER (ORDER BY d.day) AS t
+  FROM d, mn
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM xy
+),
+b AS (
+  SELECT n, (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+         sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n) AS icept
+  FROM s
+),
+e AS (
+  SELECT xy.t, xy.y - (b.icept + b.slope * xy.x) AS res FROM xy, b
+),
+dw AS (
+  SELECT sum((a.res - p.res) * (a.res - p.res)) AS num
+  FROM e a JOIN e p ON p.t = a.t - 1
+),
+den AS (SELECT sum(res * res) AS den, count(*)::BIGINT AS n_days FROM e)
+SELECT den.n_days, round(dw.num / den.den, 6) AS durbin_watson
+FROM dw, den
+""",
+)
+def durbin_watson_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson first-order residual-autocorrelation statistic for
+    the daily-revenue-vs-time OLS: DW = Σ(e_t − e_{t−1})²/Σe_t² (≈2 ⇒
+    uncorrelated; →0 positive, →4 negative autocorrelation) — the
+    diagnostic that says whether the trend fit's errors are independent
+    (and so whether its standard errors mean anything). The OLS is the
+    closed-form centered fit on exact cents; adjacency is series order
+    (rank over the day-grain aggregate — the self-join on t−1 is an
+    equi-join, parallel, never a partitionless window).
+
+    Scale: day-grain everything (the fact contributes one grouped
+    integer aggregate); the residual join carries |days| rows."""
+    from ..operators.windows import range_partitioned_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    mn = d.agg(F.min("day").alias("mnd"))
+    xy = range_partitioned_rank(
+        d.crossJoin(F.broadcast(mn)).select(
+            F.datediff("day", "mnd").cast("double").alias("x"),
+            F.col("cents").cast("double").alias("y"),
+            "day",
+        ),
+        ["day"],
+        out="t",
+    ).drop("day")
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    b = s.select(
+        "n",
+        slope.alias("slope"),
+        (F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n"))).alias(
+            "icept"
+        ),
+    )
+    e = xy.crossJoin(F.broadcast(b)).select(
+        "t", (F.col("y") - (F.col("icept") + F.col("slope") * F.col("x"))).alias("res")
+    )
+    p = e.select((F.col("t") + 1).alias("t"), F.col("res").alias("prev"))
+    num = e.join(p, "t").agg(
+        F.sum((F.col("res") - F.col("prev")) * (F.col("res") - F.col("prev"))).alias(
+            "num"
+        )
+    )
+    den = e.agg(
+        F.sum(F.col("res") * F.col("res")).alias("den"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("num") / F.col("den"), 6).alias("durbin_watson"),
+    )
+
+
+@query(
+    "copurchase_degree_powerlaw",
+    oracle=r"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 30
+),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY 1
+),
+h AS (SELECT d, count(*)::BIGINT AS cnt FROM deg GROUP BY d),
+xy AS (SELECT ln(d::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM h),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM xy
+)
+SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       n::BIGINT AS n_degree_levels,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS loglog_slope,
+       round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n), 6)
+         AS loglog_intercept,
+       round(((sxy - sx * sy / n) * (sxy - sx * sy / n))
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+FROM s
+""",
+)
+def copurchase_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law fit of the co-purchase graph:
+    log-log OLS of (ln degree, ln frequency) over the degree histogram —
+    the scale-free-network diagnostic (slope ≈ −γ). The slope tells you
+    whether the graph has heavy-tailed hubs, i.e. whether graph joins
+    need skew handling BEFORE they fall over; same closed-form centered
+    OLS as the trend queries, over a |distinct degrees|-row frame.
+
+    Scale: edges aggregate to per-node degrees (one shuffle), degrees to
+    a histogram (bounded by max degree), the fit to one row."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    h = deg.groupBy("d").agg(F.count(F.lit(1)).alias("cnt"))
+    xy = h.select(
+        F.log(F.col("d").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    cx = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return s.crossJoin(F.broadcast(nn)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n").cast("long").alias("n_degree_levels"),
+        F.round(cx / vx, 6).alias("loglog_slope"),
+        F.round(
+            F.col("sy") / F.col("n") - cx / vx * (F.col("sx") / F.col("n")), 6
+        ).alias("loglog_intercept"),
+        F.round((cx * cx) / (vx * vy), 6).alias("r2"),
+    )
+
+
+@query(
+    "lineitem_ols_diagnostics",
+    oracle=r"""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*)::BIGINT AS n,
+         sum(l_quantity) AS s1, sum(l_discount) AS s2,
+         sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_quantity) AS s11,
+         sum(l_discount * l_discount) AS s22,
+         sum(l_quantity * l_discount) AS s12,
+         sum(l_quantity * l_extendedprice) AS s1y,
+         sum(l_discount * l_extendedprice) AS s2y,
+         sum(l_extendedprice * l_extendedprice) AS syy
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT l_returnflag, n,
+         s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+         s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y,
+         s2y - s2 * sy / n AS c2y, syy - sy * sy / n AS cyy
+  FROM s
+),
+b AS (
+  SELECT l_returnflag, n, c1y, c2y, cyy,
+         (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+         (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+  FROM c
+),
+r AS (SELECT l_returnflag, n, (b1 * c1y + b2 * c2y) / cyy AS r2 FROM b)
+SELECT l_returnflag, n,
+       round(r2, 6) AS r2,
+       round(1 - (1 - r2) * (n - 1) / (n - 2 - 1), 6) AS adj_r2,
+       round((r2 / 2) / ((1 - r2) / (n - 2 - 1)), 6) AS f_stat,
+       2::BIGINT AS df_model, (n - 3)::BIGINT AS df_resid
+FROM r ORDER BY l_returnflag
+""",
+)
+def lineitem_ols_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model diagnostics for the per-group two-predictor OLS
+    (``lineitem_two_var_ols``): R², the sample-size-honest adjusted R²,
+    and the overall F statistic (R²/p)/((1−R²)/(n−p−1)) — the readouts
+    that say whether a fitted trend is signal or overfit noise, straight
+    from the same ten sufficient statistics (no second pass, no
+    residual materialization).
+
+    Scale: identical to the fit — one hash aggregate over the fact,
+    k output rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    c = s.select(
+        "l_returnflag",
+        "n",
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("c11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("c22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("c12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("c2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b = c.select(
+        "l_returnflag",
+        "n",
+        "c1y",
+        "c2y",
+        "cyy",
+        ((F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det).alias("b1"),
+        ((F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det).alias("b2"),
+    )
+    r2 = (F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y")) / F.col("cyy")
+    r = b.select("l_returnflag", "n", r2.alias("r2"))
+    return r.select(
+        "l_returnflag",
+        "n",
+        F.round("r2", 6).alias("r2"),
+        F.round(
+            1 - (1 - F.col("r2")) * (F.col("n") - 1) / (F.col("n") - 2 - 1), 6
+        ).alias("adj_r2"),
+        F.round(
+            (F.col("r2") / 2) / ((1 - F.col("r2")) / (F.col("n") - 2 - 1)), 6
+        ).alias("f_stat"),
+        F.lit(2).cast("long").alias("df_model"),
+        (F.col("n") - 3).cast("long").alias("df_resid"),
+    ).orderBy("l_returnflag")
