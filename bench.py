@@ -237,6 +237,17 @@ HEADLINE: list[str] = [
     "grubbs_outlier_test",
     "srp_candidate_pairs_exact",
     "copurchase_pagerank_top20",
+    # round-5 additions (carprice_lm_coefficients_exact stays excluded
+    # with the rest of the fixed-205-row carprice suite)
+    "friedman_test_components",
+    "urgent_highvalue_kappa",
+    "priority_status_cramers_v",
+    "durbin_watson_daily_revenue",
+    "copurchase_degree_powerlaw",
+    "lineitem_ols_diagnostics",
+    "minhash_estimate_calibration",
+    "bm25_tfidf_rank_overlap",
+    "token_weighted_doc_sample",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -858,3 +858,55 @@ def neyman_allocation_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "token_weighted_doc_sample",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+'))::DOUBLE AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM documents
+),
+k AS (
+  SELECT doc_id, n_tokens,
+         ln((h + 1)::DOUBLE / 1152921504606846976.0) / n_tokens AS key
+  FROM w
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, round(key, 8) AS sample_key
+FROM k ORDER BY key DESC, doc_id ASC LIMIT 20
+""",
+)
+def token_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each doc draws key = ln(u)/w with u = portable-hash uniform in
+    (0, 1] and w = its token count; the global top-k by key IS an exact
+    w/o-replacement sample with inclusion ∝ weight — fully deterministic
+    and replayable (audit-grade sampling: retries, engines, and
+    partitionings all pick the identical sample; rand()-based sampling
+    can't be re-derived after the fact). Here k=20 docs weighted by
+    token count — the 'sample training docs ∝ length' primitive.
+
+    Scale: one narrow projection + TakeOrderedAndProject (per-partition
+    heaps); at 100 TB this replaces the driver-side reservoir entirely."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        TX.token_count("text").cast("double").alias("n_tokens"),
+        TX.portable_hash60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    key = (
+        F.log((F.col("h") + 1).cast("double") / F.lit(1152921504606846976.0))
+        / F.col("n_tokens")
+    )
+    sel = (
+        w.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            key.alias("k"),
+        )
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(20)
+    )
+    return sel.select("doc_id", "n_tokens", F.round("k", 8).alias("sample_key"))

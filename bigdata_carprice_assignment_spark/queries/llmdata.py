@@ -2110,3 +2110,215 @@ def packing_efficiency_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("budget")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: sketch calibration + retrieval-scorer agreement.
+# --------------------------------------------------------------------------
+
+_MINHASH_CAL_ORACLE = _DUCK_SHINGLES + """
+, ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+sg AS (
+  SELECT doc_id,
+""" + ",\n".join(
+    f"         min(('0x' || substr(md5('{i}:' || g), 1, 15))::BIGINT) AS m{i}"
+    for i in range(16)
+) + """
+  FROM ex GROUP BY doc_id
+),
+pr AS (
+  SELECT a.doc_id AS da,
+         (""" + " + ".join(f"(a.m{i} = b.m{i})::INT" for i in range(16)) + """)::DOUBLE
+           / 16.0 AS est,
+         len(list_intersect(sa.grams, sb.grams))::DOUBLE
+           / len(list_distinct(list_concat(sa.grams, sb.grams))) AS tru
+  FROM sg a JOIN sg b ON b.doc_id = a.doc_id + 1
+  JOIN sh sa ON sa.doc_id = a.doc_id
+  JOIN sh sb ON sb.doc_id = b.doc_id
+)
+SELECT count(*)::BIGINT AS n_pairs,
+       round(avg(est), 6) AS avg_estimate,
+       round(avg(tru), 6) AS avg_true_jaccard,
+       round(avg(abs(est - tru)), 6) AS mean_abs_error,
+       round(max(abs(est - tru)), 6) AS max_abs_error
+FROM pr
+"""
+
+
+@query("minhash_estimate_calibration", oracle=_MINHASH_CAL_ORACLE)
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR calibration, mechanism-exact: 16 md5-portable
+    permutation minima per document (min over shingles of the 60-bit
+    hash of 'i:gram'), Jaccard estimated as matching-minima/16 on the
+    deterministic consecutive-id pair set, compared against the EXACT
+    shingle-set Jaccard — mean/max absolute estimator error. The DuckDB
+    oracle replays signatures, matches, and truth bit-for-bit, so this
+    hash-checks the sketch's MECHANISM (the xxhash production variant in
+    ``minhash_signatures`` shares the shape; its engine-specific hash is
+    covered by the recall gates instead).
+
+    Scale: signature build is one explode + grouped min (map-side
+    combine); the calibration pair set is O(n), not all-pairs."""
+    sh = _doc_shingles(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("_sh").alias("g"))
+    sg = ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                TX.portable_hash60(F.concat(F.lit(f"{i}:"), F.col("g")))
+            ).alias(f"m{i}")
+            for i in range(16)
+        ]
+    )
+    b = sg.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(16)],
+    )
+    shb = sh.select((F.col("doc_id") - 1).alias("doc_id"), F.col("_sh").alias("_shb"))
+    est = (F.col("m0") == F.col("bm0")).cast("int")
+    for i in range(1, 16):
+        est = est + (F.col(f"m{i}") == F.col(f"bm{i}")).cast("int")
+    pr = (
+        sg.join(b, "doc_id")
+        .join(sh, "doc_id")
+        .join(shb, "doc_id")
+        .select(
+            (est.cast("double") / 16.0).alias("est"),
+            (
+                F.size(F.array_intersect("_sh", "_shb")).cast("double")
+                / F.size(F.array_union("_sh", "_shb"))
+            ).alias("tru"),
+        )
+    )
+    return pr.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("est"), 6).alias("avg_estimate"),
+        F.round(F.avg("tru"), 6).alias("avg_true_jaccard"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("tru"))), 6).alias("mean_abs_error"),
+        F.round(F.max(F.abs(F.col("est") - F.col("tru"))), 6).alias("max_abs_error"),
+    )
+
+
+_RANK_OVERLAP_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+dl AS (
+  SELECT doc_id,
+         len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id,
+         count(*) FILTER (w = 'vector') AS tv,
+         count(*) FILTER (w = 'join')   AS tj,
+         count(*) FILTER (w = 'stream') AS ts
+  FROM tk WHERE w IN ('vector', 'join', 'stream') GROUP BY doc_id
+),
+df AS (
+  SELECT count(DISTINCT doc_id) FILTER (w = 'vector') AS dv,
+         count(DISTINCT doc_id) FILTER (w = 'join')   AS dj,
+         count(DISTINCT doc_id) FILTER (w = 'stream') AS ds
+  FROM tk WHERE w IN ('vector', 'join', 'stream')
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+na AS (SELECT avg(dl.dl) AS avgdl FROM dl),
+sb AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (n.n_docs - df.dv + 0.5) / (df.dv + 0.5))
+           * ((tf.tv * 2.2) / (tf.tv + 1.2 * (0.25 + 0.75 * dl.dl / na.avgdl)))
+       + ln(1.0 + (n.n_docs - df.dj + 0.5) / (df.dj + 0.5))
+           * ((tf.tj * 2.2) / (tf.tj + 1.2 * (0.25 + 0.75 * dl.dl / na.avgdl)))
+       + ln(1.0 + (n.n_docs - df.ds + 0.5) / (df.ds + 0.5))
+           * ((tf.ts * 2.2) / (tf.ts + 1.2 * (0.25 + 0.75 * dl.dl / na.avgdl)))
+           AS score
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id, df, n, na
+),
+st AS (
+  SELECT tf.doc_id,
+         tf.tv * ln((1.0 + n.n_docs) / (1.0 + df.dv))
+       + tf.tj * ln((1.0 + n.n_docs) / (1.0 + df.dj))
+       + tf.ts * ln((1.0 + n.n_docs) / (1.0 + df.ds)) AS score
+  FROM tf, df, n
+),
+tb AS (SELECT doc_id FROM sb ORDER BY score DESC, doc_id ASC LIMIT 10),
+tt AS (SELECT doc_id FROM st ORDER BY score DESC, doc_id ASC LIMIT 10),
+ov AS (SELECT count(*)::BIGINT AS nc FROM tb JOIN tt USING (doc_id))
+SELECT nc AS n_common_top10,
+       round(nc::DOUBLE / (20 - nc), 6) AS jaccard_top10
+FROM ov
+"""
+
+
+@query("bm25_tfidf_rank_overlap", oracle=_RANK_OVERLAP_ORACLE)
+def bm25_tfidf_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-scorer agreement: Jaccard overlap of the top-10 result
+    sets under BM25 (k1=1.2, b=0.75) and smoothed TF-IDF for the same
+    fixed 3-term query — the eval primitive for comparing rankers
+    (scorer A vs scorer B, sparse vs dense, before vs after a change)
+    without human judgments. Both scorers reuse one term-frequency pass;
+    each top-10 is a TakeOrderedAndProject; the overlap is a 10x10
+    broadcast join.
+
+    Scale: the tf/df/dl aggregates are the only corpus-sized work."""
+    terms = ["vector", "join", "stream"]
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    base = docs.repartition(n_parts, "doc_id")
+    dl = base.select(
+        "doc_id", F.size(TX.tokens(TX.normalize_text(F.col("text")))).alias("dl")
+    )
+    toks = base.select(
+        "doc_id", F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w")
+    ).filter(F.col("w").isin(terms))
+    tf = toks.groupBy("doc_id").agg(
+        *[F.sum((F.col("w") == t).cast("long")).alias(f"tf_{t}") for t in terms]
+    )
+    dfreq = toks.groupBy().agg(
+        *[
+            F.count_distinct(F.when(F.col("w") == t, F.col("doc_id"))).alias(f"df_{t}")
+            for t in terms
+        ]
+    )
+    stats = dl.groupBy().agg(F.avg("dl").alias("avgdl"))
+
+    def bm25_term(t: str) -> F.Column:
+        idf = F.log(
+            1.0 + (F.lit(n_docs) - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        tfn = (F.col(f"tf_{t}") * (k1 + 1.0)) / (
+            F.col(f"tf_{t}") + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl"))
+        )
+        return idf * tfn
+
+    def tfidf_term(t: str) -> F.Column:
+        return F.col(f"tf_{t}") * F.log((1.0 + n_docs) / (1.0 + F.col(f"df_{t}")))
+
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(dfreq))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (bm25_term(terms[0]) + bm25_term(terms[1]) + bm25_term(terms[2])).alias(
+                "sb"
+            ),
+            (
+                tfidf_term(terms[0]) + tfidf_term(terms[1]) + tfidf_term(terms[2])
+            ).alias("st"),
+        )
+    )
+    tb = scored.orderBy(F.desc("sb"), F.asc("doc_id")).limit(10).select("doc_id")
+    tt = scored.orderBy(F.desc("st"), F.asc("doc_id")).limit(10).select("doc_id")
+    ov = tb.join(tt, "doc_id").agg(F.count(F.lit(1)).alias("nc"))
+    return ov.select(
+        F.col("nc").alias("n_common_top10"),
+        F.round(F.col("nc").cast("double") / (20 - F.col("nc")), 6).alias(
+            "jaccard_top10"
+        ),
+    )

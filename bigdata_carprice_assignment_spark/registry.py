@@ -99,12 +99,22 @@ PRIORITY: tuple[str, ...] = (
     "copurchase_pagerank_top20",
     "carprice_lm_coefficients_exact",
     # ---- positions 51+: the round-6 queue — queries added or changed
-    # this round (multimodal decode became content-derived), the five
-    # rows-only queries the driver has never run, then three sentinel
-    # re-checks of long-green queries whose shared operators (agg core,
-    # broadcast join, FPGrowth) would carry any systemic regression.
+    # this round (multimodal decode became content-derived; nine new
+    # round-5 oracle queries), the five rows-only queries the driver has
+    # never run, then three sentinel re-checks of long-green queries
+    # whose shared operators (agg core, broadcast join, FPGrowth) would
+    # carry any systemic regression.
     "multimodal_feature_extract",
     "multimodal_frame_sample",
+    "friedman_test_components",
+    "urgent_highvalue_kappa",
+    "priority_status_cramers_v",
+    "durbin_watson_daily_revenue",
+    "copurchase_degree_powerlaw",
+    "lineitem_ols_diagnostics",
+    "minhash_estimate_calibration",
+    "bm25_tfidf_rank_overlap",
+    "token_weighted_doc_sample",
     "carprice_kde_nb_confusion",
     "carprice_loess_smooth",
     "approx_vs_exact_stats",
