@@ -248,6 +248,9 @@ HEADLINE: list[str] = [
     "minhash_estimate_calibration",
     "bm25_tfidf_rank_overlap",
     "token_weighted_doc_sample",
+    "ab_srm_check",
+    "cuped_variance_reduction",
+    "nelson_aalen_cumulative_hazard",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

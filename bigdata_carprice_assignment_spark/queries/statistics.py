@@ -2020,3 +2020,302 @@ def priority_status_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("chi2") / (F.col("n") * (F.least("nr", "nc") - 1))), 6
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "ab_srm_check",
+    oracle=r"""
+WITH u AS (
+  SELECT DISTINCT user_id,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm
+  FROM events
+),
+c AS (
+  SELECT sum((arm = 0)::BIGINT)::DOUBLE AS na,
+         sum((arm = 1)::BIGINT)::DOUBLE AS nb
+  FROM u
+)
+SELECT na::BIGINT AS n_arm_a, nb::BIGINT AS n_arm_b,
+       round((na - (na + nb) / 2) * (na - (na + nb) / 2) / ((na + nb) / 2)
+           + (nb - (na + nb) / 2) * (nb - (na + nb) / 2) / ((na + nb) / 2),
+           6) AS chi2,
+       1::BIGINT AS df,
+       ((na - (na + nb) / 2) * (na - (na + nb) / 2) / ((na + nb) / 2)
+           + (nb - (na + nb) / 2) * (nb - (na + nb) / 2) / ((na + nb) / 2))
+         < 3.841458820694124 AS srm_pass
+FROM c
+""",
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for hash-based A/B assignment:
+    users split 50/50 by the engine-portable md5 hash; the χ² of the
+    observed split against the designed ratio (df=1, α=0.05 critical
+    value 3.8415) is the first check every experimentation platform
+    runs before reading ANY metric — a failed SRM means the assignment
+    (or logging) is broken and all downstream stats are invalid. The
+    assignment hash replays bit-for-bit in DuckDB, so the driver checks
+    the actual production decision, not a simulation.
+
+    Scale: one distinct-users aggregate; two counts."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..llm.text import portable_hash60
+
+    u = ev.select("user_id").distinct().select(
+        (portable_hash60(F.col("user_id").cast("string")) % 2).alias("arm")
+    )
+    c = u.agg(
+        F.sum((F.col("arm") == 0).cast("long")).cast("double").alias("na"),
+        F.sum((F.col("arm") == 1).cast("long")).cast("double").alias("nb"),
+    )
+    half = (F.col("na") + F.col("nb")) / 2
+    chi2 = (F.col("na") - half) * (F.col("na") - half) / half + (
+        F.col("nb") - half
+    ) * (F.col("nb") - half) / half
+    return c.select(
+        F.col("na").cast("long").alias("n_arm_a"),
+        F.col("nb").cast("long").alias("n_arm_b"),
+        F.round(chi2, 6).alias("chi2"),
+        F.lit(1).cast("long").alias("df"),
+        (chi2 < 3.841458820694124).alias("srm_pass"),
+    )
+
+
+@query(
+    "cuped_variance_reduction",
+    oracle=r"""
+WITH pu AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN value ELSE 0 END)
+           AS pre,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN value ELSE 0 END)
+           AS post,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm
+  FROM events GROUP BY user_id
+),
+o AS (
+  SELECT count(*)::DOUBLE AS n, sum(pre) AS sp, sum(post) AS so,
+         sum(pre * pre) AS spp, sum(pre * post) AS spo,
+         sum(post * post) AS soo
+  FROM pu
+),
+a AS (
+  SELECT sum((arm = 0)::BIGINT)::DOUBLE AS na, sum((arm = 1)::BIGINT)::DOUBLE AS nb,
+         sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS spa,
+         sum(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS spb,
+         sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS soa,
+         sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS sob
+  FROM pu
+),
+t AS (
+  SELECT o.n, a.na, a.nb, a.spa, a.spb, a.soa, a.sob, o.sp,
+         (o.spo - o.sp * o.so / o.n) / (o.spp - o.sp * o.sp / o.n) AS theta,
+         (o.spo - o.sp * o.so / o.n) * (o.spo - o.sp * o.so / o.n)
+           / ((o.spp - o.sp * o.sp / o.n) * (o.soo - o.so * o.so / o.n))
+           AS vr
+  FROM o, a
+)
+SELECT n::BIGINT AS n_users,
+       round(theta, 6) AS theta,
+       round(vr, 6) AS variance_reduction,
+       round(sob / nb - soa / na, 6) AS diff_raw,
+       round((sob / nb - theta * (spb / nb - sp / n))
+           - (soa / na - theta * (spa / na - sp / n)), 6) AS diff_cuped
+FROM t
+""",
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data): adjust
+    each user's post-period metric by θ·(pre − mean(pre)) with θ =
+    cov(pre, post)/var(pre) — the industry-standard variance-reduction
+    trick that shrinks experiment runtimes by the pre/post correlation
+    squared (reported as ``variance_reduction``). Pre/post split at the
+    corpus midpoint date; arms by the portable assignment hash (same
+    decision ``ab_srm_check`` audits); the arm-mean difference is
+    reported raw and CUPED-adjusted. All from one per-user aggregate +
+    two bounded reduces — no second pass over events.
+
+    Scale: events fold to one row per user (map-side combine), then
+    five sufficient statistics; this is how CUPED runs on billions of
+    events."""
+    from ..llm.text import portable_hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("pre"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias(
+            "post"
+        ),
+    ).select(
+        "pre",
+        "post",
+        (portable_hash60(F.col("user_id").cast("string")) % 2).alias("arm"),
+    )
+    from ..plans.materialize import pinned
+
+    pu = pinned(pu, "cuped_pu")  # consumed by both reduces
+    o = pu.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("so"),
+        F.sum(F.col("pre") * F.col("pre")).alias("spp"),
+        F.sum(F.col("pre") * F.col("post")).alias("spo"),
+        F.sum(F.col("post") * F.col("post")).alias("soo"),
+    )
+    a = pu.agg(
+        F.sum((F.col("arm") == 0).cast("long")).cast("double").alias("na"),
+        F.sum((F.col("arm") == 1).cast("long")).cast("double").alias("nb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("pre")).otherwise(0.0)).alias("spa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("pre")).otherwise(0.0)).alias("spb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("post")).otherwise(0.0)).alias("soa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("post")).otherwise(0.0)).alias("sob"),
+    )
+    t = o.crossJoin(F.broadcast(a))
+    cov = F.col("spo") - F.col("sp") * F.col("so") / F.col("n")
+    varp = F.col("spp") - F.col("sp") * F.col("sp") / F.col("n")
+    varo = F.col("soo") - F.col("so") * F.col("so") / F.col("n")
+    theta = cov / varp
+    return t.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(cov * cov / (varp * varo), 6).alias("variance_reduction"),
+        F.round(F.col("sob") / F.col("nb") - F.col("soa") / F.col("na"), 6).alias(
+            "diff_raw"
+        ),
+        F.round(
+            (
+                F.col("sob") / F.col("nb")
+                - theta * (F.col("spb") / F.col("nb") - F.col("sp") / F.col("n"))
+            )
+            - (
+                F.col("soa") / F.col("na")
+                - theta * (F.col("spa") / F.col("na") - F.col("sp") / F.col("n"))
+            ),
+            6,
+        ).alias("diff_cuped"),
+    )
+
+
+@query(
+    "nelson_aalen_cumulative_hazard",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+mx AS (SELECT max(CAST(date_trunc('day', o_orderdate) AS DATE)) AS mxd
+       FROM orders),
+subj AS (
+  SELECT f.o_custkey,
+         CASE WHEN s.d IS NOT NULL THEN s.d - f.d
+              ELSE mx.mxd - f.d END AS dur,
+         CASE WHEN s.d IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM (SELECT o_custkey, d FROM r WHERE rn = 1) f
+  LEFT JOIN (SELECT o_custkey, d FROM r WHERE rn = 2) s USING (o_custkey)
+  CROSS JOIN mx
+),
+byd AS (
+  SELECT dur, count(*)::BIGINT AS c, sum(event)::BIGINT AS deaths
+  FROM subj GROUP BY 1
+),
+tot AS (SELECT sum(c)::BIGINT AS n FROM byd),
+risk AS (
+  SELECT dur, deaths,
+         tot.n - (sum(c) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) - c)
+           AS n_risk
+  FROM byd, tot
+),
+f AS (
+  SELECT dur, deaths::DOUBLE / n_risk AS hz
+  FROM risk WHERE deaths > 0
+),
+h AS (SELECT unnest([7, 14, 30, 60, 90]) AS horizon)
+SELECT h.horizon::BIGINT AS horizon_days,
+       round(coalesce((SELECT sum(hz) FROM f WHERE dur <= h.horizon), 0.0), 6)
+         AS cumulative_hazard,
+       round(exp(-coalesce((SELECT sum(hz) FROM f WHERE dur <= h.horizon), 0.0)), 6)
+         AS fleming_harrington_survival
+FROM h ORDER BY horizon_days
+""",
+)
+def nelson_aalen_cumulative_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ for the same
+    time-to-repeat-order process as ``kaplan_meier_second_order``, with
+    the Fleming–Harrington survival exp(−H) alongside — the estimator
+    pair you want when hazard RATES (not just survival) drive decisions
+    (repeat-purchase intensity, churn-hazard curves), and the numerics
+    are one sum instead of a product. Same right-censored subject table,
+    same range-partitioned risk-set cumulative; each hazard increment
+    is a ratio of exact integers.
+
+    Scale: identical shape to the KM query — subject rank pass, grouped
+    counts, calendar-bounded cumulative, conditional-aggregate fold."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import range_partitioned_cumsum
+    from ..plans.materialize import pinned
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = orders.select(
+        "o_custkey",
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    mx = orders.agg(
+        F.max(F.to_date(F.date_trunc("day", "o_orderdate"))).alias("mxd")
+    )
+    first = r.filter(F.col("rn") == 1).select("o_custkey", F.col("d").alias("fd"))
+    second = r.filter(F.col("rn") == 2).select("o_custkey", F.col("d").alias("sd"))
+    subj = (
+        first.join(second, "o_custkey", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(F.col("sd").isNotNull(), F.datediff("sd", "fd"))
+            .otherwise(F.datediff("mxd", "fd"))
+            .alias("dur"),
+            F.when(F.col("sd").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    byd = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("event").alias("deaths")
+    )
+    byd = pinned(byd, "na_byd")
+    tot = byd.agg(F.sum("c").cast("long").alias("n"))
+    cum = range_partitioned_cumsum(byd, ["dur"], ["c"])
+    risk = cum.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "deaths",
+        (F.col("n") - (F.col("cum_c") - F.col("c"))).alias("n_risk"),
+    )
+    f = risk.filter(F.col("deaths") > 0).select(
+        "dur", (F.col("deaths").cast("double") / F.col("n_risk")).alias("hz")
+    )
+    horizons = [7, 14, 30, 60, 90]
+    agg = f.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("dur") <= h, F.col("hz"))), F.lit(0.0)
+            ).alias(f"h{h}")
+            for h in horizons
+        ]
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h).cast("long").alias("horizon_days"),
+                        F.round(F.col(f"h{h}"), 6).alias("cumulative_hazard"),
+                        F.round(F.exp(-F.col(f"h{h}")), 6).alias(
+                            "fleming_harrington_survival"
+                        ),
+                    )
+                    for h in horizons
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select("s.*").orderBy("horizon_days")

@@ -115,6 +115,9 @@ PRIORITY: tuple[str, ...] = (
     "minhash_estimate_calibration",
     "bm25_tfidf_rank_overlap",
     "token_weighted_doc_sample",
+    "ab_srm_check",
+    "cuped_variance_reduction",
+    "nelson_aalen_cumulative_hazard",
     "carprice_kde_nb_confusion",
     "carprice_loess_smooth",
     "approx_vs_exact_stats",
