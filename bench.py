@@ -251,6 +251,10 @@ HEADLINE: list[str] = [
     "ab_srm_check",
     "cuped_variance_reduction",
     "nelson_aalen_cumulative_hazard",
+    "bootstrap_mean_se_order_value",
+    "ams_f2_sketch_check",
+    "yuen_trimmed_t_components",
+    "cohens_d_priority_extremes",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

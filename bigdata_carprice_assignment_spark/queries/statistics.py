@@ -2319,3 +2319,408 @@ def nelson_aalen_cumulative_hazard(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("s")
     )
     return rows.select("s.*").orderBy("horizon_days")
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative probabilities, 15
+# significant digits — the SAME literals appear in the oracle SQL so the
+# weight decision is bit-identical on both engines).
+_POIS1_CDF = [
+    0.367879441171442,
+    0.735758882342885,
+    0.919698602928606,
+    0.980963858725512,
+    0.996340153172656,
+    0.999405815182418,
+    0.999916758850712,
+    0.999989750803325,
+]
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = "".join(
+        f" WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"(CASE{branches} ELSE 8 END)"
+
+
+def _pois_case_col(u: F.Column) -> F.Column:
+    w = F.when(u < _POIS1_CDF[0], 0)
+    for k in range(1, len(_POIS1_CDF)):
+        w = w.when(u < _POIS1_CDF[k], k)
+    return w.otherwise(8)
+
+
+_BOOT_B = 32
+
+_BOOT_ORACLE = (
+    "WITH w AS (\n  SELECT o_totalprice AS x,\n"
+    + ",\n".join(
+        "         "
+        + _pois_case_sql(
+            f"(('0x' || substr(md5({b} || ':' || o_orderkey), 1, 15))::BIGINT"
+            "::DOUBLE / 1152921504606846976.0)"
+        )
+        + f" AS w{b}"
+        for b in range(_BOOT_B)
+    )
+    + "\n  FROM orders\n),\ns AS (\n  SELECT\n"
+    + ",\n".join(
+        f"         sum(w{b} * x) / sum(w{b}) AS m{b}" for b in range(_BOOT_B)
+    )
+    + ",\n         avg(x) AS mean_x, count(*)::BIGINT AS n\n  FROM w\n),\n"
+    + "m AS (\n  SELECT n, mean_x,\n         ("
+    + " + ".join(f"m{b}" for b in range(_BOOT_B))
+    + f") / {_BOOT_B}.0 AS mbar,\n         ("
+    + " + ".join(f"m{b} * m{b}" for b in range(_BOOT_B))
+    + f") AS msq\n  FROM s\n)\n"
+    + f"""SELECT n AS n_orders, round(mean_x, 6) AS mean_order_value,
+       {_BOOT_B}::BIGINT AS n_replicates,
+       round(sqrt((msq - {_BOOT_B}.0 * mbar * mbar) / ({_BOOT_B}.0 - 1)), 6)
+         AS bootstrap_se
+FROM m"""
+)
+
+
+@query("bootstrap_mean_se_order_value", oracle=_BOOT_ORACLE)
+def bootstrap_mean_se_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online (Poisson) bootstrap standard error of the mean order value:
+    each of B=32 replicates reweights every row by a DETERMINISTIC
+    Poisson(1) draw — inverse-CDF on the portable 60-bit row hash of
+    (replicate, key) — so the classic resample-with-replacement runs as
+    ONE streaming aggregate (Σwx, Σw per replicate; no data movement, no
+    per-replicate pass) and replays bit-for-bit in DuckDB. This is THE
+    way to bootstrap at 100 TB: B extra aggregate columns instead of B
+    shuffled copies of the data.
+
+    SE = sample sd of the replicate means; the CDF thresholds are shared
+    literals, so every weight decision is engine-identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    from ..llm.text import portable_hash60
+
+    x = F.col("o_totalprice")
+    cols = [x.alias("x")]
+    for b in range(_BOOT_B):
+        u = portable_hash60(
+            F.concat(F.lit(f"{b}:"), F.col("o_orderkey").cast("string"))
+        ).cast("double") / F.lit(1152921504606846976.0)
+        cols.append(_pois_case_col(u).alias(f"w{b}"))
+    w = orders.select(*cols)
+    aggs = [
+        (F.sum(F.col(f"w{b}") * F.col("x")) / F.sum(F.col(f"w{b}"))).alias(f"m{b}")
+        for b in range(_BOOT_B)
+    ]
+    aggs += [F.avg("x").alias("mean_x"), F.count(F.lit(1)).alias("n")]
+    s = w.agg(*aggs)
+    mbar = sum(
+        (F.col(f"m{b}") for b in range(1, _BOOT_B)), F.col("m0")
+    ) / float(_BOOT_B)
+    msq = sum(
+        (F.col(f"m{b}") * F.col(f"m{b}") for b in range(1, _BOOT_B)),
+        F.col("m0") * F.col("m0"),
+    )
+    m = s.select("n", "mean_x", mbar.alias("mbar"), msq.alias("msq"))
+    return m.select(
+        F.col("n").alias("n_orders"),
+        F.round("mean_x", 6).alias("mean_order_value"),
+        F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+        F.round(
+            F.sqrt(
+                (F.col("msq") - float(_BOOT_B) * F.col("mbar") * F.col("mbar"))
+                / (float(_BOOT_B) - 1)
+            ),
+            6,
+        ).alias("bootstrap_se"),
+    )
+
+
+_AMS_REPS = 8
+
+_AMS_ORACLE = (
+    """WITH f AS (
+  SELECT l_partkey AS p, count(*)::BIGINT AS c FROM lineitem GROUP BY 1
+),
+e AS (
+  SELECT
+"""
+    + ",\n".join(
+        "         sum(CASE WHEN ('0x' || substr(md5('"
+        + str(r)
+        + ":' || p), 1, 15))::BIGINT & 1 = 1 THEN c ELSE -c END) AS z"
+        + str(r)
+        for r in range(_AMS_REPS)
+    )
+    + ",\n         sum(c * c)::BIGINT AS f2_exact, count(*)::BIGINT AS n_keys\n  FROM f\n)\n"
+    + "SELECT n_keys, f2_exact,\n"
+    + "       round(quantile_cont(est, 0.5), 6) AS f2_sketch_median,\n"
+    + "       round(abs(quantile_cont(est, 0.5) - f2_exact) / f2_exact, 6)\n"
+    + "         AS rel_error\n"
+    + "FROM (\n  SELECT n_keys, f2_exact, unnest(["
+    + ", ".join(f"(z{r} * z{r})::DOUBLE" for r in range(_AMS_REPS))
+    + "]) AS est\n  FROM e\n)\nGROUP BY n_keys, f2_exact"
+)
+
+
+@query("ams_f2_sketch_check", oracle=_AMS_ORACLE)
+def ams_f2_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) second-frequency-moment sketch,
+    mechanism-exact: 8 independent ±1 sign hashes (md5 parity — the
+    portable Rademacher trick again) give estimates (Σ s(p)·f_p)² whose
+    median estimates F2 = Σ f_p² — the self-join-size / skew estimator
+    that runs in O(reps) memory where the exact answer needs the full
+    frequency table. Reported against the EXACT F2 from the same
+    grouped pass with the relative error — a sketch-calibration gate
+    like ``minhash_estimate_calibration``, fully replayed by DuckDB
+    (integer counts, integer signed sums, type-7 median of 8 exact
+    squares).
+
+    Scale: one hash aggregate to |keys| rows, then an 8-column fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from ..llm.text import portable_hash60
+
+    f = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    signs = [
+        F.when(
+            portable_hash60(
+                F.concat(F.lit(f"{r}:"), F.col("p").cast("string"))
+            ).bitwiseAND(F.lit(1))
+            == 1,
+            F.col("c"),
+        )
+        .otherwise(-F.col("c"))
+        .alias(f"s{r}")
+        for r in range(_AMS_REPS)
+    ]
+    e = f.select(*signs, "c").agg(
+        *[F.sum(f"s{r}").alias(f"z{r}") for r in range(_AMS_REPS)],
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    ests = e.select(
+        "n_keys",
+        "f2_exact",
+        F.explode(
+            F.array(
+                *[
+                    (F.col(f"z{r}") * F.col(f"z{r}")).cast("double")
+                    for r in range(_AMS_REPS)
+                ]
+            )
+        ).alias("est"),
+    )
+    from ..operators.aggregates import percentile_expr
+
+    med = ests.groupBy("n_keys", "f2_exact").agg(
+        percentile_expr("est", 0.5).alias("med")
+    )
+    return med.select(
+        "n_keys",
+        "f2_exact",
+        F.round("med", 6).alias("f2_sketch_median"),
+        F.round(
+            F.abs(F.col("med") - F.col("f2_exact")) / F.col("f2_exact"), 6
+        ).alias("rel_error"),
+    )
+
+
+@query(
+    "yuen_trimmed_t_components",
+    oracle=r"""
+WITH v AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS x,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rk,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+g AS (SELECT grp, n, (n // 10)::BIGINT AS tr FROM v GROUP BY grp, n),
+b AS (
+  SELECT v.grp, v.x, v.rk, g.n, g.tr,
+         CASE WHEN v.rk <= g.tr THEN 'lo'
+              WHEN v.rk > g.n - g.tr THEN 'hi' ELSE 'mid' END AS zone
+  FROM v JOIN g ON v.grp = g.grp
+),
+bounds AS (
+  SELECT grp,
+         min(CASE WHEN zone = 'mid' THEN x END) AS lo_x,
+         max(CASE WHEN zone = 'mid' THEN x END) AS hi_x
+  FROM b GROUP BY grp
+),
+wz AS (
+  SELECT b.grp, b.n, b.tr,
+         CASE WHEN b.zone = 'lo' THEN bounds.lo_x
+              WHEN b.zone = 'hi' THEN bounds.hi_x ELSE b.x END AS wx,
+         CASE WHEN b.zone = 'mid' THEN b.x END AS tx
+  FROM b JOIN bounds ON b.grp = bounds.grp
+),
+s AS (
+  SELECT grp, max(n) AS n, max(tr) AS tr,
+         (max(n) - 2 * max(tr))::DOUBLE AS h,
+         avg(tx) AS tmean,
+         sum(wx * wx) AS sww, sum(wx) AS sw, count(*)::DOUBLE AS cnt
+  FROM wz GROUP BY grp
+),
+d AS (
+  SELECT grp, n, tr, h, tmean,
+         (sww - sw * sw / cnt) / (cnt - 1) AS wvar,
+         (sww - sw * sw / cnt) / (cnt - 1) * (cnt - 1) / (h * (h - 1)) AS dcomp
+  FROM s
+)
+SELECT a.n::BIGINT AS n_urgent, b.n::BIGINT AS n_low,
+       a.tr::BIGINT AS trimmed_each_side_urgent, b.tr::BIGINT AS trimmed_each_side_low,
+       round(a.tmean, 6) AS trimmed_mean_urgent,
+       round(b.tmean, 6) AS trimmed_mean_low,
+       round((a.tmean - b.tmean) / sqrt(a.dcomp + b.dcomp), 6) AS yuen_t
+FROM (SELECT * FROM d WHERE grp = '1-URGENT') a,
+     (SELECT * FROM d WHERE grp = '5-LOW') b
+""",
+)
+def yuen_trimmed_t_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's trimmed-means t (robust Welch): trim g = ⌊n/10⌋
+    observations from each tail per group (rank order-statistic
+    trimming, deterministic orderkey tiebreak), compare 10%-trimmed
+    means with the winsorized-variance denominator d_i =
+    s²_w(n−1)/(h(h−1)), h = n−2g — the two-sample test that keeps its
+    nominal error rate under heavy tails where Welch's t degrades. Ranks
+    come from per-group windows (partition key = group); winsorizing
+    clamps to the boundary order statistics observed in the kept zone.
+
+    Scale: one rank window per group + grouped conditional aggregates —
+    no sort beyond the per-group window, no driver math."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    cnt_w = Window.partitionBy("o_orderpriority")
+    v = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("x"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(cnt_w).alias("n"),
+    )
+    b = v.withColumn("tr", F.floor(F.col("n") / 10).cast("long")).withColumn(
+        "zone",
+        F.when(F.col("rk") <= F.col("tr"), "lo")
+        .when(F.col("rk") > F.col("n") - F.col("tr"), "hi")
+        .otherwise("mid"),
+    )
+    bounds = b.groupBy("grp").agg(
+        F.min(F.when(F.col("zone") == "mid", F.col("x"))).alias("lo_x"),
+        F.max(F.when(F.col("zone") == "mid", F.col("x"))).alias("hi_x"),
+    )
+    wz = b.join(F.broadcast(bounds), "grp").select(
+        "grp",
+        "n",
+        "tr",
+        F.when(F.col("zone") == "lo", F.col("lo_x"))
+        .when(F.col("zone") == "hi", F.col("hi_x"))
+        .otherwise(F.col("x"))
+        .alias("wx"),
+        F.when(F.col("zone") == "mid", F.col("x")).alias("tx"),
+    )
+    s = wz.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max("tr").alias("tr"),
+        (F.max("n") - 2 * F.max("tr")).cast("double").alias("h"),
+        F.avg("tx").alias("tmean"),
+        F.sum(F.col("wx") * F.col("wx")).alias("sww"),
+        F.sum("wx").alias("sw"),
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+    )
+    wvar = (F.col("sww") - F.col("sw") * F.col("sw") / F.col("cnt")) / (
+        F.col("cnt") - 1
+    )
+    d = s.select(
+        "grp",
+        "n",
+        "tr",
+        "tmean",
+        (
+            wvar * (F.col("cnt") - 1) / (F.col("h") * (F.col("h") - 1))
+        ).alias("dcomp"),
+    )
+    a = d.filter(F.col("grp") == "1-URGENT").select(
+        F.col("n").alias("na"),
+        F.col("tr").alias("tra"),
+        F.col("tmean").alias("tma"),
+        F.col("dcomp").alias("da"),
+    )
+    bb = d.filter(F.col("grp") == "5-LOW").select(
+        F.col("n").alias("nb"),
+        F.col("tr").alias("trb"),
+        F.col("tmean").alias("tmb"),
+        F.col("dcomp").alias("db"),
+    )
+    return a.crossJoin(F.broadcast(bb)).select(
+        F.col("na").cast("long").alias("n_urgent"),
+        F.col("nb").cast("long").alias("n_low"),
+        F.col("tra").cast("long").alias("trimmed_each_side_urgent"),
+        F.col("trb").cast("long").alias("trimmed_each_side_low"),
+        F.round("tma", 6).alias("trimmed_mean_urgent"),
+        F.round("tmb", 6).alias("trimmed_mean_low"),
+        F.round(
+            (F.col("tma") - F.col("tmb")) / F.sqrt(F.col("da") + F.col("db")), 6
+        ).alias("yuen_t"),
+    )
+
+
+@query(
+    "cohens_d_priority_extremes",
+    oracle=r"""
+WITH g AS (
+  SELECT o_orderpriority AS grp, avg(o_totalprice) AS m,
+         var_samp(o_totalprice) AS v, count(*)::DOUBLE AS n
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY 1
+)
+SELECT a.n::BIGINT AS n_urgent, b.n::BIGINT AS n_low,
+       round((a.m - b.m)
+             / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v) / (a.n + b.n - 2)),
+             6) AS cohens_d,
+       round((a.m - b.m)
+             / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v) / (a.n + b.n - 2))
+             * (1 - 3 / (4 * (a.n + b.n) - 9)), 6) AS hedges_g
+FROM (SELECT * FROM g WHERE grp = '1-URGENT') a,
+     (SELECT * FROM g WHERE grp = '5-LOW') b
+""",
+)
+def cohens_d_priority_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size for the urgent-vs-low comparison the
+    Welch query tests: Cohen's d on the pooled sd, plus the small-sample
+    bias-corrected Hedges' g — the numbers that say whether a
+    'significant' difference is actually LARGE (p-values scale with n;
+    d does not). Same one-pass group moments as ``welch_t_components``.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    g = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.avg("o_totalprice").alias("m"),
+        F.var_samp("o_totalprice").alias("v"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    a = g.filter(F.col("grp") == "1-URGENT").select(
+        F.col("m").alias("ma"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = g.filter(F.col("grp") == "5-LOW").select(
+        F.col("m").alias("mb"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    t = a.crossJoin(F.broadcast(b))
+    pooled = F.sqrt(
+        (
+            (F.col("na") - 1) * F.col("va") + (F.col("nb") - 1) * F.col("vb")
+        )
+        / (F.col("na") + F.col("nb") - 2)
+    )
+    d = (F.col("ma") - F.col("mb")) / pooled
+    return t.select(
+        F.col("na").cast("long").alias("n_urgent"),
+        F.col("nb").cast("long").alias("n_low"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(
+            d * (1 - 3 / (4 * (F.col("na") + F.col("nb")) - 9)), 6
+        ).alias("hedges_g"),
+    )

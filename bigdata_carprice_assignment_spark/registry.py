@@ -118,6 +118,10 @@ PRIORITY: tuple[str, ...] = (
     "ab_srm_check",
     "cuped_variance_reduction",
     "nelson_aalen_cumulative_hazard",
+    "bootstrap_mean_se_order_value",
+    "ams_f2_sketch_check",
+    "yuen_trimmed_t_components",
+    "cohens_d_priority_extremes",
     "carprice_kde_nb_confusion",
     "carprice_loess_smooth",
     "approx_vs_exact_stats",
