@@ -682,3 +682,167 @@ def carprice_lm_coefficients_exact(spark: SparkSession, sf_dir: str) -> DataFram
     coefs = _lm_solve(row)
     out = spark.createDataFrame(coefs, "feature string, coefficient double")
     return out.select("feature", F.round("coefficient", 6).alias("coefficient"))
+
+
+# --------------------------------------------------------------------------
+# M12 exact half: top principal component by UNROLLED power iteration.
+# Like the lm/PageRank oracles, the iterative computation itself is
+# replayed: 40 power-iteration steps on the 6x6 correlation matrix are
+# generated as paired CTEs (w = R v, then v = w/||w||) from the same
+# index spec as the Python driver solve, so both engines execute the
+# identical IEEE expression tree. The MLlib PCA stays rows-only; this
+# pins the deterministic algebra it implements.
+# --------------------------------------------------------------------------
+
+_PCA_COLS: list[str] = [
+    "horsepower", "enginesize", "curbweight", "citympg", "carwidth", "price",
+]
+_PCA_ITERS = 40
+_PCA_V0 = repr(1.0 / 6.0**0.5)
+
+
+def _pca_power_oracle() -> str:
+    p = len(_PCA_COLS)
+
+    def r(i: int, j: int) -> str:
+        return f"r{min(i, j)}_{max(i, j)}"
+
+    parts = [f"WITH cl AS ({_CLEANED_ORACLE}\n),"]
+    sel = ", ".join(f"{c} AS x{i}" for i, c in enumerate(_PCA_COLS))
+    parts.append(f"mx AS (SELECT {sel} FROM cl),")
+    st = ["count(*)::DOUBLE AS n"]
+    st += [f"sum(x{i}) AS s{i}" for i in range(p)]
+    st += [
+        f"sum(x{i}*x{j}) AS s{i}_{j}" for i in range(p) for j in range(i, p)
+    ]
+    parts.append(f"st AS (SELECT {', '.join(st)} FROM mx),")
+    cv = [
+        f"s{i}_{j} - s{i}*s{j}/n AS c{i}_{j}"
+        for i in range(p)
+        for j in range(i, p)
+    ]
+    parts.append(f"cv AS (SELECT *, {', '.join(cv)} FROM st),")
+    cr = [
+        f"c{i}_{j}/sqrt(c{i}_{i}*c{j}_{j}) AS r{i}_{j}"
+        for i in range(p)
+        for j in range(i, p)
+    ]
+    parts.append(f"cr AS (SELECT *, {', '.join(cr)} FROM cv),")
+    prev = "cr"
+    vexpr = [ _PCA_V0 ] * p
+    for t in range(_PCA_ITERS):
+        ws = [
+            " + ".join(f"{r(i, j)}*{vexpr[j]}" for j in range(p))
+            for i in range(p)
+        ]
+        parts.append(
+            f"w{t} AS (SELECT *, "
+            + ", ".join(f"{ws[i]} AS w{t}_{i}" for i in range(p))
+            + f" FROM {prev}),"
+        )
+        nrm = "sqrt(" + " + ".join(f"w{t}_{i}*w{t}_{i}" for i in range(p)) + ")"
+        parts.append(
+            f"v{t} AS (SELECT *, "
+            + ", ".join(f"w{t}_{i}/{nrm} AS v{t}_{i}" for i in range(p))
+            + f" FROM w{t}),"
+        )
+        vexpr = [f"v{t}_{i}" for i in range(p)]
+        prev = f"v{t}"
+    T = _PCA_ITERS - 1
+    ws = [
+        " + ".join(f"{r(i, j)}*v{T}_{j}" for j in range(p)) for i in range(p)
+    ]
+    parts.append(
+        f"fw AS (SELECT *, "
+        + ", ".join(f"{ws[i]} AS f_{i}" for i in range(p))
+        + f" FROM {prev}),"
+    )
+    lam = " + ".join(f"v{T}_{i}*f_{i}" for i in range(p))
+    parts.append(
+        "lm AS (SELECT *, " + lam + " AS lam, "
+        f"CASE WHEN v{T}_0 < 0 THEN -1.0 ELSE 1.0 END AS sgn FROM fw)"
+    )
+    finals = [
+        "SELECT 'eigenvalue_top' AS component, round(lam, 6) AS value FROM lm",
+        f"SELECT 'explained_share', round(lam/{float(p)!r}, 6) FROM lm",
+    ]
+    finals += [
+        f"SELECT 'loading_{c}', round(v{T}_{i}*sgn, 6) FROM lm"
+        for i, c in enumerate(_PCA_COLS)
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(finals)
+
+
+def _pca_power_solve(row: dict) -> list[tuple[str, float]]:
+    """Driver-side mirror of the generated power-iteration recurrences
+    (same term order, same literals)."""
+    import math
+
+    p = len(_PCA_COLS)
+    n = row["n"]
+    s = [row[f"s{i}"] for i in range(p)]
+    c: dict[tuple[int, int], float] = {}
+    for i in range(p):
+        for j in range(i, p):
+            c[(i, j)] = row[f"s{i}_{j}"] - s[i] * s[j] / n
+
+    def r(i: int, j: int) -> float:
+        i, j = min(i, j), max(i, j)
+        return c[(i, j)] / math.sqrt(c[(i, i)] * c[(j, j)])
+
+    v = [float(_PCA_V0)] * p
+    for _ in range(_PCA_ITERS):
+        w = []
+        for i in range(p):
+            acc = r(i, 0) * v[0]
+            for j in range(1, p):
+                acc = acc + r(i, j) * v[j]
+            w.append(acc)
+        nrm_sq = w[0] * w[0]
+        for i in range(1, p):
+            nrm_sq = nrm_sq + w[i] * w[i]
+        nrm = math.sqrt(nrm_sq)
+        v = [w[i] / nrm for i in range(p)]
+    f = []
+    for i in range(p):
+        acc = r(i, 0) * v[0]
+        for j in range(1, p):
+            acc = acc + r(i, j) * v[j]
+        f.append(acc)
+    lam = v[0] * f[0]
+    for i in range(1, p):
+        lam = lam + v[i] * f[i]
+    sgn = -1.0 if v[0] < 0 else 1.0
+    out = [("eigenvalue_top", lam), ("explained_share", lam / float(p))]
+    out += [
+        (f"loading_{col}", v[i] * sgn) for i, col in enumerate(_PCA_COLS)
+    ]
+    return out
+
+
+@query("carprice_top_pca_eigen_exact", oracle=_pca_power_oracle())
+def carprice_top_pca_eigen_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12's deterministic half, ITERATION-exact: top eigenvalue /
+    loading vector of the 6-feature correlation matrix via 40 unrolled
+    power-iteration steps — one distributed sufficient-statistics
+    aggregate (27 sums), then the driver replays the same recurrences
+    the DuckDB oracle evaluates as generated CTE pairs (w = R·v,
+    v = w/‖w‖), term for term. Sign fixed by the first loading; the
+    explained-variance share is λ/6 (standardized PCA). The MLlib PCA
+    (`carprice_pca_variance`) remains the production fit; this pins its
+    algebra to a hash check (pytest additionally bounds the 40-step
+    estimate against numpy's exact eigendecomposition)."""
+    ml = _cleaned(spark).select(*_PCA_COLS).dropna().coalesce(1)
+    xs = [F.col(c) for c in _PCA_COLS]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [F.sum(xs[i]).alias(f"s{i}") for i in range(len(xs))]
+    aggs += [
+        F.sum(xs[i] * xs[j]).alias(f"s{i}_{j}")
+        for i in range(len(xs))
+        for j in range(i, len(xs))
+    ]
+    row = ml.agg(*aggs).collect()[0].asDict()
+    out = spark.createDataFrame(
+        _pca_power_solve(row), "component string, value double"
+    )
+    return out.select("component", F.round("value", 6).alias("value"))

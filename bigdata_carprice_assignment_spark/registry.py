@@ -122,6 +122,7 @@ PRIORITY: tuple[str, ...] = (
     "ams_f2_sketch_check",
     "yuen_trimmed_t_components",
     "cohens_d_priority_extremes",
+    "carprice_top_pca_eigen_exact",
     "carprice_kde_nb_confusion",
     "carprice_loess_smooth",
     "approx_vs_exact_stats",

@@ -212,3 +212,25 @@ def test_kde_nb_degenerate_class_and_null_features(spark):
     assert model.labels == ["a", "b"]
     out = {r["cls"]: r["predicted"] for r in model.transform(df).collect()}
     assert out["a"] in ("a", "b")  # must not raise; sane output shape
+
+
+def test_pca_power_iteration_matches_numpy(spark):
+    """carprice_top_pca_eigen_exact: the 40-step power iteration (shared
+    algebra with its DuckDB oracle) must agree with numpy's exact
+    eigendecomposition of the same correlation matrix."""
+    import numpy as np
+
+    from bigdata_carprice_assignment_spark.queries import carprice as qc
+
+    got = {
+        r["component"]: r["value"]
+        for r in qc.carprice_top_pca_eigen_exact(spark, "").collect()
+    }
+    ml = qc._cleaned(spark).select(*qc._PCA_COLS).dropna().toPandas()
+    R = np.corrcoef(ml.to_numpy(dtype=float), rowvar=False)
+    evals, evecs = np.linalg.eigh(R)
+    assert abs(got["eigenvalue_top"] - evals[-1]) < 1e-5
+    v = evecs[:, -1]
+    v = v if v[0] >= 0 else -v
+    for i, c in enumerate(qc._PCA_COLS):
+        assert abs(got[f"loading_{c}"] - v[i]) < 1e-5, c
