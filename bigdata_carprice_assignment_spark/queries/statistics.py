@@ -10,6 +10,8 @@ Two tiers per test:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2321,9 +2323,11 @@ def nelson_aalen_cumulative_hazard(spark: SparkSession, sf_dir: str) -> DataFram
     return rows.select("s.*").orderBy("horizon_days")
 
 
-# Poisson(1) inverse-CDF thresholds (cumulative probabilities, 15
-# significant digits — the SAME literals appear in the oracle SQL so the
-# weight decision is bit-identical on both engines).
+# Poisson(1) inverse-CDF thresholds as CEILED 32-bit HEX strings: the
+# uniform is an 8-hex-char md5 substring, and lowercase-hex lexicographic
+# order IS numeric order, so the weight decision is one string compare
+# per threshold — no base conversion, no division — and the SAME literal
+# strings appear in the oracle SQL (u < c  <=>  h < ceil(c*2^32) in hex).
 _POIS1_CDF = [
     0.367879441171442,
     0.735758882342885,
@@ -2334,31 +2338,35 @@ _POIS1_CDF = [
     0.999916758850712,
     0.999989750803325,
 ]
+_POIS1_HEX = [format(math.ceil(c * 4294967296), "08x") for c in _POIS1_CDF]
 
 
-def _pois_case_sql(u: str) -> str:
+def _pois_case_sql(h: str) -> str:
     branches = "".join(
-        f" WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+        f" WHEN {h} < '{x}' THEN {k}" for k, x in enumerate(_POIS1_HEX)
     )
     return f"(CASE{branches} ELSE 8 END)"
 
 
-def _pois_case_col(u: F.Column) -> F.Column:
-    w = F.when(u < _POIS1_CDF[0], 0)
-    for k in range(1, len(_POIS1_CDF)):
-        w = w.when(u < _POIS1_CDF[k], k)
+def _pois_case_col(h: F.Column) -> F.Column:
+    w = F.when(h < _POIS1_HEX[0], 0)
+    for k in range(1, len(_POIS1_HEX)):
+        w = w.when(h < _POIS1_HEX[k], k)
     return w.otherwise(8)
 
 
 _BOOT_B = 32
 
+# Each md5 digest feeds FOUR replicates (one 32-bit uniform per 8 hex
+# chars) — 8 hashes per row instead of 32 (the hash was 4/5 of the
+# query's cost at sf0.1); 32-bit resolution is ~2e-10, three orders
+# finer than the tightest CDF threshold gap (~1e-5).
 _BOOT_ORACLE = (
     "WITH w AS (\n  SELECT o_totalprice AS x,\n"
     + ",\n".join(
         "         "
         + _pois_case_sql(
-            f"(('0x' || substr(md5({b} || ':' || o_orderkey), 1, 15))::BIGINT"
-            "::DOUBLE / 1152921504606846976.0)"
+            f"substr(md5({b // 4} || ':' || o_orderkey), {1 + 8 * (b % 4)}, 8)"
         )
         + f" AS w{b}"
         for b in range(_BOOT_B)
@@ -2395,16 +2403,30 @@ def bootstrap_mean_se_order_value(spark: SparkSession, sf_dir: str) -> DataFrame
     SE = sample sd of the replicate means; the CDF thresholds are shared
     literals, so every weight decision is engine-identical."""
     orders = load_table(spark, sf_dir, "orders")
-    from ..llm.text import portable_hash60
 
     x = F.col("o_totalprice")
-    cols = [x.alias("x")]
+    # materialize the digests as their OWN projection so each md5 runs
+    # once per (row, group) — Catalyst does not reliably CSE the four
+    # substring consumers of one digest expression
+    dig = orders.select(
+        x.alias("x"),
+        *[
+            F.md5(
+                F.encode(
+                    F.concat(
+                        F.lit(f"{g}:"), F.col("o_orderkey").cast("string")
+                    ),
+                    "UTF-8",
+                )
+            ).alias(f"d{g}")
+            for g in range(_BOOT_B // 4)
+        ],
+    )
+    cols = [F.col("x")]
     for b in range(_BOOT_B):
-        u = portable_hash60(
-            F.concat(F.lit(f"{b}:"), F.col("o_orderkey").cast("string"))
-        ).cast("double") / F.lit(1152921504606846976.0)
-        cols.append(_pois_case_col(u).alias(f"w{b}"))
-    w = orders.select(*cols)
+        h = F.substring(F.col(f"d{b // 4}"), 1 + 8 * (b % 4), 8)
+        cols.append(_pois_case_col(h).alias(f"w{b}"))
+    w = dig.select(*cols)
     aggs = [
         (F.sum(F.col(f"w{b}") * F.col("x")) / F.sum(F.col(f"w{b}"))).alias(f"m{b}")
         for b in range(_BOOT_B)
