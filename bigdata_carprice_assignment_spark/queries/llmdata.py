@@ -1285,11 +1285,15 @@ def source_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow projection (no shuffle of the corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
-    from pyspark.sql import Window
-
-    counts = counts.withColumn(
-        "thr",
-        F.expr("(min(n_before) OVER () * 10000) div n_before"),
+    # min-over-all via a 1-row broadcast, not `min(...) OVER ()` — the
+    # empty window spec runs as a partitionless WindowExec at runtime
+    # (single task + "No Partition Defined" warning) even though the
+    # counts side is tiny.
+    mn = counts.agg(F.min("n_before").alias("_mn"))
+    counts = (
+        counts.crossJoin(F.broadcast(mn))
+        .withColumn("thr", F.expr("(_mn * 10000) div n_before"))
+        .drop("_mn")
     )
     keep = (
         TX.portable_hash60(F.col("doc_id").cast("string")) % 10_000 < F.col("thr")

@@ -2746,3 +2746,185 @@ def cohens_d_priority_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
             d * (1 - 3 / (4 * (F.col("na") + F.col("nb")) - 9)), 6
         ).alias("hedges_g"),
     )
+
+
+@query(
+    "ljung_box_daily_revenue",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT count(*)::HUGEINT AS n, sum(cents::HUGEINT) AS sx FROM d
+),
+dev AS (
+  SELECT day, tot.n * cents::HUGEINT - tot.sx AS dv FROM d, tot
+),
+den AS (SELECT sum(dv * dv) AS den FROM dev),
+pr AS (
+  SELECT r.lag AS lag, sum(a.dv * b.dv) AS num, count(*)::DOUBLE AS m
+  FROM dev a, range(1, 8) r(lag)
+  JOIN dev b ON b.day = a.day + r.lag::INTEGER
+  GROUP BY 1
+),
+rh AS (
+  SELECT lag, m, num::DOUBLE / den.den::DOUBLE AS rho FROM pr, den
+),
+pv AS (
+  SELECT
+    max(CASE WHEN lag = 1 THEN rho END) AS r1,
+    max(CASE WHEN lag = 7 THEN rho END) AS r7,
+    max(CASE WHEN lag = 1 THEN rho * rho / m END) AS t1,
+    max(CASE WHEN lag = 2 THEN rho * rho / m END) AS t2,
+    max(CASE WHEN lag = 3 THEN rho * rho / m END) AS t3,
+    max(CASE WHEN lag = 4 THEN rho * rho / m END) AS t4,
+    max(CASE WHEN lag = 5 THEN rho * rho / m END) AS t5,
+    max(CASE WHEN lag = 6 THEN rho * rho / m END) AS t6,
+    max(CASE WHEN lag = 7 THEN rho * rho / m END) AS t7
+  FROM rh
+)
+SELECT tot.n::BIGINT AS n_days,
+       round(r1, 6) AS rho_1,
+       round(r7, 6) AS rho_7,
+       round(tot.n::DOUBLE * (tot.n::DOUBLE + 2)
+             * (t1 + t2 + t3 + t4 + t5 + t6 + t7), 4) AS lb_q7
+FROM pv, tot
+""",
+)
+def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic (lags 1-7) on the daily revenue
+    series — the whiteness test behind "is there autocorrelation left
+    after my forecast model?". Complements
+    ``daily_revenue_autocorrelation`` (per-lag Pearson on pairs) with
+    the CLASSICAL acf: deviations from the one global mean, one shared
+    denominator.
+
+    Exactness: revenue sums as integer cents; the deviation ``n*x - sx``
+    is an exact decimal(38,0) integer (mean-centering without division),
+    so every autocovariance moment accumulates order-independently and
+    the only doubles are the final rho ratios and the 7-term Q
+    combination written as one fixed left-associated expression on both
+    engines. Per-lag pair counts (not n-k) appear in the Q weights so
+    calendar gaps shrink a lag's weight instead of misaligning the
+    series.
+
+    Scale: one grouped integer aggregate over the fact table; the lag
+    join replicates only the bounded day-grain series (x7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    h = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = d.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(h(F.col("cents"))).alias("sx"),
+    )
+    dev = d.crossJoin(F.broadcast(tot)).select(
+        "day", "n", (F.col("n") * h(F.col("cents")) - F.col("sx")).alias("dv")
+    )
+    den = dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("den"))
+    lags = F.explode(F.array(*[F.lit(i) for i in range(1, 8)])).alias("lag")
+    probe = dev.select(F.col("day"), F.col("dv").alias("adv"), lags).withColumn(
+        "match_day", F.expr("date_add(day, lag)")
+    )
+    pairs = probe.join(
+        dev.select(F.col("day").alias("match_day"), F.col("dv").alias("bdv")),
+        "match_day",
+    )
+    pr = pairs.groupBy("lag").agg(
+        F.sum(F.col("adv") * F.col("bdv")).alias("num"),
+        F.count(F.lit(1)).cast("double").alias("m"),
+    )
+    rh = pr.crossJoin(F.broadcast(den)).select(
+        "lag", "m", (F.col("num").cast("double") / F.col("den").cast("double")).alias("rho")
+    )
+    pv = rh.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("rho"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 7, F.col("rho"))).alias("r7"),
+        *[
+            F.max(
+                F.when(F.col("lag") == k, F.col("rho") * F.col("rho") / F.col("m"))
+            ).alias(f"t{k}")
+            for k in range(1, 8)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    qsum = F.col("t1")
+    for k in range(2, 8):
+        qsum = qsum + F.col(f"t{k}")
+    return pv.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("r1", 6).alias("rho_1"),
+        F.round("r7", 6).alias("rho_7"),
+        F.round(nd * (nd + 2) * qsum, 4).alias("lb_q7"),
+    )
+
+
+@query(
+    "jarque_bera_order_values",
+    oracle="""
+WITH m AS (
+  SELECT count(*)::DOUBLE AS n, avg(ln(o_totalprice)) AS mu FROM orders
+),
+s AS (
+  SELECT m.n AS n,
+         sum((ln(o_totalprice) - m.mu) * (ln(o_totalprice) - m.mu)) AS s2,
+         sum((ln(o_totalprice) - m.mu) * (ln(o_totalprice) - m.mu)
+             * (ln(o_totalprice) - m.mu)) AS s3,
+         sum((ln(o_totalprice) - m.mu) * (ln(o_totalprice) - m.mu)
+             * (ln(o_totalprice) - m.mu) * (ln(o_totalprice) - m.mu)) AS s4
+  FROM orders, m GROUP BY 1
+)
+SELECT n::BIGINT AS n_orders,
+       round((s3 / n) / ((s2 / n) * sqrt(s2 / n)), 6) AS skewness,
+       round((s4 / n) / ((s2 / n) * (s2 / n)), 6) AS kurtosis,
+       round(n / 6 * ((s3 / n) / ((s2 / n) * sqrt(s2 / n))
+                      * ((s3 / n) / ((s2 / n) * sqrt(s2 / n)))
+                      + ((s4 / n) / ((s2 / n) * (s2 / n)) - 3)
+                        * ((s4 / n) / ((s2 / n) * (s2 / n)) - 3) / 4), 4)
+         AS jb_stat
+FROM s
+""",
+)
+def jarque_bera_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on ln(order value) — the
+    moment-based omnibus check (skewness + excess kurtosis) a pipeline
+    runs before trusting t/F machinery on a metric. Two-pass central
+    moments: pass 1 the mean, pass 2 the 2nd/3rd/4th powers of exact
+    ``x - mu`` differences (O(1)-magnitude on the log scale, no
+    catastrophic cancellation), with pow() avoided in favor of explicit
+    products/sqrt so both engines evaluate the identical IEEE
+    expression tree over their sums. Summation-order ulp noise sits
+    ~1e-12 relative, far under the 6dp/4dp rounds.
+
+    Scale: two map-side-combined full-table aggregates, no shuffle
+    beyond the 1-row totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.log("o_totalprice")).alias("mu"),
+    )
+    dv = F.log("o_totalprice") - F.col("mu")
+    s = (
+        orders.crossJoin(F.broadcast(m))
+        .groupBy("n")
+        .agg(
+            F.sum(dv * dv).alias("s2"),
+            F.sum(dv * dv * dv).alias("s3"),
+            F.sum(dv * dv * dv * dv).alias("s4"),
+        )
+    )
+    n = F.col("n")
+    v = F.col("s2") / n
+    skew = (F.col("s3") / n) / (v * F.sqrt(v))
+    kurt = (F.col("s4") / n) / (v * v)
+    return s.select(
+        n.cast("long").alias("n_orders"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+        F.round(n / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4), 4).alias(
+            "jb_stat"
+        ),
+    )

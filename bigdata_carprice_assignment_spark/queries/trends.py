@@ -1797,3 +1797,285 @@ def lineitem_ols_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).cast("long").alias("df_model"),
         (F.col("n") - 3).cast("long").alias("df_resid"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "revenue_changepoint_binseg",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT count(*)::HUGEINT AS n, sum(cents::HUGEINT) AS s,
+         sum(cents::HUGEINT * cents::HUGEINT) AS q
+  FROM d
+),
+c AS (
+  SELECT day,
+         sum(cents::HUGEINT) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+         row_number() OVER (ORDER BY day)::HUGEINT AS n1
+  FROM d
+),
+f AS (
+  SELECT day, n1, s1,
+         s1 * s1 * (tot.n - n1) * tot.n
+           + (tot.s - s1) * (tot.s - s1) * n1 * tot.n
+           - tot.s * tot.s * n1 * (tot.n - n1) AS gain
+  FROM c, tot WHERE n1 < tot.n
+),
+b AS (SELECT max(gain) AS bg FROM f),
+sel AS (
+  SELECT f.* FROM f, b WHERE f.gain = b.bg ORDER BY day LIMIT 1
+)
+SELECT strftime(sel.day, '%Y-%m-%d') AS split_day,
+       sel.n1::BIGINT AS n_left,
+       (tot.n - sel.n1)::BIGINT AS n_right,
+       round(sel.s1::DOUBLE / sel.n1::DOUBLE / 100, 2) AS mean_left,
+       round((tot.s - sel.s1)::DOUBLE / (tot.n - sel.n1)::DOUBLE / 100, 2)
+         AS mean_right,
+       round((sel.gain::DOUBLE)
+             / ((sel.n1 * (tot.n - sel.n1) * tot.n)::DOUBLE
+                * ((tot.n * tot.q - tot.s * tot.s)::DOUBLE / tot.n::DOUBLE)),
+             6) AS var_explained
+FROM sel, tot
+""",
+)
+def revenue_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split changepoint detection on the daily revenue series
+    (the first step of binary segmentation / CUSUM-style monitoring):
+    the split day maximizing the between-segment sum-of-squares
+    reduction. The comparator ``gain`` is kept as an EXACT integer —
+    S1²·n2·n + S2²·n1·n − S²·n1·n2 in decimal(38,0) cents — so the
+    argmax is bit-free-deterministic (ties broken to the earliest day);
+    only the reported means/variance-share convert to doubles, with
+    identical expression trees on both engines.
+
+    Scale: one grouped integer aggregate over the fact, then the prefix
+    sums run on the bounded day-grain series via the range-partitioned
+    two-pass cumsum (no global single-task window); the argmax is a
+    1-row broadcast self-join."""
+    from ..operators.windows import range_partitioned_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    ).withColumn("one", F.lit(1).cast("long"))
+    h = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = d.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(h("cents")).alias("s"),
+        F.sum(h("cents") * h("cents")).alias("q"),
+    )
+    cum = range_partitioned_cumsum(d, ["day"], ["cents", "one"]).select(
+        "day",
+        F.col("cum_cents").cast("decimal(38,0)").alias("s1"),
+        F.col("cum_one").cast("decimal(38,0)").alias("n1"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    n1, s1 = F.col("n1"), F.col("s1")
+    fdf = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(n1 < n)
+        .withColumn(
+            "gain",
+            s1 * s1 * (n - n1) * n
+            + (s - s1) * (s - s1) * n1 * n
+            - s * s * n1 * (n - n1),
+        )
+    )
+    b = fdf.agg(F.max("gain").alias("bg"))
+    sel = (
+        fdf.join(F.broadcast(b), F.col("gain") == F.col("bg"))
+        .orderBy("day")
+        .limit(1)
+    )
+    return sel.select(
+        F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+        n1.cast("long").alias("n_left"),
+        (n - n1).cast("long").alias("n_right"),
+        F.round(s1.cast("double") / n1.cast("double") / 100, 2).alias(
+            "mean_left"
+        ),
+        F.round(
+            (s - s1).cast("double") / (n - n1).cast("double") / 100, 2
+        ).alias("mean_right"),
+        F.round(
+            F.col("gain").cast("double")
+            / (
+                (n1 * (n - n1) * n).cast("double")
+                * ((n * q - s * s).cast("double") / n.cast("double"))
+            ),
+            6,
+        ).alias("var_explained"),
+    )
+
+
+@query(
+    "revenue_periodicity_folding",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+m AS (SELECT min(day) AS d0 FROM d),
+t AS (SELECT (day - m.d0) AS tt, cents FROM d, m),
+tot AS (
+  SELECT count(*)::DOUBLE AS n, sum(cents::HUGEINT)::DOUBLE AS s,
+         sum(cents::HUGEINT * cents::HUGEINT)::DOUBLE AS q
+  FROM d
+),
+ph AS (
+  SELECT p.p AS period, tt % p.p AS phase,
+         count(*)::DOUBLE AS m, sum(cents::HUGEINT)::DOUBLE AS sp
+  FROM t, range(2, 11) p(p)
+  GROUP BY 1, 2
+),
+btw AS (SELECT period, sum(sp * sp / m) AS bss FROM ph GROUP BY 1)
+SELECT period::BIGINT AS period,
+       round((bss - s * s / n) / (q - s * s / n), 6) AS eta2
+FROM btw, tot ORDER BY period
+""",
+)
+def revenue_periodicity_folding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodicity scan by epoch folding: for each candidate period p in
+    2..10 days, fold the daily revenue series on ``t mod p`` and report
+    the between-phase variance share (eta² — the one-way-ANOVA effect
+    size across phases). A weekly cycle shows as the eta² peak at
+    period 7; this is the trig-free alternative to a DFT periodogram
+    (no libm cos/sin, so no cross-engine ulp surface beyond ordinary
+    aggregate sums, which the 6dp round absorbs).
+
+    Scale: one grouped integer aggregate over the fact; the fold
+    replicates only the bounded day-grain series (x9 periods) and each
+    (period, phase) group aggregates exactly — cost independent of fact
+    size."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    h = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = d.agg(F.min("day").alias("d0"))
+    t = d.crossJoin(F.broadcast(m)).select(
+        F.datediff("day", "d0").alias("tt"), "cents"
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(h("cents")).cast("double").alias("s"),
+        F.sum(h("cents") * h("cents")).cast("double").alias("q"),
+    )
+    periods = F.explode(
+        F.array(*[F.lit(p) for p in range(2, 11)])
+    ).alias("period")
+    ph = (
+        t.select("tt", "cents", periods)
+        .groupBy("period", (F.col("tt") % F.col("period")).alias("phase"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("m"),
+            F.sum(h("cents")).cast("double").alias("sp"),
+        )
+    )
+    btw = ph.groupBy("period").agg(
+        F.sum(F.col("sp") * F.col("sp") / F.col("m")).alias("bss")
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    return (
+        btw.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("period").cast("long").alias("period"),
+            F.round((F.col("bss") - s * s / n) / (q - s * s / n), 6).alias(
+                "eta2"
+            ),
+        )
+        .orderBy("period")
+    )
+
+
+@query(
+    "holt_linear_daily_revenue",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS t, cents::DOUBLE AS x FROM d
+),
+nn AS (SELECT max(t) AS n FROM idx),
+r AS (
+  SELECT 1 AS t,
+         (SELECT x FROM idx WHERE t = 1) AS s,
+         (SELECT x FROM idx WHERE t = 2) - (SELECT x FROM idx WHERE t = 1) AS b,
+         CAST(0.0 AS DOUBLE) AS sse
+  UNION ALL
+  SELECT r.t + 1,
+         0.3 * i.x + 0.7 * (r.s + r.b),
+         0.2 * (0.3 * i.x + 0.7 * (r.s + r.b) - r.s) + 0.8 * r.b,
+         r.sse + (i.x - (r.s + r.b)) * (i.x - (r.s + r.b))
+  FROM r JOIN idx i ON i.t = r.t + 1
+)
+SELECT nn.n::BIGINT AS n_days,
+       round(r.s / 100, 4) AS level,
+       round(r.b / 100, 4) AS trend,
+       round((r.s + 7 * r.b) / 100, 4) AS forecast_7d,
+       round(sqrt(r.sse / (nn.n - 1)) / 100, 4) AS rmse_1step
+FROM r, nn WHERE r.t = nn.n
+""",
+)
+def holt_linear_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (alpha=0.3, beta=0.2)
+    over the daily revenue series, with the one-step-ahead SSE
+    accumulated alongside — level/trend/7-day-ahead forecast/RMSE. The
+    recurrence is ITERATION-EXACT like the PageRank/power-iteration
+    family: Spark runs it as a left fold (``aggregate``) over the
+    day-sorted array, DuckDB as a recursive CTE, and both evaluate the
+    identical IEEE expression per step in the identical order, so the
+    result is the same double bit pattern before the 4dp round.
+
+    Scale: the fact collapses to the bounded day-grain series first
+    (one grouped integer aggregate, map-side combined); only that
+    ~|days| array is folded on a single executor — a few thousand
+    elements regardless of fact size. The sequential fold is inherent
+    to exponential smoothing (each state depends on the previous); the
+    scalable variant for MANY series is the same fold per key via
+    groupBy(series).agg(aggregate(...)), which this plan shape is."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    arr = d.agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("a")
+    ).select(
+        F.expr("transform(a, z -> cast(z.cents as double))").alias("xs")
+    )
+    st = arr.select(
+        F.size("xs").alias("n"),
+        F.expr(
+            """
+aggregate(
+  slice(xs, 2, size(xs) - 1),
+  named_struct('s', xs[0], 'b', xs[1] - xs[0],
+               'sse', cast(0.0 as double)),
+  (st, x) -> named_struct(
+     's', 0.3 * x + 0.7 * (st.s + st.b),
+     'b', 0.2 * (0.3 * x + 0.7 * (st.s + st.b) - st.s) + 0.8 * st.b,
+     'sse', st.sse + (x - (st.s + st.b)) * (x - (st.s + st.b))),
+  st -> st)
+"""
+        ).alias("h"),
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("h.s") / 100, 4).alias("level"),
+        F.round(F.col("h.b") / 100, 4).alias("trend"),
+        F.round((F.col("h.s") + 7 * F.col("h.b")) / 100, 4).alias(
+            "forecast_7d"
+        ),
+        F.round(
+            F.sqrt(F.col("h.sse") / (F.col("n") - 1)) / 100, 4
+        ).alias("rmse_1step"),
+    )

@@ -212,7 +212,13 @@ def test_no_partitionless_windows_in_registered_queries(spark, sf_smoke):
         txt = df._jdf.queryExecution().analyzed().toString()
         for m in re.finditer(r"windowspecdefinition\(([^,]*),", txt):
             first_arg = m.group(1)
-            if re.search(r"(ASC NULLS|DESC NULLS)", first_arg):
+            # Partitionless = first arg is a sort spec (orderBy with no
+            # partition) OR the frame itself (empty `OVER ()` spec —
+            # caught live in r5: `min(...) OVER ()` runs as a
+            # single-task WindowExec just like the ordered variant).
+            if re.search(r"(ASC NULLS|DESC NULLS)", first_arg) or (
+                "specifiedwindowframe" in first_arg
+            ):
                 offenders.append(f"{name}: windowspecdefinition({first_arg}, ...")
     assert not offenders, "\n".join(offenders)
 
