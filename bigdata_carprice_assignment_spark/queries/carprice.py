@@ -846,3 +846,258 @@ def carprice_top_pca_eigen_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pca_power_solve(row), "component string, value double"
     )
     return out.select("component", F.round("value", 6).alias("value"))
+
+
+# --------------------------------------------------------------------------
+# GLM via iteratively reweighted least squares, ITERATION-EXACT. The
+# reference's classifier slot (BigDataProject.R:340-363) is Naive Bayes;
+# a logistic regression is the canonical GLM a user reaches for next,
+# and — like the lm/PCA/PageRank family above — its Newton/IRLS loop is
+# deterministic algebra over per-pass sufficient statistics, so the
+# WHOLE fit (8 unrolled Newton steps, 3x3 Cramer solve per step) is
+# replayed by a generated DuckDB CTE chain. Per step both engines
+# aggregate the same 9 sums (gradient + symmetric Hessian of the
+# log-likelihood) over the same single-partition row order and apply
+# the same explicit Cramer expressions; the only libm surface is
+# exp(), whose <=1-ulp cross-engine noise is quenched by Newton's
+# contraction at the fixed point (|grad| ~ 5e-14 by step 7), far under
+# the 6dp round.
+# --------------------------------------------------------------------------
+
+_LOGIT_ITERS = 8
+
+
+def _logit_sql_step(prev: str, k: int) -> list[str]:
+    """One IRLS step as two CTEs: the 9 aggregates, then Cramer."""
+    mu = "1/(1 + exp(-(p0 + p1*x1 + p2*x2)))"
+    w = f"({mu}) * (1 - {mu})"
+    r = f"(y - {mu})"
+    agg = (
+        f"ag{k} AS (SELECT p0, p1, p2, "
+        f"sum({r}) AS g0, sum({r}*x1) AS g1, sum({r}*x2) AS g2, "
+        f"sum({w}) AS ha, sum({w}*x1) AS hb, sum({w}*x2) AS hc, "
+        f"sum({w}*x1*x1) AS hd, sum({w}*x1*x2) AS he, "
+        f"sum({w}*x2*x2) AS hf "
+        f"FROM base, {prev} GROUP BY p0, p1, p2),"
+    )
+    det = "(ha*(hd*hf-he*he) - hb*(hb*hf-hc*he) + hc*(hb*he-hc*hd))"
+    d0 = "(g0*(hd*hf-he*he) - hb*(g1*hf-he*g2) + hc*(g1*he-hd*g2))"
+    d1 = "(ha*(g1*hf-he*g2) - g0*(hb*hf-he*hc) + hc*(hb*g2-g1*hc))"
+    d2 = "(ha*(hd*g2-g1*he) - hb*(hb*g2-g1*hc) + g0*(hb*he-hd*hc))"
+    nxt = (
+        f"b{k} AS (SELECT p0 + {d0}/{det} AS p0, "
+        f"p1 + {d1}/{det} AS p1, p2 + {d2}/{det} AS p2 FROM ag{k}),"
+    )
+    return [agg, nxt]
+
+
+def _logit_exact_oracle() -> str:
+    parts = [
+        "WITH raw AS (",
+        f"  SELECT * FROM read_csv('{cp.REFERENCE_CSV}', header=true)",
+        "),",
+        "base AS (",
+        "  SELECT horsepower::DOUBLE/100 AS x1, curbweight::DOUBLE/1000 AS x2,",
+        "         CASE WHEN price::DOUBLE > 15000 THEN CAST(1 AS DOUBLE)",
+        "              ELSE CAST(0 AS DOUBLE) END AS y",
+        "  FROM raw",
+        "),",
+        "b0 AS (SELECT CAST(0 AS DOUBLE) AS p0, CAST(0 AS DOUBLE) AS p1,"
+        " CAST(0 AS DOUBLE) AS p2),",
+    ]
+    for k in range(1, _LOGIT_ITERS + 1):
+        parts += _logit_sql_step(f"b{k-1}", k)
+    parts[-1] = parts[-1].rstrip(",")
+    finals = [
+        f"SELECT '(intercept)' AS feature, round(p0, 6) AS coefficient"
+        f" FROM b{_LOGIT_ITERS}",
+        f"SELECT 'horsepower_per_100', round(p1, 6) FROM b{_LOGIT_ITERS}",
+        f"SELECT 'curbweight_per_1000', round(p2, 6) FROM b{_LOGIT_ITERS}",
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(finals)
+
+
+def _logit_solve(row: dict, p: list[float]) -> list[float]:
+    """One Cramer step mirroring the oracle's generated expressions
+    term for term (same products, same association order)."""
+    g0, g1, g2 = row["g0"], row["g1"], row["g2"]
+    ha, hb, hc = row["ha"], row["hb"], row["hc"]
+    hd, he, hf = row["hd"], row["he"], row["hf"]
+    det = ha * (hd * hf - he * he) - hb * (hb * hf - hc * he) + hc * (
+        hb * he - hc * hd
+    )
+    d0 = g0 * (hd * hf - he * he) - hb * (g1 * hf - he * g2) + hc * (
+        g1 * he - hd * g2
+    )
+    d1 = ha * (g1 * hf - he * g2) - g0 * (hb * hf - he * hc) + hc * (
+        hb * g2 - g1 * hc
+    )
+    d2 = ha * (hd * g2 - g1 * he) - hb * (hb * g2 - g1 * hc) + g0 * (
+        hb * he - hd * hc
+    )
+    return [p[0] + d0 / det, p[1] + d1 / det, p[2] + d2 / det]
+
+
+@query("carprice_logit_irls_exact", oracle=_logit_exact_oracle())
+def carprice_logit_irls_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression P(price > 15000 | horsepower, curbweight) by
+    8 unrolled IRLS/Newton steps — iteration-exact (see module comment):
+    per step one distributed aggregate of the 9 gradient/Hessian sums
+    (map-side combine; a single 9-double row reaches the driver) and a
+    closed-form 3x3 Cramer update replayed identically by the generated
+    DuckDB CTE chain. Predictors are fixed-constant scaled (hp/100,
+    weight/1000) so eta stays in exp()'s well-conditioned range.
+
+    Scale: each step is one full-table aggregate — 8 scans total (cache
+    the projected input once and it's 8 in-memory passes); state is 3
+    doubles, so the same loop fits any corpus a Spark aggregate fits."""
+    base = (
+        cp.load_raw(spark)
+        .coalesce(1)
+        .select(
+            (F.col("horsepower").cast("double") / 100).alias("x1"),
+            (F.col("curbweight").cast("double") / 1000).alias("x2"),
+            F.when(F.col("price").cast("double") > 15000, 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+        )
+        .localCheckpoint()
+    )
+    beta = [0.0, 0.0, 0.0]
+    for _ in range(_LOGIT_ITERS):
+        eta = F.lit(beta[0]) + F.lit(beta[1]) * F.col("x1") + F.lit(
+            beta[2]
+        ) * F.col("x2")
+        mu = 1 / (1 + F.exp(-eta))
+        w = mu * (1 - mu)
+        r = F.col("y") - mu
+        row = base.agg(
+            F.sum(r).alias("g0"),
+            F.sum(r * F.col("x1")).alias("g1"),
+            F.sum(r * F.col("x2")).alias("g2"),
+            F.sum(w).alias("ha"),
+            F.sum(w * F.col("x1")).alias("hb"),
+            F.sum(w * F.col("x2")).alias("hc"),
+            F.sum(w * F.col("x1") * F.col("x1")).alias("hd"),
+            F.sum(w * F.col("x1") * F.col("x2")).alias("he"),
+            F.sum(w * F.col("x2") * F.col("x2")).alias("hf"),
+        ).collect()[0].asDict()
+        beta = _logit_solve(row, beta)
+    out = spark.createDataFrame(
+        [
+            ("(intercept)", beta[0]),
+            ("horsepower_per_100", beta[1]),
+            ("curbweight_per_1000", beta[2]),
+        ],
+        "feature string, coefficient double",
+    )
+    return out.select(
+        "feature", F.round("coefficient", 6).alias("coefficient")
+    )
+
+
+@query(
+    "carprice_isotonic_price_by_hp",
+    oracle=f"""
+WITH raw AS (
+  SELECT * FROM read_csv('{cp.REFERENCE_CSV}', header=true)
+),
+d AS (
+  SELECT car_ID::DOUBLE AS cid, horsepower::DOUBLE AS hp,
+         CAST(round(price::DOUBLE * 100) AS BIGINT) AS cents
+  FROM raw
+),
+rws AS (
+  SELECT row_number() OVER (ORDER BY hp, cid) AS idx,
+         sum(cents) OVER (ORDER BY hp, cid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx,
+         cents, hp
+  FROM d
+),
+pr AS (
+  SELECT a.idx AS j, (a.pfx - a.cents) AS pj, b.idx AS k, b.pfx AS pk
+  FROM rws a JOIN rws b ON b.idx >= a.idx
+),
+am AS (
+  SELECT j, k,
+         min((pk - pj)::DOUBLE / (k - j + 1)::DOUBLE)
+           OVER (PARTITION BY j ORDER BY k DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmin
+  FROM pr
+),
+ft AS (SELECT k AS idx, max(rmin) AS fit FROM am GROUP BY k)
+SELECT round(fit / 100, 4) AS fitted_price,
+       count(*)::BIGINT AS n_rows,
+       min(hp) AS hp_min, max(hp) AS hp_max
+FROM ft JOIN rws USING (idx)
+GROUP BY fit ORDER BY fit
+""",
+)
+def carprice_isotonic_price_by_hp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing) regression of price on
+    horsepower via the exact minimax characterization of PAVA:
+    fit_i = max_{j<=i} min_{k>=i} avg(y[j..k]). Interval averages come
+    from exact integer-cent prefix sums (one double division per pair),
+    the running min is a PARTITIONED window (by interval start j), and
+    the final max is a plain groupBy — so the full pool structure is
+    bit-deterministic on both engines with no sequential PAVA sweep.
+    Blocks (distinct fitted values) are reported with their row counts
+    and horsepower spans — the monotone step function itself.
+
+    Scale: O(n²) pairs is the exact-small-n path (205 rows here; same
+    shape as the exact-cosine gate). The large-n path is PAVA inside
+    applyInPandas per group key — this query pins the algebra that
+    implementation must reproduce. Cites reference scatter+trend usage
+    (BigDataProject.R:135-162, price-vs-feature plots)."""
+    from ..operators.windows import range_partitioned_cumsum
+    from pyspark.sql import Window
+
+    d = (
+        cp.load_raw(spark)
+        .select(
+            F.col("car_ID").cast("double").alias("cid"),
+            F.col("horsepower").cast("double").alias("hp"),
+            F.round(F.col("price").cast("double") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    cum = range_partitioned_cumsum(d, ["hp", "cid"], ["cents", "one"])
+    rows = cum.select(
+        F.col("cum_one").alias("idx"),
+        F.col("cum_cents").alias("pfx"),
+        "cents",
+        "hp",
+    )
+    a = rows.select(
+        F.col("idx").alias("j"), (F.col("pfx") - F.col("cents")).alias("pj")
+    )
+    b = rows.select(F.col("idx").alias("k"), F.col("pfx").alias("pk"))
+    pairs = a.join(F.broadcast(b), F.col("k") >= F.col("j"))
+    aa = (F.col("pk") - F.col("pj")).cast("double") / (
+        F.col("k") - F.col("j") + 1
+    ).cast("double")
+    w = (
+        Window.partitionBy("j")
+        .orderBy(F.desc("k"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    am = pairs.select("j", "k", F.min(aa).over(w).alias("rmin"))
+    ft = am.groupBy(F.col("k").alias("idx")).agg(F.max("rmin").alias("fit"))
+    return (
+        ft.join(rows, "idx")
+        .groupBy("fit")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("hp").alias("hp_min"),
+            F.max("hp").alias("hp_max"),
+        )
+        .select(
+            F.round(F.col("fit") / 100, 4).alias("fitted_price"),
+            "n_rows",
+            "hp_min",
+            "hp_max",
+        )
+        .orderBy("fitted_price")
+    )

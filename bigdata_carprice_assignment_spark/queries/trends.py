@@ -1821,14 +1821,13 @@ c AS (
 ),
 f AS (
   SELECT day, n1, s1,
-         s1 * s1 * (tot.n - n1) * tot.n
-           + (tot.s - s1) * (tot.s - s1) * n1 * tot.n
-           - tot.s * tot.s * n1 * (tot.n - n1) AS gain
+         (s1 * s1 * (tot.n - n1) + (tot.s - s1) * (tot.s - s1) * n1)::DOUBLE
+           / (n1 * (tot.n - n1))::DOUBLE AS val
   FROM c, tot WHERE n1 < tot.n
 ),
-b AS (SELECT max(gain) AS bg FROM f),
+b AS (SELECT max(val) AS bv FROM f),
 sel AS (
-  SELECT f.* FROM f, b WHERE f.gain = b.bg ORDER BY day LIMIT 1
+  SELECT f.* FROM f, b WHERE f.val = b.bv ORDER BY day LIMIT 1
 )
 SELECT strftime(sel.day, '%Y-%m-%d') AS split_day,
        sel.n1::BIGINT AS n_left,
@@ -1836,9 +1835,8 @@ SELECT strftime(sel.day, '%Y-%m-%d') AS split_day,
        round(sel.s1::DOUBLE / sel.n1::DOUBLE / 100, 2) AS mean_left,
        round((tot.s - sel.s1)::DOUBLE / (tot.n - sel.n1)::DOUBLE / 100, 2)
          AS mean_right,
-       round((sel.gain::DOUBLE)
-             / ((sel.n1 * (tot.n - sel.n1) * tot.n)::DOUBLE
-                * ((tot.n * tot.q - tot.s * tot.s)::DOUBLE / tot.n::DOUBLE)),
+       round((sel.val - (tot.s * tot.s)::DOUBLE / tot.n::DOUBLE)
+             / (tot.q::DOUBLE - (tot.s * tot.s)::DOUBLE / tot.n::DOUBLE),
              6) AS var_explained
 FROM sel, tot
 """,
@@ -1847,11 +1845,14 @@ def revenue_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-split changepoint detection on the daily revenue series
     (the first step of binary segmentation / CUSUM-style monitoring):
     the split day maximizing the between-segment sum-of-squares
-    reduction. The comparator ``gain`` is kept as an EXACT integer —
-    S1²·n2·n + S2²·n1·n − S²·n1·n2 in decimal(38,0) cents — so the
-    argmax is bit-free-deterministic (ties broken to the earliest day);
-    only the reported means/variance-share convert to doubles, with
-    identical expression trees on both engines.
+    reduction gain(τ) = S1²/n1 + S2²/n2 − S²/n. The comparator is the
+    τ-dependent part (S1²·n2 + S2²·n1)/(n1·n2): numerator and
+    denominator are EXACT decimal(38,0) integers in cents, and the one
+    double division is correctly rounded identically on both engines, so
+    the argmax is deterministic (ties broken to the earliest day). A
+    plain integer cross-multiplied form is NOT usable here: multiplying
+    gain by the τ-dependent n1·n2 changes the argmax (caught by the
+    brute-force unit test in tests/test_round5_ops.py).
 
     Scale: one grouped integer aggregate over the fact, then the prefix
     sums run on the bounded day-grain series via the range-partitioned
@@ -1876,22 +1877,34 @@ def revenue_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, s, q = F.col("n"), F.col("s"), F.col("q")
     n1, s1 = F.col("n1"), F.col("s1")
+    # The division lives INSIDE when(n1 < n, ...): Catalyst infers
+    # isnotnull(val) from the argmax equi-join and pushes it into the
+    # cross-join condition AHEAD of the n1 < n conjunct, so a bare
+    # division would be evaluated on the n1 = n row — fine with ANSI
+    # off (null, dropped) but a DIVIDE_BY_ZERO throw for a library user
+    # running spark.sql.ansi.enabled=true. The guard makes evaluation
+    # lazy without changing any kept value.
     fdf = (
         cum.crossJoin(F.broadcast(tot))
-        .filter(n1 < n)
         .withColumn(
-            "gain",
-            s1 * s1 * (n - n1) * n
-            + (s - s1) * (s - s1) * n1 * n
-            - s * s * n1 * (n - n1),
+            "val",
+            F.when(
+                n1 < n,
+                (s1 * s1 * (n - n1) + (s - s1) * (s - s1) * n1).cast(
+                    "double"
+                )
+                / (n1 * (n - n1)).cast("double"),
+            ),
         )
+        .filter(n1 < n)
     )
-    b = fdf.agg(F.max("gain").alias("bg"))
+    b = fdf.agg(F.max("val").alias("bv"))
     sel = (
-        fdf.join(F.broadcast(b), F.col("gain") == F.col("bg"))
+        fdf.join(F.broadcast(b), F.col("val") == F.col("bv"))
         .orderBy("day")
         .limit(1)
     )
+    ss_over_n = (s * s).cast("double") / n.cast("double")
     return sel.select(
         F.date_format("day", "yyyy-MM-dd").alias("split_day"),
         n1.cast("long").alias("n_left"),
@@ -1903,11 +1916,7 @@ def revenue_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s - s1).cast("double") / (n - n1).cast("double") / 100, 2
         ).alias("mean_right"),
         F.round(
-            F.col("gain").cast("double")
-            / (
-                (n1 * (n - n1) * n).cast("double")
-                * ((n * q - s * s).cast("double") / n.cast("double"))
-            ),
+            (F.col("val") - ss_over_n) / (q.cast("double") - ss_over_n),
             6,
         ).alias("var_explained"),
     )
