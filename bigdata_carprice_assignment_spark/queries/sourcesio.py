@@ -210,3 +210,49 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "orc_roundtrip_lineitem_stats",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_lines,
+       sum(l_orderkey)::BIGINT AS key_checksum,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS total_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def orc_roundtrip_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC scan round-trip on lineitem (the columnar
+    interchange format for Hive/Trino-flavored stacks), same
+    oracle-on-original-parquet construction as the CSV/JSONL gates:
+    the hash only matches if longs/doubles survive the ORC encode/
+    decode bit-exactly (they do — ORC stores IEEE doubles natively,
+    no text conversion). Exercises the vectorized ORC reader +
+    predicate-capable scan the engine exposes via read_orc.
+
+    Scale: one part file per task on write, parallel stripe reads on
+    scan; the aggregate is map-side combined."""
+    from ..sources.readers import read_orc
+    from ..sources.writers import write_orc
+
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice",
+        "l_discount",
+    )
+    path = str(_SCRATCH / f"lineitem_orc_{Path(sf_dir).name}")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_orderkey").alias("key_checksum"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

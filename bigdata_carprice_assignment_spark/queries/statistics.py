@@ -2928,3 +2928,137 @@ def jarque_bera_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jb_stat"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# 2-component Gaussian mixture on ln(order value) by UNROLLED EM — the
+# unsupervised member of the iteration-exact family (lm/Cholesky, PCA
+# power iteration, logistic/Poisson IRLS, PageRank). Each of the 12 EM
+# rounds is one distributed aggregate (E-step responsibilities inside
+# the sums, M-step in closed form) and both engines evaluate the same
+# expression trees; EM's linear contraction keeps per-round exp() ulp
+# noise from amplifying, so the 6dp round is stable cross-engine.
+# --------------------------------------------------------------------------
+
+_EM_ITERS = 12
+
+_EM_BASE_SQL = """
+WITH base AS (
+  SELECT ln(o_totalprice) AS x FROM orders
+),
+st AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(x*x) AS sxx FROM base
+),
+b0 AS (
+  SELECT CAST(0.5 AS DOUBLE) AS pw,
+         sx/n - sqrt((sxx - sx*sx/n)/n)/2 AS m1,
+         (sxx - sx*sx/n)/n AS v1,
+         sx/n + sqrt((sxx - sx*sx/n)/n)/2 AS m2,
+         (sxx - sx*sx/n)/n AS v2
+  FROM st
+),"""
+
+
+def _em_sql_step(prev: str, k: int) -> list[str]:
+    p1 = "pw * exp(-(x-m1)*(x-m1)/(2*v1)) / sqrt(v1)"
+    p2 = "(1-pw) * exp(-(x-m2)*(x-m2)/(2*v2)) / sqrt(v2)"
+    r = f"({p1}) / (({p1}) + ({p2}))"
+    agg = (
+        f"ag{k} AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx,"
+        f" sum(x*x) AS sxx, sum({r}) AS sr, sum(({r})*x) AS srx,"
+        f" sum(({r})*x*x) AS srxx"
+        f" FROM base, {prev} GROUP BY pw, m1, v1, m2, v2),"
+    )
+    nxt = (
+        f"b{k} AS (SELECT sr/n AS pw, srx/sr AS m1,"
+        f" srxx/sr - (srx/sr)*(srx/sr) AS v1,"
+        f" (sx-srx)/(n-sr) AS m2,"
+        f" (sxx-srxx)/(n-sr) - ((sx-srx)/(n-sr))*((sx-srx)/(n-sr)) AS v2"
+        f" FROM ag{k}),"
+    )
+    return [agg, nxt]
+
+
+def _em_exact_oracle() -> str:
+    parts = [_EM_BASE_SQL]
+    for k in range(1, _EM_ITERS + 1):
+        parts += _em_sql_step(f"b{k-1}", k)
+    parts[-1] = parts[-1].rstrip(",")
+    last = f"b{_EM_ITERS}"
+    return (
+        "\n".join(parts)
+        + f"""
+SELECT round(pw, 6) AS weight_1, round(m1, 6) AS mean_1,
+       round(v1, 6) AS var_1, round(m2, 6) AS mean_2,
+       round(v2, 6) AS var_2
+FROM {last}"""
+    )
+
+
+@query("gaussian_mixture_em_order_values", oracle=_em_exact_oracle())
+def gaussian_mixture_em_order_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """2-component Gaussian mixture over ln(order value), fit by 12
+    unrolled EM rounds (see block comment): per round ONE map-side-
+    combined aggregate carries the E-step responsibilities inside six
+    sums, and the M-step is closed-form algebra on that 6-double row.
+    Init is deterministic moment-splitting (mean ± sd/2, equal
+    weights/variances) computed from the same sums on both engines.
+
+    Scale: state is 5 doubles; each round is a full-scan aggregate —
+    the canonical distributed-EM shape (12 in-memory passes once the
+    projected column is cached)."""
+    import math
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.log("o_totalprice").alias("x"))
+        .localCheckpoint()
+    )
+    st = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).collect()[0]
+    n, sx, sxx = st["n"], st["sx"], st["sxx"]
+    v0 = (sxx - sx * sx / n) / n
+    theta = [
+        0.5,
+        sx / n - math.sqrt(v0) / 2,
+        v0,
+        sx / n + math.sqrt(v0) / 2,
+        v0,
+    ]
+    for _ in range(_EM_ITERS):
+        pw, m1, v1, m2, v2 = (F.lit(t) for t in theta)
+        x = F.col("x")
+        p1 = pw * F.exp(-(x - m1) * (x - m1) / (2 * v1)) / F.sqrt(v1)
+        p2 = (1 - pw) * F.exp(-(x - m2) * (x - m2) / (2 * v2)) / F.sqrt(v2)
+        r = p1 / (p1 + p2)
+        row = base.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(r).alias("sr"),
+            F.sum(r * x).alias("srx"),
+            F.sum(r * x * x).alias("srxx"),
+        ).collect()[0].asDict()
+        nn, sx_, sxx_ = row["n"], row["sx"], row["sxx"]
+        sr, srx, srxx = row["sr"], row["srx"], row["srxx"]
+        theta = [
+            sr / nn,
+            srx / sr,
+            srxx / sr - (srx / sr) * (srx / sr),
+            (sx_ - srx) / (nn - sr),
+            (sxx_ - srxx) / (nn - sr)
+            - ((sx_ - srx) / (nn - sr)) * ((sx_ - srx) / (nn - sr)),
+        ]
+    out = spark.createDataFrame(
+        [tuple(theta)],
+        "weight_1 double, mean_1 double, var_1 double,"
+        " mean_2 double, var_2 double",
+    )
+    return out.select(
+        *[F.round(c, 6).alias(c) for c in out.columns]
+    )

@@ -2088,3 +2088,146 @@ aggregate(
             F.sqrt(F.col("h.sse") / (F.col("n") - 1)) / 100, 4
         ).alias("rmse_1step"),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson GLM (log link) on the daily order-count series — the second
+# member of the iteration-exact GLM family (see carprice_logit_irls_exact
+# for the logistic member): K unrolled Newton/IRLS steps, each one
+# distributed aggregate of the gradient/Hessian sums + a 3x3 Cramer
+# update, generated identically for the DuckDB oracle. Newton's
+# contraction at the fixed point quenches exp()'s cross-engine ulp noise
+# far below the 6dp round.
+# --------------------------------------------------------------------------
+
+_POIS_ITERS = 12
+
+_POIS_BASE_SQL = """
+WITH dd AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         count(*)::DOUBLE AS y
+  FROM orders GROUP BY 1
+),
+m AS (SELECT min(day) AS d0 FROM dd),
+base AS (
+  SELECT (day - m.d0)::DOUBLE / 1000 AS x1,
+         CASE WHEN isodow(day) IN (6, 7) THEN CAST(1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS x2,
+         y
+  FROM dd, m
+),
+b0 AS (SELECT CAST(0 AS DOUBLE) AS p0, CAST(0 AS DOUBLE) AS p1,
+ CAST(0 AS DOUBLE) AS p2),"""
+
+
+def _pois_sql_step(prev: str, k: int) -> list[str]:
+    mu = "exp(p0 + p1*x1 + p2*x2)"
+    r = f"(y - {mu})"
+    agg = (
+        f"ag{k} AS (SELECT p0, p1, p2, "
+        f"sum({r}) AS g0, sum({r}*x1) AS g1, sum({r}*x2) AS g2, "
+        f"sum({mu}) AS ha, sum({mu}*x1) AS hb, sum({mu}*x2) AS hc, "
+        f"sum({mu}*x1*x1) AS hd, sum({mu}*x1*x2) AS he, "
+        f"sum({mu}*x2*x2) AS hf "
+        f"FROM base, {prev} GROUP BY p0, p1, p2),"
+    )
+    det = "(ha*(hd*hf-he*he) - hb*(hb*hf-hc*he) + hc*(hb*he-hc*hd))"
+    d0 = "(g0*(hd*hf-he*he) - hb*(g1*hf-he*g2) + hc*(g1*he-hd*g2))"
+    d1 = "(ha*(g1*hf-he*g2) - g0*(hb*hf-he*hc) + hc*(hb*g2-g1*hc))"
+    d2 = "(ha*(hd*g2-g1*he) - hb*(hb*g2-g1*hc) + g0*(hb*he-hd*hc))"
+    nxt = (
+        f"b{k} AS (SELECT p0 + {d0}/{det} AS p0, "
+        f"p1 + {d1}/{det} AS p1, p2 + {d2}/{det} AS p2 FROM ag{k}),"
+    )
+    return [agg, nxt]
+
+
+def _pois_exact_oracle() -> str:
+    parts = [_POIS_BASE_SQL]
+    for k in range(1, _POIS_ITERS + 1):
+        parts += _pois_sql_step(f"b{k-1}", k)
+    parts[-1] = parts[-1].rstrip(",")
+    last = f"b{_POIS_ITERS}"
+    finals = [
+        f"SELECT '(intercept)' AS feature, round(p0, 6) AS coefficient"
+        f" FROM {last}",
+        f"SELECT 'day_index_per_1000', round(p1, 6) FROM {last}",
+        f"SELECT 'is_weekend', round(p2, 6) FROM {last}",
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(finals)
+
+
+def _pois_solve(row: dict, p: list[float]) -> list[float]:
+    """Cramer step mirroring the generated SQL term for term (identical
+    to the logistic solver's expressions — same index spec)."""
+    g0, g1, g2 = row["g0"], row["g1"], row["g2"]
+    ha, hb, hc = row["ha"], row["hb"], row["hc"]
+    hd, he, hf = row["hd"], row["he"], row["hf"]
+    det = ha * (hd * hf - he * he) - hb * (hb * hf - hc * he) + hc * (
+        hb * he - hc * hd
+    )
+    d0 = g0 * (hd * hf - he * he) - hb * (g1 * hf - he * g2) + hc * (
+        g1 * he - hd * g2
+    )
+    d1 = ha * (g1 * hf - he * g2) - g0 * (hb * hf - he * hc) + hc * (
+        hb * g2 - g1 * hc
+    )
+    d2 = ha * (hd * g2 - g1 * he) - hb * (hb * g2 - g1 * hc) + g0 * (
+        hb * he - hd * hc
+    )
+    return [p[0] + d0 / det, p[1] + d1 / det, p[2] + d2 / det]
+
+
+@query("poisson_glm_daily_orders", oracle=_pois_exact_oracle())
+def poisson_glm_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson regression (log link) of daily order counts on a scaled
+    day index + weekend indicator — 12 unrolled IRLS/Newton steps, each
+    one map-side-combined aggregate of the 9 gradient/Hessian sums over
+    the bounded day-grain series and a closed-form 3x3 Cramer update,
+    replayed by the generated DuckDB CTE chain. Answers "is order
+    volume trending, and is there a weekend effect?" with a GLM instead
+    of eyeballing.
+
+    Scale: the fact collapses to the day grain first; each Newton step
+    then aggregates ~|days| rows — 12 cheap passes whatever the fact
+    size, state is 3 doubles."""
+    dd = load_table(spark, sf_dir, "orders").groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    m = dd.agg(F.min("day").alias("d0"))
+    base = dd.crossJoin(F.broadcast(m)).select(
+        (F.datediff("day", "d0").cast("double") / 1000).alias("x1"),
+        F.when(F.dayofweek("day").isin(1, 7), 1.0).otherwise(0.0).alias("x2"),
+        "y",
+    ).localCheckpoint()
+    beta = [0.0, 0.0, 0.0]
+    for _ in range(_POIS_ITERS):
+        mu = F.exp(
+            F.lit(beta[0])
+            + F.lit(beta[1]) * F.col("x1")
+            + F.lit(beta[2]) * F.col("x2")
+        )
+        r = F.col("y") - mu
+        row = base.agg(
+            F.sum(r).alias("g0"),
+            F.sum(r * F.col("x1")).alias("g1"),
+            F.sum(r * F.col("x2")).alias("g2"),
+            F.sum(mu).alias("ha"),
+            F.sum(mu * F.col("x1")).alias("hb"),
+            F.sum(mu * F.col("x2")).alias("hc"),
+            F.sum(mu * F.col("x1") * F.col("x1")).alias("hd"),
+            F.sum(mu * F.col("x1") * F.col("x2")).alias("he"),
+            F.sum(mu * F.col("x2") * F.col("x2")).alias("hf"),
+        ).collect()[0].asDict()
+        beta = _pois_solve(row, beta)
+    out = spark.createDataFrame(
+        [
+            ("(intercept)", beta[0]),
+            ("day_index_per_1000", beta[1]),
+            ("is_weekend", beta[2]),
+        ],
+        "feature string, coefficient double",
+    )
+    return out.select(
+        "feature", F.round("coefficient", 6).alias("coefficient")
+    )

@@ -240,3 +240,76 @@ def test_isotonic_minimax_equals_pava(spark):
     assert (got_counts == counts).all()
     # Monotone nondecreasing by construction.
     assert (np.diff(got_vals) > 0).all()
+
+
+def test_poisson_glm_matches_numpy_newton(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    rows = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    )
+    d0 = min(r["day"] for r in rows)
+    x1 = np.array([(r["day"] - d0).days for r in rows]) / 1000.0
+    wk = np.array([1.0 if r["day"].isoweekday() in (6, 7) else 0.0 for r in rows])
+    y = np.array([r["y"] for r in rows], dtype=float)
+    X = np.column_stack([np.ones_like(x1), x1, wk])
+    beta = np.zeros(3)
+    for _ in range(40):
+        mu = np.exp(X @ beta)
+        g = X.T @ (y - mu)
+        H = (X * mu[:, None]).T @ X
+        beta = beta + np.linalg.solve(H, g)
+    got = {
+        r["feature"]: r["coefficient"]
+        for r in registry.QUERIES["poisson_glm_daily_orders"](
+            spark, SF
+        ).collect()
+    }
+    assert got["(intercept)"] == pytest.approx(beta[0], abs=1e-5)
+    assert got["day_index_per_1000"] == pytest.approx(beta[1], abs=1e-5)
+    assert got["is_weekend"] == pytest.approx(beta[2], abs=1e-5)
+
+
+def test_gaussian_mixture_em_matches_numpy(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    x = np.array(
+        [
+            r[0]
+            for r in load_table(spark, SF, "orders")
+            .select(F.log("o_totalprice"))
+            .collect()
+        ]
+    )
+    n = len(x)
+    v0 = ((x * x).sum() - x.sum() ** 2 / n) / n
+    mu0 = x.mean()
+    pw, m1, v1, m2, v2 = 0.5, mu0 - np.sqrt(v0) / 2, v0, mu0 + np.sqrt(v0) / 2, v0
+    for _ in range(12):
+        p1 = pw * np.exp(-((x - m1) ** 2) / (2 * v1)) / np.sqrt(v1)
+        p2 = (1 - pw) * np.exp(-((x - m2) ** 2) / (2 * v2)) / np.sqrt(v2)
+        r = p1 / (p1 + p2)
+        sr, srx, srxx = r.sum(), (r * x).sum(), (r * x * x).sum()
+        sx, sxx = x.sum(), (x * x).sum()
+        pw = sr / n
+        m1, v1 = srx / sr, srxx / sr - (srx / sr) ** 2
+        m2 = (sx - srx) / (n - sr)
+        v2 = (sxx - srxx) / (n - sr) - m2 * m2
+    row = registry.QUERIES["gaussian_mixture_em_order_values"](
+        spark, SF
+    ).collect()[0]
+    assert row["weight_1"] == pytest.approx(pw, abs=1e-5)
+    assert row["mean_1"] == pytest.approx(m1, abs=1e-5)
+    assert row["var_1"] == pytest.approx(v1, abs=1e-5)
+    assert row["mean_2"] == pytest.approx(m2, abs=1e-5)
+    assert row["var_2"] == pytest.approx(v2, abs=1e-5)
+    # Mixture sanity: weights in (0,1), positive variances, ordered means.
+    assert 0 < row["weight_1"] < 1 and row["var_1"] > 0 and row["var_2"] > 0
+    assert row["mean_1"] < row["mean_2"]
