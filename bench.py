@@ -255,6 +255,15 @@ HEADLINE: list[str] = [
     "ams_f2_sketch_check",
     "yuen_trimmed_t_components",
     "cohens_d_priority_extremes",
+    "ljung_box_daily_revenue",
+    "jarque_bera_order_values",
+    "revenue_changepoint_binseg",
+    "revenue_periodicity_folding",
+    "holt_linear_daily_revenue",
+    "poisson_glm_daily_orders",
+    "gaussian_mixture_em_order_values",
+    "orc_roundtrip_lineitem_stats",
+    "bpe_first_merges",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

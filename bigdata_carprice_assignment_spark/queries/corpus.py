@@ -910,3 +910,136 @@ def token_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return sel.select("doc_id", "n_tokens", F.round("k", 8).alias("sample_key"))
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE vocabulary induction — the first K merges of the
+# byte-pair-encoding training loop, ITERATION-EXACT. BPE trains on the
+# word-frequency dictionary (Sennrich et al. 2016): the corpus-sized
+# work is ONE distributed word count; every merge round then runs on
+# the bounded vocab (pair counts weighted by word frequency → argmax →
+# greedy leftmost non-overlapping merge). Both engines represent a
+# word's symbol sequence as a bracketed string ('[h][i][</w>]') so the
+# merge is a plain substring replace with identical left-to-right
+# non-overlapping semantics (java String.replace == DuckDB replace),
+# and every statistic is an exact integer — no floating point anywhere.
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 4
+
+_BPE_VOCAB_SQL = (
+    r"""
+WITH tk AS (
+  SELECT unnest("""
+    + _DUCK_TOKENS
+    + r""") AS w FROM documents
+),
+vocab AS (
+  SELECT w AS word, count(*)::BIGINT AS n,
+         regexp_replace(w, '(.)', '[\1]', 'g') || '[</w>]' AS seq
+  FROM tk WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+),
+v0 AS (SELECT word, n, seq FROM vocab),"""
+)
+
+
+def _bpe_sql_round(k: int) -> str:
+    prev = f"v{k-1}"
+    return f"""
+p{k} AS (
+  SELECT pr[1] AS a, pr[2] AS b, sum(n)::BIGINT AS cnt
+  FROM (
+    SELECT n, unnest(list_zip(list_slice(s, 1, len(s) - 1),
+                              list_slice(s, 2, len(s)))) AS pr
+    FROM (SELECT regexp_extract_all(seq, '\\[([^\\]]+)\\]', 1) AS s, n
+          FROM {prev})
+  ) x
+  GROUP BY 1, 2
+),
+m{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+v{k} AS (
+  SELECT word, n,
+         replace(seq, '[' || m{k}.a || '][' || m{k}.b || ']',
+                 '[' || m{k}.a || m{k}.b || ']') AS seq
+  FROM {prev}, m{k}
+),"""
+
+
+def _bpe_oracle() -> str:
+    parts = [_BPE_VOCAB_SQL]
+    parts += [_bpe_sql_round(k) for k in range(1, _BPE_ROUNDS + 1)]
+    joined = "".join(parts).rstrip(",")
+    finals = [
+        f"SELECT {k} AS merge_round, a AS token_a, b AS token_b,"
+        f" a || b AS merged, cnt AS pair_count FROM m{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    ]
+    return joined + "\n" + "\nUNION ALL ".join(finals) + "\nORDER BY merge_round"
+
+
+@query("bpe_first_merges", oracle=_bpe_oracle())
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 BPE merges over the document corpus (see block comment):
+    one distributed token count builds the word-frequency dictionary;
+    each round explodes adjacent symbol pairs over the VOCAB (never the
+    corpus), weighted by word frequency, takes the exact-integer argmax
+    (ties: lexicographic), and applies the merge as a bracketed-string
+    replace. localCheckpoint truncates the per-round lineage like the
+    other iterative loops (PageRank, connected components).
+
+    Scale: corpus-sized work is the one word-count aggregate; rounds
+    cost O(|vocab| * avg_word_len) each. This is exactly how production
+    BPE trainers scale to TB corpora — the merge loop never touches the
+    corpus again."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w")
+    ).filter(F.col("w").rlike(r"^[a-z]+$"))
+    vocab = (
+        toks.groupBy(F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "word",
+            "n",
+            F.concat(
+                F.regexp_replace(F.col("word"), r"(.)", r"[$1]"),
+                F.lit("[</w>]"),
+            ).alias("seq"),
+        )
+        .localCheckpoint()
+    )
+    out: list[tuple[int, str, str, str, int]] = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        syms = F.regexp_extract_all(F.col("seq"), F.lit(r"\[([^\]]+)\]"), 1)
+        pairs = vocab.withColumn("_syms", syms).select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(slice(_syms, 1, size(_syms) - 1),"
+                    " (x, i) -> struct(x AS a, element_at(_syms, i + 2) AS b))"
+                )
+            ).alias("pr"),
+        )
+        best = (
+            pairs.groupBy(
+                F.col("pr.a").alias("a"), F.col("pr.b").alias("b")
+            )
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()[0]
+        )
+        out.append((k, best["a"], best["b"], best["a"] + best["b"], best["cnt"]))
+        vocab = vocab.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"[{best['a']}][{best['b']}]"),
+                F.lit(f"[{best['a']}{best['b']}]"),
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        out,
+        "merge_round int, token_a string, token_b string,"
+        " merged string, pair_count long",
+    ).orderBy("merge_round")

@@ -131,6 +131,20 @@ PRIORITY: tuple[str, ...] = (
     "pricing_summary_report",
     "region_revenue",
     "fpgrowth_rules",
+    # round-5 session-2 additions (never driver-checked; all locally
+    # hash-green at sf0.001/0.01/0.1): time-series diagnostics,
+    # iteration-exact GLM/EM/isotonic, ORC roundtrip.
+    "ljung_box_daily_revenue",
+    "jarque_bera_order_values",
+    "revenue_changepoint_binseg",
+    "revenue_periodicity_folding",
+    "holt_linear_daily_revenue",
+    "poisson_glm_daily_orders",
+    "gaussian_mixture_em_order_values",
+    "carprice_logit_irls_exact",
+    "carprice_isotonic_price_by_hp",
+    "orc_roundtrip_lineitem_stats",
+    "bpe_first_merges",
     # ---- everything else: previously driver-hash-green (r1-r4) and
     # rows-only queries keep module registration order (handled by
     # load_all: any registered query not named here follows after).

@@ -313,3 +313,53 @@ def test_gaussian_mixture_em_matches_numpy(spark):
     # Mixture sanity: weights in (0,1), positive variances, ordered means.
     assert 0 < row["weight_1"] < 1 and row["var_1"] > 0 and row["var_2"] > 0
     assert row["mean_1"] < row["mean_2"]
+
+
+def test_bpe_first_merges_matches_reference_loop(spark):
+    """Pure-python Sennrich-style BPE on the same word-frequency dict
+    (greedy leftmost non-overlapping merge, count-desc/lexicographic
+    tie-break) must produce the same first 4 merges."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from bigdata_carprice_assignment_spark.llm import text as TX
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    words = (
+        docs.select(
+            F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w")
+        )
+        .filter(F.col("w").rlike(r"^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    vocab = {tuple(r["w"]) + ("</w>",): r["n"] for r in words}
+    expected = []
+    for _ in range(4):
+        cnt: Counter = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += n
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), c = best
+        expected.append((a, b, a + b, c))
+        merged = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + n
+        vocab = merged
+    got = [
+        (r["token_a"], r["token_b"], r["merged"], r["pair_count"])
+        for r in registry.QUERIES["bpe_first_merges"](spark, SF).collect()
+    ]
+    assert got == expected
