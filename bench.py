@@ -264,6 +264,7 @@ HEADLINE: list[str] = [
     "gaussian_mixture_em_order_values",
     "orc_roundtrip_lineitem_stats",
     "bpe_first_merges",
+    "weekly_seasonal_decomposition",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -2231,3 +2231,76 @@ def poisson_glm_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "feature", F.round("coefficient", 6).alias("coefficient")
     )
+
+
+@query(
+    "weekly_seasonal_decomposition",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+tr AS (
+  SELECT a.day, a.cents,
+         sum(b.cents::HUGEINT)::DOUBLE / count(*)::DOUBLE AS trend
+  FROM d a JOIN d b ON b.day BETWEEN a.day - 3 AND a.day + 3
+  GROUP BY a.day, a.cents
+),
+dt AS (
+  SELECT isodow(day) AS dow, cents, cents::DOUBLE - trend AS detr FROM tr
+)
+SELECT dow::BIGINT AS dow,
+       count(*) AS n_days,
+       round(avg(cents::DOUBLE) / 100, 2) AS mean_revenue,
+       round(avg(detr) / 100, 2) AS seasonal
+FROM dt GROUP BY 1 ORDER BY 1
+""",
+)
+def weekly_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite weekly decomposition of daily revenue: trend = centered
+    7-day moving average via a CALENDAR self-join of the day-grain
+    series (present-day count as the divisor, so edges and gaps average
+    over what exists instead of zero-filling), seasonal = mean detrended
+    value per ISO weekday. The trend division has exact integer-cent
+    operands (deterministic double on both engines); the per-dow means
+    round at 2dp, far above summation-order noise.
+
+    Scale: one grouped integer aggregate collapses the fact; the ±3-day
+    band join replicates only the bounded day-grain series (x7) — the
+    windowless moving average (no partitionless WindowExec)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    b = d.select(F.col("day").alias("bday"), F.col("cents").alias("bcents"))
+    tr = (
+        d.join(
+            b,
+            (F.col("bday") >= F.date_sub("day", 3))
+            & (F.col("bday") <= F.date_add("day", 3)),
+        )
+        .groupBy("day", "cents")
+        .agg(
+            (
+                F.sum(F.col("bcents").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("trend")
+        )
+    )
+    dt = tr.select(
+        F.expr("((dayofweek(day) + 5) % 7) + 1").cast("long").alias("dow"),
+        "cents",
+        (F.col("cents").cast("double") - F.col("trend")).alias("detr"),
+    )
+    return (
+        dt.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(F.col("cents").cast("double")) / 100, 2).alias(
+                "mean_revenue"
+            ),
+            F.round(F.avg("detr") / 100, 2).alias("seasonal"),
+        )
+        .orderBy("dow")
+    )

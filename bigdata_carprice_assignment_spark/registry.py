@@ -145,6 +145,7 @@ PRIORITY: tuple[str, ...] = (
     "carprice_isotonic_price_by_hp",
     "orc_roundtrip_lineitem_stats",
     "bpe_first_merges",
+    "weekly_seasonal_decomposition",
     # ---- everything else: previously driver-hash-green (r1-r4) and
     # rows-only queries keep module registration order (handled by
     # load_all: any registered query not named here follows after).

@@ -363,3 +363,48 @@ def test_bpe_first_merges_matches_reference_loop(spark):
         for r in registry.QUERIES["bpe_first_merges"](spark, SF).collect()
     ]
     assert got == expected
+
+
+def test_weekly_seasonal_decomposition_matches_direct(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    rows = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+        .collect()
+    )
+    series = {r["day"]: float(r["cents"]) for r in rows}
+    import datetime
+
+    by_dow: dict[int, list[float]] = {k: [] for k in range(1, 8)}
+    raw_by_dow: dict[int, list[float]] = {k: [] for k in range(1, 8)}
+    for day, c in series.items():
+        win = [
+            series[day + datetime.timedelta(days=o)]
+            for o in range(-3, 4)
+            if day + datetime.timedelta(days=o) in series
+        ]
+        trend = sum(win) / len(win)
+        by_dow[day.isoweekday()].append(c - trend)
+        raw_by_dow[day.isoweekday()].append(c)
+    got = registry.QUERIES["weekly_seasonal_decomposition"](
+        spark, SF
+    ).collect()
+    assert [r["dow"] for r in got] == list(range(1, 8))
+    for r in got:
+        vals = by_dow[r["dow"]]
+        assert r["n_days"] == len(vals)
+        assert r["seasonal"] == pytest.approx(
+            sum(vals) / len(vals) / 100, abs=0.05
+        )
+        raw = raw_by_dow[r["dow"]]
+        assert r["mean_revenue"] == pytest.approx(
+            sum(raw) / len(raw) / 100, abs=0.05
+        )
