@@ -526,7 +526,7 @@ _LM_PREDS: list[str] = [
 ]
 
 
-def _lm_exact_oracle() -> str:
+def _lm_exact_oracle(lam: float = 0.0) -> str:
     """Generate the DuckDB oracle: the ml-matrix CTE + sufficient-stat
     aggregate + an UNROLLED correlation-form Cholesky solve (one CTE
     layer per elimination column, one per back-substitution step). The
@@ -568,7 +568,8 @@ def _lm_exact_oracle() -> str:
     for k in range(p):
         cols: list[str] = []
         acc = " + ".join(f"l{k}_{m}*l{k}_{m}" for m in range(k))
-        dkk = f"r{k}_{k} - ({acc})" if acc else f"r{k}_{k}"
+        base = f"(r{k}_{k} + {lam!r})" if lam else f"r{k}_{k}"
+        dkk = f"{base} - ({acc})" if acc else base
         cols.append(f"sqrt({dkk}) AS l{k}_{k}")
         for j in range(k + 1, p):
             accj = " + ".join(f"l{j}_{m}*l{k}_{m}" for m in range(k))
@@ -602,7 +603,7 @@ def _lm_exact_oracle() -> str:
     return "\n".join(parts) + "\n" + "\nUNION ALL ".join(finals)
 
 
-def _lm_solve(row: dict) -> list[tuple[str, float]]:
+def _lm_solve(row: dict, lam: float = 0.0) -> list[tuple[str, float]]:
     """Driver-side normal-equation solve, mirroring the oracle's
     generated recurrences term for term (left-to-right accumulation,
     identical division/multiplication order) so the IEEE result is the
@@ -630,7 +631,8 @@ def _lm_solve(row: dict) -> list[tuple[str, float]]:
         acc = 0.0
         for m in range(k):
             acc += lo[(k, m)] * lo[(k, m)]
-        dkk = r[(k, k)] - acc
+        rkk = r[(k, k)] + lam if lam else r[(k, k)]
+        dkk = rkk - acc
         lo[(k, k)] = math.sqrt(dkk)
         for j in range(k + 1, p):
             accj = 0.0
@@ -666,6 +668,14 @@ def carprice_lm_coefficients_exact(spark: SparkSession, sf_dir: str) -> DataFram
     association order deterministic (the table is tiny; at scale you'd
     accept last-ulp sum noise, which correlation scaling keeps ~1e-12
     in the coefficients, far under the 6dp round)."""
+    coefs = _lm_solve(_lm_suffstats(spark, sf_dir))
+    out = spark.createDataFrame(coefs, "feature string, coefficient double")
+    return out.select("feature", F.round("coefficient", 6).alias("coefficient"))
+
+
+def _lm_suffstats(spark: SparkSession, sf_dir: str) -> dict:
+    """One distributed aggregate of the lm sufficient statistics
+    (shared by the OLS and ridge exact fits)."""
     ml = carprice_ml_matrix(spark, sf_dir).coalesce(1)
     xs = [F.col(f"`{c}`") for c in _LM_PREDS]
     y = F.log1p(F.col("price"))
@@ -678,8 +688,22 @@ def carprice_lm_coefficients_exact(spark: SparkSession, sf_dir: str) -> DataFram
     ]
     aggs += [F.sum(xs[i] * y).alias(f"sy{i}") for i in range(len(xs))]
     aggs += [F.sum(y).alias("sy"), F.sum(y * y).alias("syy")]
-    row = ml.agg(*aggs).collect()[0].asDict()
-    coefs = _lm_solve(row)
+    return ml.agg(*aggs).collect()[0].asDict()
+
+
+@query("carprice_ridge_coefficients_exact", oracle=_lm_exact_oracle(lam=0.1))
+def carprice_ridge_coefficients_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ridge regression (standardized penalty, lambda=0.1 on the
+    correlation scale) of lm(log_price ~ .) — the regularized variant
+    of :func:`carprice_lm_coefficients_exact`, solving (R + λI)b = r_y
+    with the SAME generated Cholesky recurrences, just a diagonal
+    shift: one sufficient-statistics aggregate, closed-form solve,
+    DuckDB-replayed term for term. The one-hot brand columns make the
+    OLS design near-collinear; the shifted diagonal shows the shrinkage
+    a user reaches for in exactly that situation."""
+    coefs = _lm_solve(_lm_suffstats(spark, sf_dir), lam=0.1)
     out = spark.createDataFrame(coefs, "feature string, coefficient double")
     return out.select("feature", F.round("coefficient", 6).alias("coefficient"))
 

@@ -146,6 +146,7 @@ PRIORITY: tuple[str, ...] = (
     "orc_roundtrip_lineitem_stats",
     "bpe_first_merges",
     "weekly_seasonal_decomposition",
+    "carprice_ridge_coefficients_exact",
     # ---- everything else: previously driver-hash-green (r1-r4) and
     # rows-only queries keep module registration order (handled by
     # load_all: any registered query not named here follows after).

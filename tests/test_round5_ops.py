@@ -408,3 +408,46 @@ def test_weekly_seasonal_decomposition_matches_direct(spark):
         assert r["mean_revenue"] == pytest.approx(
             sum(raw) / len(raw) / 100, abs=0.05
         )
+
+
+def test_ridge_exact_matches_numpy(spark):
+    import numpy as np
+
+    from bigdata_carprice_assignment_spark.queries.carprice import (
+        _LM_PREDS,
+        carprice_ml_matrix,
+    )
+
+    pdf = carprice_ml_matrix(spark, SF).toPandas()
+    X = pdf[_LM_PREDS].to_numpy(dtype=float)
+    y = np.log1p(pdf["price"].to_numpy(dtype=float))
+    n = len(y)
+    Xc = X - X.mean(axis=0)
+    yc = y - y.mean()
+    sx = np.sqrt((Xc * Xc).sum(axis=0))
+    sy = np.sqrt((yc * yc).sum())
+    R = (Xc / sx).T @ (Xc / sx)
+    ry = (Xc / sx).T @ (yc / sy)
+    lam = 0.1
+    b = np.linalg.solve(R + lam * np.eye(len(_LM_PREDS)), ry)
+    beta = b * sy / sx
+    icept = y.mean() - (beta * X.mean(axis=0)).sum()
+    got = {
+        r["feature"]: r["coefficient"]
+        for r in registry.QUERIES["carprice_ridge_coefficients_exact"](
+            spark, SF
+        ).collect()
+    }
+    assert got["(intercept)"] == pytest.approx(icept, abs=1e-4)
+    for i, c in enumerate(_LM_PREDS):
+        assert got[c] == pytest.approx(beta[i], abs=1e-4), c
+    # Shrinkage sanity: ridge coefficient L2 norm strictly below OLS.
+    ols = {
+        r["feature"]: r["coefficient"]
+        for r in registry.QUERIES["carprice_lm_coefficients_exact"](
+            spark, SF
+        ).collect()
+    }
+    rn = sum(v * v for k, v in got.items() if k != "(intercept)")
+    on = sum(v * v for k, v in ols.items() if k != "(intercept)")
+    assert rn < on
