@@ -141,8 +141,32 @@ def probe_engine(spark) -> None:
             print(f"engine sf{sf} srp_{label}: {ts} ({n} rows)", flush=True)
 
 
+# Round-5 session-2 additions: the new time-series/GLM/EM/BPE family.
+# All but BPE collapse the fact to the bounded day grain first (expected
+# ~linear in the one grouped aggregate); EM/Poisson add a fixed number
+# of full-scan iterations; BPE's corpus-sized work is one word count
+# (the clone corpora keep the vocab constant, so merge rounds are flat).
+NEW_PROBES = [
+    "ljung_box_daily_revenue",
+    "jarque_bera_order_values",
+    "revenue_changepoint_binseg",
+    "revenue_periodicity_folding",
+    "holt_linear_daily_revenue",
+    "poisson_glm_daily_orders",
+    "gaussian_mixture_em_order_values",
+    "weekly_seasonal_decomposition",
+    "orc_roundtrip_lineitem_stats",
+    "bpe_first_merges",
+    # sentinel for cross-run comparability
+    "flagship_price_band_summary",
+]
+
+
 def main() -> None:
+    global PROBES
     registry.load_all()
+    if "--new" in sys.argv:
+        PROBES = NEW_PROBES
     spark = get_spark("scale_probe")
     if "--engine-only" in sys.argv:
         probe_engine(spark)
