@@ -1125,3 +1125,345 @@ def carprice_isotonic_price_by_hp(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("fitted_price")
     )
+
+
+@query(
+    "carprice_lda_fisher_exact",
+    oracle=f"""
+WITH raw AS (
+  SELECT * FROM read_csv('{cp.REFERENCE_CSV}', header=true)
+),
+base AS (
+  SELECT CASE WHEN fueltype = 'gas' THEN 1 ELSE 0 END AS y,
+         horsepower::DOUBLE / 100 AS x1,
+         curbweight::DOUBLE / 1000 AS x2,
+         citympg::DOUBLE / 10 AS x3
+  FROM raw
+),
+st AS (
+  SELECT y, count(*)::DOUBLE AS n,
+         sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+         sum(x1*x1) AS q11, sum(x1*x2) AS q12, sum(x1*x3) AS q13,
+         sum(x2*x2) AS q22, sum(x2*x3) AS q23, sum(x3*x3) AS q33
+  FROM base GROUP BY y
+),
+sw AS (
+  SELECT sum(n) AS n,
+         sum(q11 - s1*s1/n) / (sum(n) - 2) AS a,
+         sum(q12 - s1*s2/n) / (sum(n) - 2) AS b,
+         sum(q13 - s1*s3/n) / (sum(n) - 2) AS c,
+         sum(q22 - s2*s2/n) / (sum(n) - 2) AS d,
+         sum(q23 - s2*s3/n) / (sum(n) - 2) AS e,
+         sum(q33 - s3*s3/n) / (sum(n) - 2) AS f,
+         max(CASE WHEN y = 1 THEN n END) AS n1,
+         max(CASE WHEN y = 0 THEN n END) AS n0,
+         max(CASE WHEN y = 1 THEN s1/n END)
+           - max(CASE WHEN y = 0 THEN s1/n END) AS g0,
+         max(CASE WHEN y = 1 THEN s2/n END)
+           - max(CASE WHEN y = 0 THEN s2/n END) AS g1,
+         max(CASE WHEN y = 1 THEN s3/n END)
+           - max(CASE WHEN y = 0 THEN s3/n END) AS g2,
+         max(CASE WHEN y = 1 THEN s1/n END)
+           + max(CASE WHEN y = 0 THEN s1/n END) AS p0,
+         max(CASE WHEN y = 1 THEN s2/n END)
+           + max(CASE WHEN y = 0 THEN s2/n END) AS p1,
+         max(CASE WHEN y = 1 THEN s3/n END)
+           + max(CASE WHEN y = 0 THEN s3/n END) AS p2
+  FROM st
+),
+wv AS (
+  SELECT n, n1, n0, g0, g1, g2, p0, p1, p2,
+         (g0*(d*f-e*e) - b*(g1*f-e*g2) + c*(g1*e-d*g2))
+           / (a*(d*f-e*e) - b*(b*f-c*e) + c*(b*e-c*d)) AS w1,
+         (a*(g1*f-e*g2) - g0*(b*f-e*c) + c*(b*g2-g1*c))
+           / (a*(d*f-e*e) - b*(b*f-c*e) + c*(b*e-c*d)) AS w2,
+         (a*(d*g2-g1*e) - b*(b*g2-g1*c) + g0*(b*e-d*c))
+           / (a*(d*f-e*e) - b*(b*f-c*e) + c*(b*e-c*d)) AS w3
+  FROM sw
+),
+acc AS (
+  SELECT count(*)::DOUBLE AS n_correct
+  FROM base, wv
+  WHERE (CASE WHEN w1*x1 + w2*x2 + w3*x3
+                   > (w1*p0 + w2*p1 + w3*p2) / 2
+              THEN 1 ELSE 0 END) = y
+)
+SELECT wv.n1::BIGINT AS n_gas, wv.n0::BIGINT AS n_diesel,
+       round(wv.w1, 6) AS w_horsepower_per_100,
+       round(wv.w2, 6) AS w_curbweight_per_1000,
+       round(wv.w3, 6) AS w_citympg_per_10,
+       round(wv.w1*wv.g0 + wv.w2*wv.g1 + wv.w3*wv.g2, 6) AS fisher_separation,
+       round(acc.n_correct / wv.n, 6) AS train_accuracy
+FROM wv, acc
+""",
+)
+def carprice_lda_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher linear discriminant (gas vs diesel) in exact closed form:
+    pooled within-class covariance from per-class sufficient statistics
+    (one grouped aggregate — 11 sums per class), direction w = Sw^-1
+    (mu1 - mu0) by the same 3x3 Cramer expressions the logit query uses,
+    then the midpoint-threshold training accuracy in a second broadcast
+    pass. The classical supervised-projection baseline the reference's
+    classification section implies (fueltype is its categorical axis;
+    cf. BigDataProject.R:341-358 Naive Bayes on the same frame) — and,
+    unlike the NB fit, numerically EXACT, so it gets a full value-hash
+    oracle rather than a rows-only check.
+
+    Scale: two passes over the fact (one grouped 11-sum fold, one
+    broadcast-scalar classification count); state is 3 doubles."""
+    base = cp.load_raw(spark).select(
+        F.when(F.col("fueltype") == "gas", 1).otherwise(0).alias("y"),
+        (F.col("horsepower").cast("double") / 100).alias("x1"),
+        (F.col("curbweight").cast("double") / 1000).alias("x2"),
+        (F.col("citympg").cast("double") / 10).alias("x3"),
+    )
+    st = base.groupBy("y").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("x3").alias("s3"),
+        F.sum(F.col("x1") * F.col("x1")).alias("q11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("q12"),
+        F.sum(F.col("x1") * F.col("x3")).alias("q13"),
+        F.sum(F.col("x2") * F.col("x2")).alias("q22"),
+        F.sum(F.col("x2") * F.col("x3")).alias("q23"),
+        F.sum(F.col("x3") * F.col("x3")).alias("q33"),
+    )
+    N = F.sum("n")
+    cls = lambda y, e: F.max(F.when(F.col("y") == y, e))  # noqa: E731
+    mu = lambda j: cls(1, F.col(f"s{j}") / F.col("n")) - cls(  # noqa: E731
+        0, F.col(f"s{j}") / F.col("n")
+    )
+    ms = lambda j: cls(1, F.col(f"s{j}") / F.col("n")) + cls(  # noqa: E731
+        0, F.col(f"s{j}") / F.col("n")
+    )
+    pooled = lambda jk, j, k: F.sum(  # noqa: E731
+        F.col(f"q{jk}") - F.col(f"s{j}") * F.col(f"s{k}") / F.col("n")
+    ) / (N - 2)
+    sw = st.agg(
+        N.alias("n"),
+        pooled("11", 1, 1).alias("a"),
+        pooled("12", 1, 2).alias("b"),
+        pooled("13", 1, 3).alias("c"),
+        pooled("22", 2, 2).alias("d"),
+        pooled("23", 2, 3).alias("e"),
+        pooled("33", 3, 3).alias("f"),
+        cls(1, F.col("n")).alias("n1"),
+        cls(0, F.col("n")).alias("n0"),
+        mu(1).alias("g0"),
+        mu(2).alias("g1"),
+        mu(3).alias("g2"),
+        ms(1).alias("p0"),
+        ms(2).alias("p1"),
+        ms(3).alias("p2"),
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    d, e, f = F.col("d"), F.col("e"), F.col("f")
+    g0, g1, g2 = F.col("g0"), F.col("g1"), F.col("g2")
+    det = a * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d)
+    wv = sw.select(
+        "n",
+        "n1",
+        "n0",
+        "g0",
+        "g1",
+        "g2",
+        "p0",
+        "p1",
+        "p2",
+        (
+            (g0 * (d * f - e * e) - b * (g1 * f - e * g2) + c * (g1 * e - d * g2))
+            / det
+        ).alias("w1"),
+        (
+            (a * (g1 * f - e * g2) - g0 * (b * f - e * c) + c * (b * g2 - g1 * c))
+            / det
+        ).alias("w2"),
+        (
+            (a * (d * g2 - g1 * e) - b * (b * g2 - g1 * c) + g0 * (b * e - d * c))
+            / det
+        ).alias("w3"),
+    )
+    proj = (
+        F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    thr = (
+        F.col("w1") * F.col("p0")
+        + F.col("w2") * F.col("p1")
+        + F.col("w3") * F.col("p2")
+    ) / 2
+    acc = (
+        base.crossJoin(F.broadcast(wv))
+        .filter(F.when(proj > thr, 1).otherwise(0) == F.col("y"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_correct"))
+    )
+    return wv.crossJoin(F.broadcast(acc)).select(
+        F.col("n1").cast("long").alias("n_gas"),
+        F.col("n0").cast("long").alias("n_diesel"),
+        F.round("w1", 6).alias("w_horsepower_per_100"),
+        F.round("w2", 6).alias("w_curbweight_per_1000"),
+        F.round("w3", 6).alias("w_citympg_per_10"),
+        F.round(
+            F.col("w1") * F.col("g0")
+            + F.col("w2") * F.col("g1")
+            + F.col("w3") * F.col("g2"),
+            6,
+        ).alias("fisher_separation"),
+        F.round(F.col("n_correct") / F.col("n"), 6).alias("train_accuracy"),
+    )
+
+
+@query(
+    "carprice_conformal_interval",
+    oracle=f"""
+WITH raw AS (
+  SELECT * FROM read_csv('{cp.REFERENCE_CSV}', header=true)
+),
+base AS (
+  SELECT car_ID::BIGINT AS cid, horsepower::DOUBLE AS x, price::DOUBLE AS y,
+         CASE WHEN substr(md5('conf:' || CAST(car_ID::BIGINT AS VARCHAR)), 1, 1)
+                   < '8'
+              THEN 1 ELSE 0 END AS is_train
+  FROM raw
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM base WHERE is_train = 1
+),
+b AS (
+  SELECT n, (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+         sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n) AS icept
+  FROM s
+),
+cal AS (
+  SELECT base.cid, abs(base.y - (b.icept + b.slope * base.x)) AS r
+  FROM base, b WHERE base.is_train = 0
+),
+nc AS (SELECT count(*)::BIGINT AS n_cal FROM cal),
+rk AS (
+  SELECT r, row_number() OVER (ORDER BY r, cid) AS k FROM cal
+),
+q AS (
+  SELECT rk.r AS halfwidth
+  FROM rk, nc
+  WHERE rk.k = least(CAST(ceil(0.9 * (nc.n_cal + 1)) AS BIGINT), nc.n_cal)
+),
+cov AS (
+  SELECT count(*)::DOUBLE AS n_all,
+         sum(CASE WHEN abs(base.y - (b.icept + b.slope * base.x))
+                       <= q.halfwidth
+                  THEN 1 ELSE 0 END)::DOUBLE AS n_in
+  FROM base, b, q
+)
+SELECT (SELECT count(*) FROM base WHERE is_train = 1)::BIGINT AS n_train,
+       nc.n_cal AS n_cal,
+       round(q.halfwidth, 2) AS halfwidth_90,
+       round(cov.n_in / cov.n_all, 6) AS coverage_all
+FROM nc, q, cov
+""",
+)
+def carprice_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% prediction interval for price ~ horsepower:
+    deterministic md5 coin splits rows into train/calibration, the
+    train half fits the closed-form OLS, the calibration half supplies
+    the ceil(0.9(n+1))-th smallest absolute residual as the
+    distribution-free half-width (Vovk/Lei-Wasserman split conformal),
+    and the audit reports empirical coverage over ALL rows. The
+    finite-sample-valid uncertainty wrapper the reference's lm/SVR
+    models lack (BigDataProject.R:305,366 report RMSE only — no
+    intervals).
+
+    Exactness: the split coin is an engine-identical substring compare;
+    the order statistic is selected by global rank with a row-id
+    tiebreak (range-partitioned two-pass rank on the Spark side — no
+    single-task window); one shared association order everywhere.
+
+    Scale: two sufficient-statistics folds + one rank selection over
+    the calibration half; nothing driver-side but 4 scalars."""
+    from ..operators.windows import range_partitioned_rank
+
+    base = cp.load_raw(spark).select(
+        F.col("car_ID").cast("long").alias("cid"),
+        F.col("horsepower").cast("double").alias("x"),
+        F.col("price").cast("double").alias("y"),
+        F.when(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(
+                            F.lit("conf:"), F.col("car_ID").cast("long").cast("string")
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("is_train"),
+    )
+    s = base.filter(F.col("is_train") == 1).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    b = s.select(
+        "n",
+        slope.alias("slope"),
+        (F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n"))).alias(
+            "icept"
+        ),
+    )
+    resid = F.abs(F.col("y") - (F.col("icept") + F.col("slope") * F.col("x")))
+    cal = (
+        base.filter(F.col("is_train") == 0)
+        .crossJoin(F.broadcast(b))
+        .select("cid", resid.alias("r"))
+    )
+    nc = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    rk = range_partitioned_rank(cal, ["r", "cid"], out="k")
+    q = (
+        rk.crossJoin(F.broadcast(nc))
+        .filter(
+            F.col("k")
+            == F.least(
+                F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long"), F.col("n_cal")
+            )
+        )
+        .select(F.col("r").alias("halfwidth"))
+    )
+    cov = (
+        base.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_all"),
+            F.sum(F.when(resid <= F.col("halfwidth"), 1).otherwise(0))
+            .cast("double")
+            .alias("n_in"),
+        )
+    )
+    ntr = base.filter(F.col("is_train") == 1).agg(
+        F.count(F.lit(1)).alias("n_train")
+    )
+    return (
+        ntr.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.round("halfwidth", 2).alias("halfwidth_90"),
+            F.round(F.col("n_in") / F.col("n_all"), 6).alias("coverage_all"),
+        )
+    )

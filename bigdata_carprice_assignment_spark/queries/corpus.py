@@ -1043,3 +1043,110 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_round int, token_a string, token_b string,"
         " merged string, pair_count long",
     ).orderBy("merge_round")
+
+
+@query(
+    "pmi_collocations_top",
+    oracle=r"""
+WITH tk AS (
+  SELECT string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+ug AS (
+  SELECT unnest(toks) AS w FROM tk
+),
+uc AS (SELECT w, count(*)::BIGINT AS cu FROM ug GROUP BY w),
+nt AS (SELECT count(*)::BIGINT AS n_tok FROM ug),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> toks[i])) AS w1,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> toks[i+1])) AS w2
+  FROM tk WHERE len(toks) >= 2
+),
+bc AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bg GROUP BY w1, w2),
+nb AS (SELECT count(*)::BIGINT AS n_bg FROM bg),
+pm AS (
+  SELECT bc.w1, bc.w2, bc.cb,
+         round(ln(bc.cb::DOUBLE * nt.n_tok::DOUBLE * nt.n_tok::DOUBLE
+                  / (nb.n_bg::DOUBLE * a.cu::DOUBLE * b.cu::DOUBLE)), 6)
+           AS pmi
+  FROM bc
+  JOIN uc a ON bc.w1 = a.w
+  JOIN uc b ON bc.w2 = b.w
+  CROSS JOIN nt CROSS JOIN nb
+  WHERE bc.cb >= 5
+)
+SELECT w1, w2, cb AS pair_count, pmi
+FROM pm ORDER BY pmi DESC, w1, w2 LIMIT 15
+""",
+)
+def pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 collocations by pointwise mutual information over the
+    corpus token stream: PMI(w1,w2) = ln(P(w1 w2)/(P(w1)P(w2))) with a
+    min-pair-count-5 support floor (raw PMI promotes hapax junk; the
+    floor is the standard Church-Hanks fix). The phrase-detection
+    primitive behind tokenizer vocab curation and stopword-aware
+    indexing — "which adjacent pairs are units, not accidents?".
+
+    Exactness: all counts are exact integers; the PMI ratio is ONE
+    left-associated double expression shared by both engines; ranking
+    on the rounded score with a (w1, w2) tiebreak.
+
+    Scale: two explode+count aggregates (map-side partials on token /
+    pair keys) and a broadcast of the two scalar totals; the pair join
+    is on the unigram dictionary (vocabulary-sized, not corpus-sized).
+    Top-k is a TakeOrdered, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(TX.tokens("text").alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    ug = tk.select(F.explode("toks").alias("w"))
+    uc = ug.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    nt = ug.agg(F.count(F.lit(1)).alias("n_tok"))
+    bg = (
+        tk.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).filter(
+        F.col("cb") >= 5
+    )
+    nb = bg.agg(F.count(F.lit(1)).alias("n_bg"))
+    a = uc.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))
+    b = uc.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
+    pm = (
+        bc.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").alias("pair_count"),
+            F.round(
+                F.log(
+                    F.col("cb").cast("double")
+                    * F.col("n_tok").cast("double")
+                    * F.col("n_tok").cast("double")
+                    / (
+                        F.col("n_bg").cast("double")
+                        * F.col("cu1").cast("double")
+                        * F.col("cu2").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return pm.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(15)

@@ -3062,3 +3062,143 @@ def gaussian_mixture_em_order_values(
     return out.select(
         *[F.round(c, 6).alias(c) for c in out.columns]
     )
+
+
+_PERM_B = 32
+
+# One md5 digest per row feeds all 32 replicates: hex char b (< '8' ⇒
+# group A) is a fair deterministic coin, and both engines compare the
+# same lowercase-hex substring, so every reassignment replays exactly.
+_PERM_ORACLE = (
+    "WITH w AS (\n"
+    "  SELECT o_totalprice AS x,\n"
+    "         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS gu,\n"
+    "         md5('perm:' || o_orderkey) AS d\n"
+    "  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')\n"
+    "),\ns AS (\n  SELECT\n"
+    + ",\n".join(
+        f"         sum(CASE WHEN substr(d, {b + 1}, 1) < '8' THEN x ELSE 0 END)"
+        f" AS s{b},\n"
+        f"         sum(CASE WHEN substr(d, {b + 1}, 1) < '8' THEN 1 ELSE 0 END)"
+        f"::DOUBLE AS c{b}"
+        for b in range(_PERM_B)
+    )
+    + ",\n         sum(CASE WHEN gu = 1 THEN x ELSE 0 END) AS su,\n"
+    "         sum(gu)::DOUBLE AS cu,\n"
+    "         sum(x) AS st, count(*)::DOUBLE AS n\n  FROM w\n),\nd AS (\n"
+    "  SELECT n, cu, su / cu - (st - su) / (n - cu) AS obs,\n"
+    + ",\n".join(
+        f"         s{b} / c{b} - (st - s{b}) / (n - c{b}) AS d{b}"
+        for b in range(_PERM_B)
+    )
+    + "\n  FROM s\n),\nm AS (\n  SELECT n, cu, obs,\n         ("
+    + " + ".join(f"d{b}" for b in range(_PERM_B))
+    + f") / {_PERM_B}.0 AS mbar,\n         ("
+    + " + ".join(f"d{b} * d{b}" for b in range(_PERM_B))
+    + ") AS msq,\n         ("
+    + " + ".join(
+        f"CASE WHEN abs(d{b}) >= abs(obs) THEN 1 ELSE 0 END"
+        for b in range(_PERM_B)
+    )
+    + ") AS n_extreme\n  FROM d\n)\n"
+    + f"""SELECT n::BIGINT AS n_rows, cu::BIGINT AS n_urgent,
+       {_PERM_B}::BIGINT AS n_replicates,
+       round(obs, 6) AS observed_diff,
+       round(mbar, 6) AS null_mean,
+       round(sqrt((msq - {_PERM_B}.0 * mbar * mbar) / ({_PERM_B}.0 - 1)), 6)
+         AS null_sd,
+       round((obs - mbar)
+             / sqrt((msq - {_PERM_B}.0 * mbar * mbar) / ({_PERM_B}.0 - 1)), 4)
+         AS z_score,
+       n_extreme::BIGINT AS n_null_as_extreme
+FROM m"""
+)
+
+
+@query("randomization_test_priority_diff", oracle=_PERM_ORACLE)
+def randomization_test_priority_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation-style) test of the urgent-vs-low mean
+    order-value difference: B=32 deterministic label reassignments —
+    hex char b of the row's md5 digest is a fair coin — rebuild the
+    null distribution of the mean difference as ONE streaming aggregate
+    (2 extra conditional sums per replicate, no data copies), exactly
+    like the Poisson bootstrap next door but for HYPOTHESIS TESTING:
+    observed diff vs null mean/sd, a z-score, and the count of null
+    replicates at least as extreme (the exact-test numerator). The
+    assumption-free companion to ``welch_t_components``: no normality,
+    no variance model — just the data re-labeled.
+
+    Exactness: every coin is an engine-identical substring compare on
+    the shared digest; the 32-term null moments are one fixed
+    left-associated chain on both sides.
+
+    Scale: one pass, 67 conditional sums, a 1-row result — the
+    resample-free way to permutation-test at 100 TB (B label copies of
+    the fact table would be the naive plan)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    w = orders.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("gu"),
+        F.md5(
+            F.encode(
+                F.concat(F.lit("perm:"), F.col("o_orderkey").cast("string")),
+                "UTF-8",
+            )
+        ).alias("d"),
+    )
+    aggs = []
+    for b in range(_PERM_B):
+        bit = F.substring(F.col("d"), b + 1, 1) < "8"
+        aggs.append(F.sum(F.when(bit, F.col("x")).otherwise(0.0)).alias(f"s{b}"))
+        aggs.append(
+            F.sum(F.when(bit, 1).otherwise(0)).cast("double").alias(f"c{b}")
+        )
+    aggs += [
+        F.sum(F.when(F.col("gu") == 1, F.col("x")).otherwise(0.0)).alias("su"),
+        F.sum("gu").cast("double").alias("cu"),
+        F.sum("x").alias("st"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ]
+    s = w.agg(*aggs)
+    diff = lambda sb, cb: F.col(sb) / F.col(cb) - (  # noqa: E731
+        F.col("st") - F.col(sb)
+    ) / (F.col("n") - F.col(cb))
+    d = s.select(
+        "n",
+        "cu",
+        diff("su", "cu").alias("obs"),
+        *[diff(f"s{b}", f"c{b}").alias(f"d{b}") for b in range(_PERM_B)],
+    )
+    mbar = sum(
+        (F.col(f"d{b}") for b in range(1, _PERM_B)), F.col("d0")
+    ) / float(_PERM_B)
+    msq = sum(
+        (F.col(f"d{b}") * F.col(f"d{b}") for b in range(1, _PERM_B)),
+        F.col("d0") * F.col("d0"),
+    )
+    n_ext = sum(
+        (
+            F.when(F.abs(F.col(f"d{b}")) >= F.abs(F.col("obs")), 1).otherwise(0)
+            for b in range(1, _PERM_B)
+        ),
+        F.when(F.abs(F.col("d0")) >= F.abs(F.col("obs")), 1).otherwise(0),
+    )
+    m = d.select(
+        "n", "cu", "obs", mbar.alias("mbar"), msq.alias("msq"), n_ext.alias("n_extreme")
+    )
+    sd = F.sqrt(
+        (F.col("msq") - float(_PERM_B) * F.col("mbar") * F.col("mbar"))
+        / (float(_PERM_B) - 1)
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("cu").cast("long").alias("n_urgent"),
+        F.lit(_PERM_B).cast("long").alias("n_replicates"),
+        F.round("obs", 6).alias("observed_diff"),
+        F.round("mbar", 6).alias("null_mean"),
+        F.round(sd, 6).alias("null_sd"),
+        F.round((F.col("obs") - F.col("mbar")) / sd, 4).alias("z_score"),
+        F.col("n_extreme").cast("long").alias("n_null_as_extreme"),
+    )

@@ -2304,3 +2304,445 @@ def weekly_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("dow")
     )
+
+
+@query(
+    "yule_walker_ar2_daily_revenue",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT count(*)::HUGEINT AS n, sum(cents::HUGEINT) AS sx FROM d
+),
+dev AS (
+  SELECT day, tot.n * cents::HUGEINT - tot.sx AS dv FROM d, tot
+),
+den AS (SELECT sum(dv * dv) AS den FROM dev),
+pr AS (
+  SELECT r.lag AS lag, sum(a.dv * b.dv) AS num
+  FROM dev a, range(1, 3) r(lag)
+  JOIN dev b ON b.day = a.day + r.lag::INTEGER
+  GROUP BY 1
+),
+rh AS (
+  SELECT
+    max(CASE WHEN lag = 1 THEN num::DOUBLE / den.den::DOUBLE END) AS r1,
+    max(CASE WHEN lag = 2 THEN num::DOUBLE / den.den::DOUBLE END) AS r2
+  FROM pr, den
+)
+SELECT tot.n::BIGINT AS n_days,
+       round(r1, 6) AS rho_1,
+       round(r2, 6) AS rho_2,
+       round(r1 * (1 - r2) / (1 - r1 * r1), 6) AS phi_1,
+       round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS phi_2,
+       round(1 - r1 * (1 - r2) / (1 - r1 * r1) * r1
+               - (r2 - r1 * r1) / (1 - r1 * r1) * r2, 6)
+         AS innovation_variance_ratio
+FROM rh, tot
+""",
+)
+def yule_walker_ar2_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule-Walker AR(2) fit to daily revenue: solve the 2x2 Toeplitz
+    system from the classical acf at lags 1-2 in closed form —
+    phi1 = rho1(1-rho2)/(1-rho1^2), phi2 = (rho2-rho1^2)/(1-rho1^2) —
+    plus the innovation-variance ratio sigma^2_e/gamma_0 =
+    1 - phi1*rho1 - phi2*rho2 (how much of the day-to-day variance the
+    autoregression explains). The forecasting counterpart to Ljung-Box:
+    that query asks "is there structure?", this one FITS the structure.
+
+    Exactness: same machinery as ``ljung_box_daily_revenue`` — exact
+    decimal mean-centering (n*x - sx), integer autocovariance sums, one
+    shared denominator; doubles only in the final rho ratios and the
+    fixed-association phi expressions mirrored on both engines.
+
+    Scale: one grouped integer aggregate over the fact table, then a
+    day-grain x2 lag equi-join. AR state is two doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    h = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = d.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(h(F.col("cents"))).alias("sx"),
+    )
+    dev = d.crossJoin(F.broadcast(tot)).select(
+        "day", "n", (F.col("n") * h(F.col("cents")) - F.col("sx")).alias("dv")
+    )
+    den = dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("den"))
+    lags = F.explode(F.array(F.lit(1), F.lit(2))).alias("lag")
+    probe = dev.select(F.col("day"), F.col("dv").alias("adv"), lags).withColumn(
+        "match_day", F.expr("date_add(day, lag)")
+    )
+    pr = (
+        probe.join(
+            dev.select(F.col("day").alias("match_day"), F.col("dv").alias("bdv")),
+            "match_day",
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("adv") * F.col("bdv")).alias("num"))
+    )
+    rh = pr.crossJoin(F.broadcast(den)).agg(
+        F.max(
+            F.when(
+                F.col("lag") == 1,
+                F.col("num").cast("double") / F.col("den").cast("double"),
+            )
+        ).alias("r1"),
+        F.max(
+            F.when(
+                F.col("lag") == 2,
+                F.col("num").cast("double") / F.col("den").cast("double"),
+            )
+        ).alias("r2"),
+    )
+    r1, r2 = F.col("r1"), F.col("r2")
+    phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    return rh.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(r1, 6).alias("rho_1"),
+        F.round(r2, 6).alias("rho_2"),
+        F.round(phi1, 6).alias("phi_1"),
+        F.round(phi2, 6).alias("phi_2"),
+        F.round(1 - phi1 * r1 - phi2 * r2, 6).alias(
+            "innovation_variance_ratio"
+        ),
+    )
+
+
+@query(
+    "chow_break_test_daily_revenue",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+sp AS (
+  SELECT min(day) AS mnd,
+         min(day) + CAST(CAST(datediff('day', min(day), max(day)) AS DOUBLE)
+                         / 2 AS INTEGER) AS mid
+  FROM d
+),
+xy AS (
+  SELECT CASE WHEN day <= sp.mid THEN 1 ELSE 2 END AS seg,
+         CAST(datediff('day', sp.mnd, day) AS DOUBLE) AS x,
+         cents::DOUBLE AS y
+  FROM d, sp
+),
+st AS (
+  SELECT seg, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM xy GROUP BY seg
+),
+ssr AS (
+  SELECT seg, n,
+         (syy - sy * sy / n)
+           - (sxy - sx * sy / n) * (sxy - sx * sy / n) / (sxx - sx * sx / n)
+           AS ssr
+  FROM st
+),
+pool AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM xy
+),
+psr AS (
+  SELECT n,
+         (syy - sy * sy / n)
+           - (sxy - sx * sy / n) * (sxy - sx * sy / n) / (sxx - sx * sx / n)
+           AS ssr
+  FROM pool
+),
+seg AS (
+  SELECT sum(CASE WHEN seg = 1 THEN n END) AS n1,
+         sum(CASE WHEN seg = 2 THEN n END) AS n2,
+         sum(ssr) AS ssr_split
+  FROM ssr
+)
+SELECT seg.n1::BIGINT AS n_days_pre,
+       seg.n2::BIGINT AS n_days_post,
+       strftime(sp.mid, '%Y-%m-%d') AS break_day,
+       round((psr.ssr - seg.ssr_split) / 2
+             / (seg.ssr_split / (psr.n - 4)), 6) AS chow_f,
+       round(1 - seg.ssr_split / psr.ssr, 6) AS ssr_reduction
+FROM seg, psr, sp
+""",
+)
+def chow_break_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test for the daily-revenue trend at the
+    calendar midpoint: fit the y~t OLS pooled and separately on each
+    half, F = ((SSR_pool - SSR1 - SSR2)/k) / ((SSR1+SSR2)/(n-2k)) with
+    k=2 — "did the trend line's level or slope change?", the parametric
+    sibling of ``revenue_changepoint_binseg`` (which SEARCHES for the
+    split; this one TESTS a hypothesized split).
+
+    Exactness: per-segment sufficient statistics (six sums) from exact
+    integer cents; SSR via the centered closed form with identical
+    association on both engines; seg boundary from integer date
+    arithmetic (truncating division mirrored by CAST).
+
+    Scale: one grouped integer aggregate to day grain, then two
+    aggregates over |days| rows — no row-level residual pass; the
+    sufficient-statistics trick keeps it a 6-double fold per segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    sp = d.agg(
+        F.min("day").alias("mnd"),
+        F.expr(
+            "date_add(min(day), CAST(CAST(datediff(max(day), min(day)) AS DOUBLE)"
+            " / 2 AS INT))"
+        ).alias("mid"),
+    )
+    xy = d.crossJoin(F.broadcast(sp)).select(
+        F.when(F.col("day") <= F.col("mid"), 1).otherwise(2).alias("seg"),
+        F.datediff("day", "mnd").cast("double").alias("x"),
+        F.col("cents").cast("double").alias("y"),
+    )
+
+    def sums(gdf, keys):
+        return gdf.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+
+    ssr_expr = (
+        F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    ) - (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) * (
+        F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    ) / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+    st = sums(xy.groupBy("seg"), ["seg"]).select("seg", "n", ssr_expr.alias("ssr"))
+    seg = st.agg(
+        F.sum(F.when(F.col("seg") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("seg") == 2, F.col("n"))).alias("n2"),
+        F.sum("ssr").alias("ssr_split"),
+    )
+    psr = sums(xy.groupBy(), []).select("n", ssr_expr.alias("ssr"))
+    return (
+        seg.crossJoin(F.broadcast(psr.withColumnRenamed("ssr", "pssr")))
+        .crossJoin(F.broadcast(sp.select("mid")))
+        .select(
+            F.col("n1").cast("long").alias("n_days_pre"),
+            F.col("n2").cast("long").alias("n_days_post"),
+            F.date_format("mid", "yyyy-MM-dd").alias("break_day"),
+            F.round(
+                (F.col("pssr") - F.col("ssr_split"))
+                / 2
+                / (F.col("ssr_split") / (F.col("n") - 4)),
+                6,
+            ).alias("chow_f"),
+            F.round(1 - F.col("ssr_split") / F.col("pssr"), 6).alias(
+                "ssr_reduction"
+            ),
+        )
+    )
+
+
+@query(
+    "daily_orders_overdispersion",
+    oracle="""
+WITH c AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         count(*)::BIGINT AS cnt
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(cnt)::DOUBLE AS sc,
+         sum(cnt * cnt)::DOUBLE AS scc
+  FROM c
+),
+m AS (
+  SELECT n, sc / n AS mean_c,
+         (scc - sc * sc / n) / (n - 1) AS var_c
+  FROM s
+)
+SELECT n::BIGINT AS n_days,
+       round(mean_c, 6) AS mean_daily_orders,
+       round(var_c, 6) AS var_daily_orders,
+       round(var_c / mean_c, 6) AS dispersion_index,
+       round((n - 1) * var_c / mean_c, 4) AS poisson_chi2,
+       round(CASE WHEN var_c > mean_c
+                  THEN mean_c * mean_c / (var_c - mean_c)
+                  ELSE -1 END, 6) AS nb_r_moments,
+       round(CASE WHEN var_c > mean_c THEN mean_c / var_c
+                  ELSE -1 END, 6) AS nb_p_moments
+FROM m
+""",
+)
+def daily_orders_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion check on daily order counts: dispersion
+    index s^2/mean (=1 under Poisson), the (n-1)s^2/mean chi-square
+    dispersion statistic, and — when overdispersed — the negative-
+    binomial method-of-moments parameters r = mean^2/(s^2-mean),
+    p = mean/s^2. The model-choice gate before ``poisson_glm_daily_
+    orders``: if this says NB, the Poisson GLM's standard errors are
+    too tight. Not-overdispersed encodes as the -1 sentinel (identical
+    on both engines) rather than NULL so the value hash is total.
+
+    Exactness: count moments are exact integers; one division order
+    shared by both engines. Scale: one grouped count + one 3-sum fold."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    s = c.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("cnt").cast("double").alias("sc"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("double").alias("scc"),
+    )
+    m = s.select(
+        "n",
+        (F.col("sc") / F.col("n")).alias("mean_c"),
+        ((F.col("scc") - F.col("sc") * F.col("sc") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var_c"
+        ),
+    )
+    over = F.col("var_c") > F.col("mean_c")
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("mean_c", 6).alias("mean_daily_orders"),
+        F.round("var_c", 6).alias("var_daily_orders"),
+        F.round(F.col("var_c") / F.col("mean_c"), 6).alias("dispersion_index"),
+        F.round((F.col("n") - 1) * F.col("var_c") / F.col("mean_c"), 4).alias(
+            "poisson_chi2"
+        ),
+        F.round(
+            F.when(
+                over,
+                F.col("mean_c") * F.col("mean_c") / (F.col("var_c") - F.col("mean_c")),
+            ).otherwise(-1.0),
+            6,
+        ).alias("nb_r_moments"),
+        F.round(
+            F.when(over, F.col("mean_c") / F.col("var_c")).otherwise(-1.0), 6
+        ).alias("nb_p_moments"),
+    )
+
+
+@query(
+    "cooks_distance_top_days",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+mn AS (SELECT min(day) AS mnd FROM d),
+xy AS (
+  SELECT day, CAST(datediff('day', mn.mnd, day) AS DOUBLE) AS x,
+         cents::DOUBLE AS y
+  FROM d, mn
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM xy
+),
+b AS (
+  SELECT n, sx / n AS xbar, sxx - sx * sx / n AS cxx,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+         sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n)
+           AS icept,
+         ((syy - sy * sy / n)
+          - (sxy - sx * sy / n) * (sxy - sx * sy / n) / (sxx - sx * sx / n))
+           / (n - 2) AS s2
+  FROM s
+),
+inf AS (
+  SELECT xy.day,
+         xy.y - (b.icept + b.slope * xy.x) AS e,
+         1 / b.n + (xy.x - b.xbar) * (xy.x - b.xbar) / b.cxx AS h,
+         b.s2 AS s2
+  FROM xy, b
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(e * e * h / (2 * s2 * (1 - h) * (1 - h)), 6) AS cooks_d,
+       round(h, 6) AS leverage,
+       round(e / 100, 2) AS residual_revenue
+FROM inf
+ORDER BY round(e * e * h / (2 * s2 * (1 - h) * (1 - h)), 6) DESC, day
+LIMIT 5
+""",
+)
+def cooks_distance_top_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most influential days for the daily-revenue trend fit by
+    Cook's distance D_i = e_i^2 h_i / (p s^2 (1-h_i)^2), p=2, with
+    closed-form leverage h_i = 1/n + (x_i-xbar)^2/Sxx — regression
+    influence diagnostics (which days, if dropped, would move the
+    trend line most). Complements ``grubbs_outlier_test`` (univariate
+    outlier) with the MODEL-relative notion of extreme.
+
+    Exactness: one 6-sum sufficient-statistics fold (exact cents),
+    leverage/residual per day from broadcast scalars with identical
+    association; ranking on the ROUNDED distance with a day tiebreak so
+    both engines cut the same top-5.
+
+    Scale: day-grain throughout; the per-row work is a broadcast-join
+    projection, ordering is a bounded top-k (TakeOrdered, no sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    mn = d.agg(F.min("day").alias("mnd"))
+    xy = d.crossJoin(F.broadcast(mn)).select(
+        "day",
+        F.datediff("day", "mnd").cast("double").alias("x"),
+        F.col("cents").cast("double").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    b = s.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        sxx_c.alias("cxx"),
+        (sxy_c / sxx_c).alias("slope"),
+        (F.col("sy") / F.col("n") - (sxy_c / sxx_c) * (F.col("sx") / F.col("n"))).alias(
+            "icept"
+        ),
+        ((syy_c - sxy_c * sxy_c / sxx_c) / (F.col("n") - 2)).alias("s2"),
+    )
+    inf = xy.crossJoin(F.broadcast(b)).select(
+        "day",
+        (F.col("y") - (F.col("icept") + F.col("slope") * F.col("x"))).alias("e"),
+        (
+            1 / F.col("n")
+            + (F.col("x") - F.col("xbar")) * (F.col("x") - F.col("xbar")) / F.col("cxx")
+        ).alias("h"),
+        "s2",
+    )
+    cooks = F.round(
+        F.col("e")
+        * F.col("e")
+        * F.col("h")
+        / (2 * F.col("s2") * (1 - F.col("h")) * (1 - F.col("h"))),
+        6,
+    )
+    return (
+        inf.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            cooks.alias("cooks_d"),
+            F.round("h", 6).alias("leverage"),
+            F.round(F.col("e") / 100, 2).alias("residual_revenue"),
+        )
+        .orderBy(F.desc("cooks_d"), F.asc("day"))
+        .limit(5)
+    )
