@@ -1150,3 +1150,107 @@ def pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pm.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(15)
+
+
+@query(
+    "doc_novelty_by_source",
+    oracle=r"""
+WITH tk AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingle
+  FROM tk WHERE len(toks) >= 3
+),
+fst AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+pd AS (
+  SELECT sh.doc_id, sh.source,
+         count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END)::BIGINT
+           AS n_novel
+  FROM sh JOIN fst ON sh.shingle = fst.shingle
+  GROUP BY sh.doc_id, sh.source
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_shingles)::BIGINT AS total_shingles,
+       sum(n_novel)::BIGINT AS total_novel,
+       round(avg(n_novel::DOUBLE / n_shingles::DOUBLE), 6)
+         AS mean_novelty,
+       round(sum(n_novel)::DOUBLE / sum(n_shingles)::DOUBLE, 6)
+         AS pooled_novelty
+FROM pd GROUP BY source ORDER BY source
+""",
+)
+def doc_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty scoring: the share of each document's distinct
+    word 3-gram shingles that the document INTRODUCES to the corpus
+    (its doc_id is the minimum over all docs containing the shingle) —
+    the incremental-ingest dedup signal ("is this crawl snapshot adding
+    anything?") that complements the pairwise near-dup family: near-dup
+    finds copies, novelty quantifies marginal information by source.
+
+    Exactness: all counts are exact integers over a deterministic
+    first-introduction rule (min doc_id); the two ratio forms (mean of
+    per-doc shares vs pooled share) are single divisions.
+
+    Scale: explode to (doc, shingle) distinct pairs, one groupBy on the
+    shingle key for first-introduction (map-side combine), one shuffle
+    join back on the same key, then a doc-grain rollup — three shuffles
+    on hashable keys, no all-pairs anything; this is how you'd score a
+    100 TB crawl increment against the accumulated shingle dictionary."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", "source", TX.tokens("text").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    sh = tk.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    fst = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    pd_ = (
+        sh.join(fst, "shingle")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        pd_.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_shingles").alias("total_shingles"),
+            F.sum("n_novel").alias("total_novel"),
+            F.round(
+                F.avg(
+                    F.col("n_novel").cast("double")
+                    / F.col("n_shingles").cast("double")
+                ),
+                6,
+            ).alias("mean_novelty"),
+            F.round(
+                F.sum("n_novel").cast("double")
+                / F.sum("n_shingles").cast("double"),
+                6,
+            ).alias("pooled_novelty"),
+        )
+        .orderBy("source")
+    )

@@ -193,3 +193,73 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "sorted_neighborhood_linkage",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey AS k, c_name AS name,
+         CAST(floor(c_custkey / 50) AS BIGINT) AS b
+  FROM customer
+),
+cand AS (
+  SELECT a.k AS ka, b.k AS kb,
+         CASE WHEN levenshtein(a.name, b.name) <= 1 THEN 1 ELSE 0 END AS m
+  FROM c a JOIN c b
+    ON (b.b = a.b OR b.b = a.b + 1) AND b.k > a.k
+)
+SELECT (SELECT count(*) FROM c)::BIGINT AS n_records,
+       count(*)::BIGINT AS n_candidates,
+       sum(m)::BIGINT AS n_matches,
+       round(sum(m)::DOUBLE / count(*)::DOUBLE, 6) AS match_rate
+FROM cand
+""",
+)
+def sorted_neighborhood_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by the sorted-neighborhood method: records are
+    keyed into 50-wide sorted blocks, candidate pairs are drawn only
+    from the same or adjacent block (so every record is compared with a
+    BOUNDED neighborhood, never the full table), and candidates within
+    Levenshtein distance 1 on the name are declared matches. The classic
+    blocking pattern that turns O(n^2) record linkage into O(n * w):
+    at 100 TB you change the window width, not the algorithm.
+
+    The Spark plan keeps the blocking join an EQUI-join (no BNL): each
+    left record probes its own block and the next via an exploded
+    2-element array, so the pair generation is a hash join on the block
+    key; levenshtein runs JVM-side on the candidates only.
+
+    Exactness: integer counts, engine-identical unit-cost Levenshtein
+    (both engines implement Wagner-Fischer with cost-1 ops), one
+    division for the rate."""
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.floor(F.col("c_custkey") / 50).cast("long").alias("b"),
+    )
+    probe = c.select(
+        F.col("k").alias("ka"),
+        F.col("name").alias("name_a"),
+        F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("jb"),
+    )
+    right = c.select(
+        F.col("k").alias("kb"), F.col("name").alias("name_b"), F.col("b").alias("jb")
+    )
+    cand = probe.join(right, "jb").filter(F.col("kb") > F.col("ka"))
+    m = F.when(F.levenshtein("name_a", "name_b") <= 1, 1).otherwise(0)
+    n_rec = c.agg(F.count(F.lit(1)).alias("n_records"))
+    agg = cand.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(m).alias("n_matches"),
+    )
+    return n_rec.crossJoin(F.broadcast(agg)).select(
+        F.col("n_records").cast("long").alias("n_records"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+        F.round(
+            F.col("n_matches").cast("double") / F.col("n_candidates").cast("double"),
+            6,
+        ).alias("match_rate"),
+    )

@@ -2746,3 +2746,73 @@ def cooks_distance_top_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cooks_d"), F.asc("day"))
         .limit(5)
     )
+
+
+@query(
+    "mad_anomaly_days",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+md AS (SELECT quantile_cont(cents::DOUBLE, 0.5) AS med FROM d),
+dv AS (
+  SELECT day, cents, abs(cents::DOUBLE - md.med) AS adev, md.med AS med
+  FROM d, md
+),
+mad AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dv)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(cents::DOUBLE / 100, 2) AS revenue,
+       round(0.6745 * (cents::DOUBLE - dv.med) / mad.mad, 6) AS robust_z
+FROM dv, mad
+ORDER BY round(abs(0.6745 * (cents::DOUBLE - dv.med) / mad.mad), 6) DESC, day
+LIMIT 5
+""",
+)
+def mad_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 anomalous revenue days by the median/MAD robust z-score
+    0.6745(x - med)/MAD — the outlier detector that, unlike
+    ``grubbs_outlier_test``'s mean/sd form, is immune to the outliers
+    it hunts (50% breakdown point). The workhorse anomaly gate for
+    monitoring pipelines where one bad day must not move the baseline.
+
+    Exactness: both medians go through the buffer-free distributed
+    percentile path (``exact_percentiles_distributed``), which equals
+    DuckDB's quantile_cont type-7 exactly; ranking on the rounded
+    |z| with a day tiebreak.
+
+    Scale: one grouped integer aggregate to day grain; medians are two
+    value-compressed cumulative passes (no single-task window, no
+    O(column) buffer); top-k is a TakeOrdered."""
+    from ..operators.aggregates import exact_percentiles_distributed
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    med = exact_percentiles_distributed(
+        d.select(F.col("cents").cast("double").alias("c")), "c", [0.5]
+    ).select(F.col("value").alias("med"))
+    dv = d.crossJoin(F.broadcast(med)).select(
+        "day",
+        "cents",
+        "med",
+        F.abs(F.col("cents").cast("double") - F.col("med")).alias("adev"),
+    )
+    mad = exact_percentiles_distributed(dv, "adev", [0.5]).select(
+        F.col("value").alias("mad")
+    )
+    z = 0.6745 * (F.col("cents").cast("double") - F.col("med")) / F.col("mad")
+    return (
+        dv.crossJoin(F.broadcast(mad))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("cents").cast("double") / 100, 2).alias("revenue"),
+            F.round(z, 6).alias("robust_z"),
+            F.round(F.abs(z), 6).alias("_az"),
+        )
+        .orderBy(F.desc("_az"), F.asc("day"))
+        .limit(5)
+        .drop("_az")
+    )
