@@ -2326,3 +2326,117 @@ def bm25_tfidf_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_top10"
         ),
     )
+
+
+@query(
+    "int8_quantization_cosine_audit",
+    oracle="""
+WITH qz AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> round(CAST(x AS DOUBLE) * 127
+                        / list_aggregate(list_transform(embedding,
+                              y -> abs(CAST(y AS DOUBLE))), 'max'))) AS q
+  FROM embeddings
+),
+qv AS (SELECT embedding AS qe, q AS qq FROM qz WHERE vec_id = 0),
+s AS (
+  SELECT z.vec_id,
+         list_sum(list_transform(list_zip(z.embedding, qv.qe),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(z.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qv.qe,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_e,
+         list_sum(list_transform(list_zip(z.q, qv.qq), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(z.q, x -> x * x)))
+              * sqrt(list_sum(list_transform(qv.qq, x -> x * x)))) AS cos_q
+  FROM qz z, qv WHERE z.vec_id <> 0
+),
+te AS (SELECT vec_id FROM s ORDER BY round(cos_e, 6) DESC, vec_id LIMIT 10),
+tq AS (SELECT vec_id FROM s ORDER BY round(cos_q, 6) DESC, vec_id LIMIT 10),
+ov AS (SELECT count(*)::BIGINT AS overlap FROM te JOIN tq USING (vec_id))
+SELECT count(*)::BIGINT AS n_vectors,
+       ov.overlap AS top10_overlap,
+       round(avg(abs(s.cos_e - s.cos_q)), 6) AS mean_abs_cos_err,
+       round(max(abs(s.cos_e - s.cos_q)), 6) AS max_abs_cos_err
+FROM s, ov GROUP BY ov.overlap
+""",
+)
+def int8_quantization_cosine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric per-vector quantization audit — the compression
+    step every vector store applies before ANN at scale (4x memory cut,
+    SIMD integer dots): q_i = round(127 x_i / max|x|), cosine computed
+    on the quantized grid, then (a) mean/max cosine error vs exact
+    float over the whole collection and (b) top-10 retrieval overlap
+    for the vec_id=0 probe. Answers "what recall do I buy back by NOT
+    quantizing?" with exact numbers.
+
+    Exactness: the quantization grid is integer-valued (|q| <= 127, so
+    every product/sum is exact in doubles), the per-element rounding is
+    the engines' shared half-away-from-zero round, and both top-10 cuts
+    rank on the ROUNDED cosine with a vec_id tiebreak.
+
+    Scale: one broadcast of the probe row against the collection — a
+    map-only pass (the same shape as brute-force scoring); the top-10s
+    are TakeOrdered. No shuffle but the two 10-row limits."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = F.array_max(
+        F.transform("embedding", lambda y: F.abs(y.cast("double")))
+    )
+    qz = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 127 / scale),
+        ).alias("q"),
+    )
+    qv = qz.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("q").alias("qq")
+    )
+    iqdot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    inorm = lambda a: F.sqrt(  # noqa: E731
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    s = (
+        qz.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            (
+                S.dot(F.col("embedding"), F.col("qe"))
+                / (S.l2_norm(F.col("embedding")) * S.l2_norm(F.col("qe")))
+            ).alias("cos_e"),
+            (
+                iqdot(F.col("q"), F.col("qq"))
+                / (inorm(F.col("q")) * inorm(F.col("qq")))
+            ).alias("cos_q"),
+        )
+    )
+    te = (
+        s.select("vec_id", F.round("cos_e", 6).alias("r"))
+        .orderBy(F.desc("r"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    tq = (
+        s.select("vec_id", F.round("cos_q", 6).alias("r"))
+        .orderBy(F.desc("r"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    ov = te.join(tq, "vec_id").agg(F.count(F.lit(1)).alias("overlap"))
+    err = F.abs(F.col("cos_e") - F.col("cos_q"))
+    return s.crossJoin(F.broadcast(ov)).groupBy("overlap").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(err), 6).alias("mean_abs_cos_err"),
+        F.round(F.max(err), 6).alias("max_abs_cos_err"),
+    ).select(
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.col("overlap").cast("long").alias("top10_overlap"),
+        "mean_abs_cos_err",
+        "max_abs_cos_err",
+    )

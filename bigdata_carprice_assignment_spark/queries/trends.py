@@ -2816,3 +2816,159 @@ def mad_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .drop("_az")
     )
+
+
+_HUBER_ITERS = 6
+
+
+def _huber_oracle() -> str:
+    head = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+mn AS (SELECT min(day) AS mnd FROM d),
+xy AS (
+  SELECT CAST(datediff('day', mn.mnd, d.day) AS DOUBLE) AS x,
+         cents::DOUBLE / 100 AS y
+  FROM d, mn
+),
+s0 AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM xy
+),
+b0 AS (
+  SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+         sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n)
+           AS icept
+  FROM s0
+),
+sg AS (
+  SELECT quantile_cont(abs(xy.y - (b0.icept + b0.slope * xy.x)), 0.5)
+           / 0.6745 * 1.345 AS c
+  FROM xy, b0
+),"""
+    parts = [head]
+    for k in range(1, _HUBER_ITERS + 1):
+        r = f"abs(xy.y - (b{k-1}.icept + b{k-1}.slope * xy.x))"
+        parts.append(
+            f"""
+w{k} AS (
+  SELECT xy.x, xy.y,
+         CASE WHEN {r} <= sg.c THEN 1.0 ELSE sg.c / {r} END AS w
+  FROM xy, b{k-1}, sg
+),
+s{k} AS (
+  SELECT sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+         sum(w * x * x) AS swxx, sum(w * x * y) AS swxy
+  FROM w{k}
+),
+b{k} AS (
+  SELECT (swxy - swx * swy / sw) / (swxx - swx * swx / sw) AS slope,
+         swy / sw - (swxy - swx * swy / sw) / (swxx - swx * swx / sw)
+           * (swx / sw) AS icept
+  FROM s{k}
+),"""
+        )
+    kf = _HUBER_ITERS
+    parts.append(
+        f"""
+dn AS (
+  SELECT sum(CASE WHEN abs(xy.y - (b{kf}.icept + b{kf}.slope * xy.x)) > sg.c
+                  THEN 1 ELSE 0 END)::BIGINT AS n_downweighted,
+         count(*)::BIGINT AS n_days
+  FROM xy, b{kf}, sg
+)
+SELECT dn.n_days, dn.n_downweighted,
+       round(sg.c, 4) AS huber_c,
+       round(b{kf}.slope, 4) AS huber_slope,
+       round(b{kf}.icept, 4) AS huber_icept,
+       round(b0.slope, 4) AS ols_slope
+FROM dn, sg, b{kf}, b0"""
+    )
+    return "".join(parts)
+
+
+@query("huber_regression_daily_revenue", oracle=_huber_oracle())
+def huber_regression_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator for the daily-revenue trend, iteration-exact:
+    OLS start, robust scale c = 1.345 * MAD/0.6745 of the OLS residuals
+    (95% Gaussian efficiency tuning), then 6 unrolled IRLS steps with
+    the Huber weight w = min(1, c/|r|) — each step ONE 5-sum weighted
+    aggregate and a closed-form weighted-least-squares update replayed
+    term-for-term by the generated DuckDB CTE chain. Sits between the
+    OLS (efficient, fragile) and Theil-Sen (robust, quadratic pairs)
+    trend fits: full robustness against vertical outliers at one
+    aggregate per iteration. Reports the OLS slope next to the Huber
+    slope so the outlier pull is visible.
+
+    Exactness: the scale goes through the buffer-free distributed
+    median (== quantile_cont); every iteration's weight expression and
+    normal-equation solve use one shared association order; the Huber
+    psi is CONTINUOUS at |r|=c, so ulp-level sum differences cannot
+    flip a weight discontinuously and IRLS contraction absorbs them.
+
+    Scale: day-grain; each iteration is one aggregate, state is two
+    doubles — the same loop shape runs on any corpus at any SF."""
+    from ..operators.aggregates import exact_percentiles_distributed
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    mn = d.agg(F.min("day").alias("mnd"))
+    xy = (
+        d.crossJoin(F.broadcast(mn))
+        .select(
+            F.datediff("day", "mnd").cast("double").alias("x"),
+            (F.col("cents").cast("double") / 100).alias("y"),
+        )
+        .localCheckpoint()
+    )
+    s0 = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).collect()[0]
+    slope = (s0.sxy - s0.sx * s0.sy / s0.n) / (s0.sxx - s0.sx * s0.sx / s0.n)
+    icept = s0.sy / s0.n - slope * (s0.sx / s0.n)
+    ols_slope = slope
+    r0 = xy.select(
+        F.abs(F.col("y") - (F.lit(icept) + F.lit(slope) * F.col("x"))).alias("r")
+    )
+    mad = (
+        exact_percentiles_distributed(r0, "r", [0.5])
+        .collect()[0]["value"]
+    )
+    c = mad / 0.6745 * 1.345
+    for _ in range(_HUBER_ITERS):
+        r = F.abs(F.col("y") - (F.lit(icept) + F.lit(slope) * F.col("x")))
+        w = F.when(r <= F.lit(c), 1.0).otherwise(F.lit(c) / r)
+        sk = xy.select("x", "y", w.alias("w")).agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+            F.sum(F.col("w") * F.col("y")).alias("swy"),
+            F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
+            F.sum(F.col("w") * F.col("x") * F.col("y")).alias("swxy"),
+        ).collect()[0]
+        slope = (sk.swxy - sk.swx * sk.swy / sk.sw) / (
+            sk.swxx - sk.swx * sk.swx / sk.sw
+        )
+        icept = sk.swy / sk.sw - slope * (sk.swx / sk.sw)
+    rf = F.abs(F.col("y") - (F.lit(icept) + F.lit(slope) * F.col("x")))
+    dn = xy.agg(
+        F.sum(F.when(rf > F.lit(c), 1).otherwise(0)).alias("n_downweighted"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return dn.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_downweighted").cast("long").alias("n_downweighted"),
+        F.round(F.lit(c), 4).alias("huber_c"),
+        F.round(F.lit(slope), 4).alias("huber_slope"),
+        F.round(F.lit(icept), 4).alias("huber_icept"),
+        F.round(F.lit(ols_slope), 4).alias("ols_slope"),
+    )
