@@ -1467,3 +1467,116 @@ def carprice_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_in") / F.col("n_all"), 6).alias("coverage_all"),
         )
     )
+
+
+def _logit_ece_oracle() -> str:
+    parts = [
+        "WITH raw AS (",
+        f"  SELECT * FROM read_csv('{cp.REFERENCE_CSV}', header=true)",
+        "),",
+        "base AS (",
+        "  SELECT horsepower::DOUBLE/100 AS x1, curbweight::DOUBLE/1000 AS x2,",
+        "         CASE WHEN price::DOUBLE > 15000 THEN CAST(1 AS DOUBLE)",
+        "              ELSE CAST(0 AS DOUBLE) END AS y",
+        "  FROM raw",
+        "),",
+        "b0 AS (SELECT CAST(0 AS DOUBLE) AS p0, CAST(0 AS DOUBLE) AS p1,"
+        " CAST(0 AS DOUBLE) AS p2),",
+    ]
+    for k in range(1, _LOGIT_ITERS + 1):
+        parts += _logit_sql_step(f"b{k-1}", k)
+    mu = "1/(1 + exp(-(p0 + p1*x1 + p2*x2)))"
+    parts.append(
+        f"""pb AS (
+  SELECT least(CAST(floor(({mu}) * 10) AS INTEGER), 9) AS bin,
+         {mu} AS p, y
+  FROM base, b{_LOGIT_ITERS}
+),
+nt AS (SELECT count(*)::DOUBLE AS n FROM base)
+SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n_rows,
+       round(avg(p), 6) AS mean_pred,
+       round(avg(y), 6) AS frac_pos,
+       round(abs(avg(p) - avg(y)) * count(*) / nt.n, 6) AS ece_contrib
+FROM pb, nt GROUP BY bin, nt.n ORDER BY bin"""
+    )
+    return "\n".join(parts)
+
+
+@query("carprice_logit_calibration_ece", oracle=_logit_ece_oracle())
+def carprice_logit_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + expected-calibration-error decomposition for
+    the iteration-exact logistic fit: predictions binned into deciles
+    (clamped to bin 9), per-bin mean predicted probability vs observed
+    positive rate, and each bin's |confidence - accuracy| * n_b / n
+    contribution (ECE = their sum) — the model-evaluation step that says
+    whether the fitted probabilities MEAN anything, which none of the
+    reference's model metrics (RMSE/accuracy, BigDataProject.R:320,355)
+    measure. The coefficients are the same 8-step IRLS the hash-green
+    ``carprice_logit_irls_exact`` pins; the oracle replays fit AND
+    binning end-to-end.
+
+    Scale: the fit is 8 one-row aggregates; the reliability table is one
+    grouped pass over the scored rows — calibration audits at 100 TB are
+    exactly this shape (score, bin, group)."""
+    base = (
+        cp.load_raw(spark)
+        .coalesce(1)
+        .select(
+            (F.col("horsepower").cast("double") / 100).alias("x1"),
+            (F.col("curbweight").cast("double") / 1000).alias("x2"),
+            F.when(F.col("price").cast("double") > 15000, 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+        )
+        .localCheckpoint()
+    )
+    beta = [0.0, 0.0, 0.0]
+    for _ in range(_LOGIT_ITERS):
+        eta = F.lit(beta[0]) + F.lit(beta[1]) * F.col("x1") + F.lit(
+            beta[2]
+        ) * F.col("x2")
+        mu = 1 / (1 + F.exp(-eta))
+        w = mu * (1 - mu)
+        r = F.col("y") - mu
+        row = base.agg(
+            F.sum(r).alias("g0"),
+            F.sum(r * F.col("x1")).alias("g1"),
+            F.sum(r * F.col("x2")).alias("g2"),
+            F.sum(w).alias("ha"),
+            F.sum(w * F.col("x1")).alias("hb"),
+            F.sum(w * F.col("x2")).alias("hc"),
+            F.sum(w * F.col("x1") * F.col("x1")).alias("hd"),
+            F.sum(w * F.col("x1") * F.col("x2")).alias("he"),
+            F.sum(w * F.col("x2") * F.col("x2")).alias("hf"),
+        ).collect()[0].asDict()
+        beta = _logit_solve(row, beta)
+    eta = F.lit(beta[0]) + F.lit(beta[1]) * F.col("x1") + F.lit(
+        beta[2]
+    ) * F.col("x2")
+    p = 1 / (1 + F.exp(-eta))
+    pb = base.select(
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("bin"),
+        p.alias("p"),
+        "y",
+    )
+    nt = pb.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        pb.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.avg("p").alias("mp"),
+            F.avg("y").alias("fp"),
+        )
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round("mp", 6).alias("mean_pred"),
+            F.round("fp", 6).alias("frac_pos"),
+            F.round(
+                F.abs(F.col("mp") - F.col("fp")) * F.col("n_rows") / F.col("n"),
+                6,
+            ).alias("ece_contrib"),
+        )
+        .orderBy("bin")
+    )
