@@ -2972,3 +2972,225 @@ def huber_regression_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.lit(icept), 4).alias("huber_icept"),
         F.round(F.lit(ols_slope), 4).alias("ols_slope"),
     )
+
+
+@query(
+    "newey_west_trend_se",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+mn AS (SELECT min(day) AS mnd FROM d),
+xy AS (
+  SELECT day, CAST(datediff('day', mn.mnd, d.day) AS DOUBLE) AS x,
+         cents::DOUBLE / 100 AS y
+  FROM d, mn
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM xy
+),
+b AS (
+  SELECT n, sx / n AS xbar, sxx - sx * sx / n AS cxx,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+         sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n)
+           AS icept,
+         ((syy - sy * sy / n)
+          - (sxy - sx * sy / n) * (sxy - sx * sy / n) / (sxx - sx * sx / n))
+           / (n - 2) AS s2
+  FROM s
+),
+u AS (
+  SELECT xy.day,
+         (xy.x - b.xbar) * (xy.y - (b.icept + b.slope * xy.x)) AS u
+  FROM xy, b
+),
+g0 AS (SELECT sum(u * u) AS g FROM u),
+gl AS (
+  SELECT r.lag AS lag, sum(a.u * p.u) AS g
+  FROM u a, range(1, 8) r(lag)
+  JOIN u p ON a.day = p.day + r.lag::INTEGER
+  GROUP BY 1
+),
+hac AS (
+  SELECT g0.g
+         + sum(2 * (1 - gl.lag / 8.0) * gl.g) AS s_hac
+  FROM g0, gl GROUP BY g0.g
+)
+SELECT b.n::BIGINT AS n_days,
+       round(b.slope, 6) AS slope,
+       round(sqrt(b.s2 / b.cxx), 6) AS ols_se,
+       round(sqrt(hac.s_hac) / b.cxx, 6) AS hac_se,
+       round(sqrt(hac.s_hac) / b.cxx / sqrt(b.s2 / b.cxx), 6) AS se_ratio
+FROM b, hac
+""",
+)
+def newey_west_trend_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West (HAC, Bartlett kernel, L=7) standard error for the
+    daily-revenue trend slope: Gamma_0 + sum_l 2(1 - l/(L+1)) Gamma_l
+    over the score series u_t = (x_t - xbar) e_t, sandwiched by Sxx —
+    the autocorrelation-robust SE that stays honest when Durbin-Watson
+    (whose statistic lives two queries up) says the residuals are
+    serially correlated; se_ratio > 1 quantifies how much the naive
+    OLS SE understates uncertainty. Lag adjacency is calendar (t-l
+    days), so calendar gaps drop terms rather than misalign the series,
+    consistent with the Ljung-Box convention.
+
+    Scale: one 6-sum fold, a broadcast residual projection, and a
+    day-grain x7 lag equi-join — all bounded by |days|."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    mn = d.agg(F.min("day").alias("mnd"))
+    xy = d.crossJoin(F.broadcast(mn)).select(
+        "day",
+        F.datediff("day", "mnd").cast("double").alias("x"),
+        (F.col("cents").cast("double") / 100).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    b = s.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        sxx_c.alias("cxx"),
+        (sxy_c / sxx_c).alias("slope"),
+        (F.col("sy") / F.col("n") - (sxy_c / sxx_c) * (F.col("sx") / F.col("n"))).alias(
+            "icept"
+        ),
+        ((syy_c - sxy_c * sxy_c / sxx_c) / (F.col("n") - 2)).alias("s2"),
+    )
+    u = xy.crossJoin(F.broadcast(b)).select(
+        "day",
+        (
+            (F.col("x") - F.col("xbar"))
+            * (F.col("y") - (F.col("icept") + F.col("slope") * F.col("x")))
+        ).alias("u"),
+    )
+    g0 = u.agg(F.sum(F.col("u") * F.col("u")).alias("g"))
+    lags = F.explode(F.array(*[F.lit(i) for i in range(1, 8)])).alias("lag")
+    probe = u.select(F.col("day"), F.col("u").alias("au"), lags).withColumn(
+        "match_day", F.expr("date_sub(day, lag)")
+    )
+    gl = (
+        probe.join(
+            u.select(F.col("day").alias("match_day"), F.col("u").alias("pu")),
+            "match_day",
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("au") * F.col("pu")).alias("g"))
+    )
+    hac = gl.crossJoin(F.broadcast(g0.withColumnRenamed("g", "g0"))).agg(
+        F.max("g0").alias("g0v"),
+        F.sum(2 * (1 - F.col("lag") / 8.0) * F.col("g")).alias("gsum"),
+    ).select((F.col("g0v") + F.col("gsum")).alias("s_hac"))
+    ols_se = F.sqrt(F.col("s2") / F.col("cxx"))
+    hac_se = F.sqrt(F.col("s_hac")) / F.col("cxx")
+    return b.crossJoin(F.broadcast(hac)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("slope", 6).alias("slope"),
+        F.round(ols_se, 6).alias("ols_se"),
+        F.round(hac_se, 6).alias("hac_se"),
+        F.round(hac_se / ols_se, 6).alias("se_ratio"),
+    )
+
+
+@query(
+    "kfold_slope_stability",
+    oracle="""
+WITH o AS (
+  SELECT o_orderdate, o_totalprice,
+         CASE WHEN substr(md5('fold:' || o_orderkey), 1, 1) < '4' THEN 0
+              WHEN substr(md5('fold:' || o_orderkey), 1, 1) < '8' THEN 1
+              WHEN substr(md5('fold:' || o_orderkey), 1, 1) < 'c' THEN 2
+              ELSE 3 END AS fold
+  FROM orders
+),
+d AS (
+  SELECT fold, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM o GROUP BY 1, 2
+),
+mn AS (SELECT min(day) AS mnd FROM d),
+xy AS (
+  SELECT fold, CAST(datediff('day', mn.mnd, d.day) AS DOUBLE) AS x,
+         cents::DOUBLE / 100 AS y
+  FROM d, mn
+),
+s AS (
+  SELECT fold, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM xy GROUP BY fold
+)
+SELECT fold::BIGINT AS fold, n::BIGINT AS n_days,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope
+FROM s ORDER BY fold
+""",
+)
+def kfold_slope_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coefficient stability across k=4 deterministic hash folds: each
+    order lands in a fold by its md5 hex leading char (engine-identical
+    quartering), the daily-revenue-vs-time slope is fit per fold from
+    sufficient statistics, and the spread across folds is the
+    sampling-variability readout — the cross-validation half of model
+    assessment (the Newey-West query is the analytic half; this one is
+    assumption-free). Per-fold day grain means each fold sees its OWN
+    daily aggregate of a quarter of the orders.
+
+    Scale: the fold column is a projection; everything after is the
+    usual grouped integer aggregate + per-fold 5-sum fold."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.substring(
+        F.md5(
+            F.encode(
+                F.concat(F.lit("fold:"), F.col("o_orderkey").cast("string")),
+                "UTF-8",
+            )
+        ),
+        1,
+        1,
+    )
+    o = orders.select(
+        "o_orderdate",
+        "o_totalprice",
+        F.when(h < "4", 0).when(h < "8", 1).when(h < "c", 2).otherwise(3).alias(
+            "fold"
+        ),
+    )
+    d = o.groupBy("fold", F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    mn = d.agg(F.min("day").alias("mnd"))
+    xy = d.crossJoin(F.broadcast(mn)).select(
+        "fold",
+        F.datediff("day", "mnd").cast("double").alias("x"),
+        (F.col("cents").cast("double") / 100).alias("y"),
+    )
+    s = xy.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
+            6,
+        ).alias("slope"),
+    ).orderBy("fold")

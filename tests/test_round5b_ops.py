@@ -258,3 +258,57 @@ def test_overdispersion_consistency(spark):
     ) < 1e-4
     if got["nb_r_moments"] != -1:
         assert got["nb_r_moments"] > 0 and 0 < got["nb_p_moments"] < 1
+
+
+def test_newey_west_matches_direct(spark):
+    rows = _daily_cents(spark)
+    days = np.array([(r["day"] - rows[0]["day"]).days for r in rows], dtype=float)
+    y = np.array([r["cents"] for r in rows], dtype=float) / 100
+    n = len(y)
+    X = np.column_stack([np.ones(n), days])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    e = y - X @ beta
+    u = (days - days.mean()) * e
+    by_day = dict(zip(days.astype(int).tolist(), u.tolist()))
+    s_hac = float((u * u).sum())
+    for lag in range(1, 8):
+        g = sum(by_day[d] * by_day[d - lag] for d in by_day if d - lag in by_day)
+        s_hac += 2 * (1 - lag / 8.0) * g
+    cxx = ((days - days.mean()) ** 2).sum()
+    hac_se = math.sqrt(s_hac) / cxx
+    got = registry.QUERIES["newey_west_trend_se"](spark, SF).collect()[0]
+    assert abs(got["hac_se"] - hac_se) / hac_se < 1e-4
+    assert got["se_ratio"] > 0
+
+
+def test_kfold_slopes_cover_all_folds(spark):
+    got = registry.QUERIES["kfold_slope_stability"](spark, SF).collect()
+    assert [r["fold"] for r in got] == [0, 1, 2, 3]
+    slopes = [r["slope"] for r in got]
+    # all folds see the same generating process: spread below 10x mean scale
+    m = sum(slopes) / 4
+    assert all(abs(s - m) < 10 * max(abs(m), 1) for s in slopes)
+
+
+def test_burst_band_join_matches_brute(spark):
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts").collect()
+    from collections import defaultdict
+
+    by_u = defaultdict(list)
+    for r in ev:
+        by_u[r["user_id"]].append(r["ts"])
+    n_pairs = 0
+    for u, tss in by_u.items():
+        tss.sort()
+        for i, a in enumerate(tss):
+            for b in tss[i + 1:]:
+                d = (b - a).total_seconds()
+                if 0 < d <= 600:
+                    n_pairs += 1
+                elif d > 600:
+                    break
+    got = registry.QUERIES["event_burst_band_join"](spark, SF).collect()[0]
+    assert got["n_pairs"] == n_pairs
+    assert 0 < got["mean_gap_sec"] <= 600
