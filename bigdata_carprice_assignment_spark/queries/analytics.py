@@ -1932,3 +1932,91 @@ def top1pct_customer_revenue_share(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("top_cents").cast("double") / F.col("total").cast("double"), 6
         ).alias("top1pct_revenue_share"),
     )
+
+
+@query(
+    "fd_histogram_order_values",
+    oracle="""
+WITH v AS (SELECT o_totalprice::DOUBLE AS x FROM orders),
+q AS (
+  SELECT quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.75) AS q3,
+         min(x) AS mn, max(x) AS mx, count(*)::DOUBLE AS n
+  FROM v
+),
+h AS (
+  SELECT q1, q3, mn, mx, n,
+         2 * (q3 - q1) / pow(n, 1.0 / 3.0) AS width,
+         CAST(ceil((mx - mn) / (2 * (q3 - q1) / pow(n, 1.0 / 3.0)))
+              AS BIGINT) AS n_bins
+  FROM q
+),
+b AS (
+  SELECT least(CAST(floor((v.x - h.mn) / h.width) AS BIGINT),
+               h.n_bins - 1) AS bin,
+         h.mn AS mn, h.width AS width
+  FROM v, h
+)
+SELECT bin,
+       round(mn + bin * width, 4) AS bin_lo,
+       round(mn + (bin + 1) * width, 4) AS bin_hi,
+       count(*)::BIGINT AS n_orders
+FROM b GROUP BY bin, mn, width ORDER BY bin
+""",
+)
+def fd_histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-binned histogram of order values with the Freedman-Diaconis
+    rule h = 2*IQR/n^(1/3) — the robust bin-width choice (IQR, not sd,
+    so heavy tails don't smear the bins) that makes the histogram a
+    FUNCTION of the data rather than a hand-tuned report. The top bin
+    is closed (clamped) so max lands inside.
+
+    Exactness: the IQR comes from the buffer-free distributed
+    percentile path (== quantile_cont); width/bin arithmetic is one
+    shared expression; bins are exact integers.
+
+    Scale: one pass for the moments + quantiles, one grouped pass for
+    the counts — histogram construction at any SF is two aggregates."""
+    from ..operators.aggregates import exact_percentiles_distributed
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(F.col("o_totalprice").cast("double").alias("x"))
+    q = exact_percentiles_distributed(v, "x", [0.25, 0.75])
+    qq = q.groupBy().pivot("p", [0.25, 0.75]).agg(F.first("value"))
+    mm = v.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    width = (
+        2
+        * (F.col("`0.75`") - F.col("`0.25`"))
+        / F.pow(F.col("n"), F.lit(1.0) / 3.0)
+    )
+    h = qq.crossJoin(F.broadcast(mm)).select(
+        F.col("mn"),
+        width.alias("width"),
+        F.ceil((F.col("mx") - F.col("mn")) / width).cast("long").alias("n_bins"),
+    )
+    b = v.crossJoin(F.broadcast(h)).select(
+        F.least(
+            F.floor((F.col("x") - F.col("mn")) / F.col("width")).cast("long"),
+            F.col("n_bins") - 1,
+        ).alias("bin"),
+        "mn",
+        "width",
+    )
+    return (
+        b.groupBy("bin", "mn", "width")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bin",
+            F.round(F.col("mn") + F.col("bin") * F.col("width"), 4).alias(
+                "bin_lo"
+            ),
+            F.round(F.col("mn") + (F.col("bin") + 1) * F.col("width"), 4).alias(
+                "bin_hi"
+            ),
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+        .orderBy("bin")
+    )

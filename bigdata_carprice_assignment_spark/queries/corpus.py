@@ -1254,3 +1254,78 @@ def doc_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "zipf_slope_fit",
+    oracle=r"""
+WITH tk AS (
+  SELECT unnest(""" + _DUCK_TOKENS + r""") AS w FROM documents
+),
+c AS (SELECT w, count(*)::BIGINT AS n FROM tk WHERE w <> '' GROUP BY w),
+rk AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, w ASC) AS rank FROM c
+),
+xy AS (SELECT ln(rank::DOUBLE) AS x, ln(n::DOUBLE) AS y FROM rk),
+s AS (
+  SELECT count(*)::DOUBLE AS m, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM xy
+)
+SELECT m::BIGINT AS vocab_size,
+       round((sxy - sx * sy / m) / (sxx - sx * sx / m), 6) AS zipf_slope,
+       round(sy / m - (sxy - sx * sy / m) / (sxx - sx * sx / m) * (sx / m), 6)
+         AS zipf_intercept,
+       round(((sxy - sx * sy / m) * (sxy - sx * sy / m))
+             / ((sxx - sx * sx / m) * (syy - sy * sy / m)), 6) AS r_squared
+FROM s
+""",
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the FULL vocabulary: log-log OLS of token
+    frequency against frequency rank (slope ~ -1 for natural text;
+    big departures flag template/boilerplate corpora or tokenizer
+    damage). Extends ``vocab_zipf_top20`` (the head of the curve) with
+    the whole-distribution exponent + R² goodness readout.
+
+    The global rank over the vocabulary runs through the
+    range-partitioned two-pass cumulative (``range_partitioned_rank``)
+    — at 100 TB a vocabulary is tens of millions of rows, and a
+    partitionless row_number would funnel them through one task.
+
+    Exactness: ranks are exact integers (count desc, token asc total
+    order); the OLS is one 6-sum fold in doubles with shared
+    association; ln is the engines' shared libm."""
+    from ..operators.windows import range_partitioned_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w")
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    rk = range_partitioned_rank(
+        counts.withColumn("neg_n", -F.col("n")), ["neg_n", "w"], out="rank"
+    )
+    xy = rk.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("m")
+    return s.select(
+        F.col("m").cast("long").alias("vocab_size"),
+        F.round(cxy / cxx, 6).alias("zipf_slope"),
+        F.round(
+            F.col("sy") / F.col("m") - (cxy / cxx) * (F.col("sx") / F.col("m")), 6
+        ).alias("zipf_intercept"),
+        F.round((cxy * cxy) / (cxx * cyy), 6).alias("r_squared"),
+    )

@@ -1665,3 +1665,84 @@ def event_burst_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_same_type").cast("long").alias("n_same_type"),
         "mean_gap_sec",
     )
+
+
+@query(
+    "time_weighted_user_value",
+    oracle="""
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, value AS v FROM events
+),
+lagd AS (
+  SELECT u, us, v,
+         lag(us) OVER (PARTITION BY u ORDER BY us, v) AS pus,
+         lag(v) OVER (PARTITION BY u ORDER BY us, v) AS pv
+  FROM e
+),
+seg AS (
+  SELECT u, (v + pv) / 2 * (us - pus)::DOUBLE AS area,
+         (us - pus)::DOUBLE AS dt, v
+  FROM lagd WHERE pus IS NOT NULL
+),
+pu AS (
+  SELECT u, sum(area) / sum(dt) AS twap, count(*) + 1 AS n_events
+  FROM seg GROUP BY u
+),
+pm AS (SELECT u, avg(v) AS plain FROM e GROUP BY u)
+SELECT count(*)::BIGINT AS n_users,
+       round(avg(pu.twap), 6) AS mean_twap,
+       round(avg(pm.plain), 6) AS mean_plain,
+       round(avg(pu.twap - pm.plain), 6) AS mean_sampling_bias
+FROM pu JOIN pm ON pu.u = pm.u
+""",
+)
+def time_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user (trapezoidal rule over
+    the irregular event timeline) against the plain per-event mean —
+    the difference IS the sampling bias that plain averages inherit
+    when event density correlates with value (the metrics trap in any
+    irregularly-sampled telemetry). One row: user count, both means,
+    and the mean bias.
+
+    Scale: the lag window is PARTITIONED by user (parallel, bounded
+    state); integration is exact microsecond-integer widths times
+    double values, one grouped fold per user, then a k=|users| rollup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").alias("v"),
+    )
+    w = Window.partitionBy("u").orderBy("us", "v")
+    lagd = ev.select(
+        "u",
+        "us",
+        "v",
+        F.lag("us").over(w).alias("pus"),
+        F.lag("v").over(w).alias("pv"),
+    )
+    seg = lagd.filter(F.col("pus").isNotNull()).select(
+        "u",
+        (
+            (F.col("v") + F.col("pv"))
+            / 2
+            * (F.col("us") - F.col("pus")).cast("double")
+        ).alias("area"),
+        (F.col("us") - F.col("pus")).cast("double").alias("dt"),
+    )
+    pu = seg.groupBy("u").agg(
+        (F.sum("area") / F.sum("dt")).alias("twap"),
+    )
+    pm = ev.groupBy("u").agg(F.avg("v").alias("plain"))
+    return pu.join(pm, "u").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("twap"), 6).alias("mean_twap"),
+        F.round(F.avg("plain"), 6).alias("mean_plain"),
+        F.round(F.avg(F.col("twap") - F.col("plain")), 6).alias(
+            "mean_sampling_bias"
+        ),
+    ).select(
+        F.col("n_users").cast("long").alias("n_users"),
+        "mean_twap",
+        "mean_plain",
+        "mean_sampling_bias",
+    )

@@ -312,3 +312,50 @@ def test_burst_band_join_matches_brute(spark):
     got = registry.QUERIES["event_burst_band_join"](spark, SF).collect()[0]
     assert got["n_pairs"] == n_pairs
     assert 0 < got["mean_gap_sec"] <= 600
+
+
+def test_zipf_slope_negative_and_fits(spark):
+    got = registry.QUERIES["zipf_slope_fit"](spark, SF).collect()[0]
+    assert got["vocab_size"] > 10  # synthetic sf0.001 vocab is tiny
+    assert -3 < got["zipf_slope"] < 0
+    assert 0 <= got["r_squared"] <= 1
+
+
+def test_twap_matches_brute(spark):
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "value").collect()
+    from collections import defaultdict
+
+    by_u = defaultdict(list)
+    for r in ev:
+        by_u[r["user_id"]].append((r["ts"], r["value"]))
+    twaps, plains = [], []
+    for u, rows in by_u.items():
+        rows.sort(key=lambda p: (p[0], p[1]))
+        area = dt = 0.0
+        for (t0, v0), (t1, v1) in zip(rows, rows[1:]):
+            w = (t1 - t0).total_seconds() * 1e6
+            area += (v1 + v0) / 2 * w
+            dt += w
+        if dt > 0:
+            twaps.append(area / dt)
+            plains.append(sum(v for _, v in rows) / len(rows))
+    got = registry.QUERIES["time_weighted_user_value"](spark, SF).collect()[0]
+    assert got["n_users"] == len(twaps)
+    assert abs(got["mean_twap"] - sum(twaps) / len(twaps)) < 1e-4
+    assert abs(got["mean_plain"] - sum(plains) / len(plains)) < 1e-4
+
+
+def test_fd_histogram_covers_all_rows(spark):
+    rows = registry.QUERIES["fd_histogram_order_values"](spark, SF).collect()
+    import duckdb
+
+    n = duckdb.sql(
+        f"select count(*) from read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_orders"] for r in rows) == n
+    for r in rows:
+        assert r["bin_lo"] < r["bin_hi"]
+    bins = [r["bin"] for r in rows]
+    assert bins == sorted(bins)
