@@ -263,3 +263,73 @@ def sorted_neighborhood_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("match_rate"),
     )
+
+
+@query(
+    "feature_hashing_collision_audit",
+    oracle="""
+WITH k AS (
+  SELECT o_orderpriority || '|' || o_orderstatus AS key,
+         count(*)::BIGINT AS n_rows
+  FROM orders GROUP BY 1
+),
+h AS (
+  SELECT key, n_rows,
+         ('0x' || substr(md5(key), 1, 15))::BIGINT % 32 AS bucket
+  FROM k
+),
+bk AS (
+  SELECT bucket, count(*)::BIGINT AS keys_in_bucket,
+         sum(n_rows)::BIGINT AS rows_in_bucket
+  FROM h GROUP BY bucket
+)
+SELECT (SELECT count(*) FROM k)::BIGINT AS n_keys,
+       count(*)::BIGINT AS n_buckets_used,
+       sum(CASE WHEN keys_in_bucket > 1 THEN keys_in_bucket ELSE 0 END)::BIGINT
+         AS n_colliding_keys,
+       max(keys_in_bucket) AS max_keys_per_bucket,
+       max(rows_in_bucket) AS max_bucket_rows
+FROM bk
+""",
+)
+def feature_hashing_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick's price tag: hash the (priority, status)
+    categorical cross into 32 buckets with the portable 60-bit hash and
+    report how many distinct keys collide, the worst bucket's key count,
+    and the worst bucket's row load — the audit you run before replacing
+    a one-hot encoder with feature hashing (collisions alias features;
+    row skew concentrates gradient signal). Every decision replays
+    engine-identically because the bucket is the shared md5 hash.
+
+    Scale: the fact collapses to |keys| rows in one grouped pass;
+    everything after is key-grain."""
+    from ..llm import text as TX
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = orders.groupBy(
+        F.concat_ws("|", "o_orderpriority", "o_orderstatus").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    h = k.select(
+        "key", "n_rows", (TX.portable_hash60(F.col("key")) % 32).alias("bucket")
+    )
+    bk = h.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("keys_in_bucket"),
+        F.sum("n_rows").alias("rows_in_bucket"),
+    )
+    nk = k.agg(F.count(F.lit(1)).alias("n_keys"))
+    return bk.crossJoin(F.broadcast(nk)).groupBy("n_keys").agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum(
+            F.when(F.col("keys_in_bucket") > 1, F.col("keys_in_bucket")).otherwise(
+                0
+            )
+        ).alias("n_colliding_keys"),
+        F.max("keys_in_bucket").alias("max_keys_per_bucket"),
+        F.max("rows_in_bucket").alias("max_bucket_rows"),
+    ).select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("n_buckets_used").cast("long").alias("n_buckets_used"),
+        F.col("n_colliding_keys").cast("long").alias("n_colliding_keys"),
+        F.col("max_keys_per_bucket").cast("long").alias("max_keys_per_bucket"),
+        F.col("max_bucket_rows").cast("long").alias("max_bucket_rows"),
+    )

@@ -3202,3 +3202,107 @@ def randomization_test_priority_diff(spark: SparkSession, sf_dir: str) -> DataFr
         F.round((F.col("obs") - F.col("mbar")) / sd, 4).alias("z_score"),
         F.col("n_extreme").cast("long").alias("n_null_as_extreme"),
     )
+
+
+@query(
+    "loo_target_encoding_stats",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS grp, count(*)::DOUBLE AS n,
+         sum(o_totalprice) AS s
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT o.o_orderpriority AS grp, o.o_totalprice AS x,
+         (g.s - o.o_totalprice) / (g.n - 1) AS enc
+  FROM orders o JOIN g ON o.o_orderpriority = g.grp
+),
+per AS (
+  SELECT grp, count(*)::BIGINT AS n_rows,
+         round(avg(enc), 6) AS mean_encoding,
+         round(stddev_samp(enc), 6) AS sd_encoding
+  FROM r GROUP BY grp
+),
+pool AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(enc) AS se,
+         sum(x * x) AS sxx, sum(x * enc) AS sxe, sum(enc * enc) AS see
+  FROM r
+),
+corr AS (
+  SELECT round((sxe - sx * se / n)
+               / sqrt((sxx - sx * sx / n) * (see - se * se / n)), 6) AS c
+  FROM pool
+)
+SELECT per.grp, per.n_rows, per.mean_encoding, per.sd_encoding,
+       corr.c AS pooled_corr_target_encoding
+FROM per, corr ORDER BY per.grp
+""",
+)
+def loo_target_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value — enc_i = (S_g - x_i)/(n_g - 1), the leakage-safe form of
+    mean encoding (each row's own target is excluded, so the encoder
+    can't memorize the row) — with the per-group encoding mean/sd and
+    the pooled target-encoding correlation, which is the feature's
+    usable signal. sd_encoding >> between-group spread warns the
+    encoder is mostly noise for that group.
+
+    Scale: one grouped 2-sum pass builds the per-group sufficient
+    statistics; the encode itself is a broadcast-joined projection
+    (|groups| is tiny); the audit is one more fold. No row-level state,
+    no per-row model — the exact shape target encoding takes in a
+    100 TB feature pipeline.
+
+    Exactness: group sums are deterministic doubles folded once; every
+    ratio is a single shared-association division."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("o_totalprice").alias("s"),
+    )
+    r = (
+        orders.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_totalprice").alias("x"),
+        )
+        .join(F.broadcast(g), "grp")
+        .select(
+            "grp",
+            "x",
+            ((F.col("s") - F.col("x")) / (F.col("n") - 1)).alias("enc"),
+        )
+    )
+    per = r.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("enc"), 6).alias("mean_encoding"),
+        F.round(F.stddev_samp("enc"), 6).alias("sd_encoding"),
+    )
+    pool = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("enc").alias("se"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("enc")).alias("sxe"),
+        F.sum(F.col("enc") * F.col("enc")).alias("see"),
+    )
+    corr = pool.select(
+        F.round(
+            (F.col("sxe") - F.col("sx") * F.col("se") / F.col("n"))
+            / F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                * (F.col("see") - F.col("se") * F.col("se") / F.col("n"))
+            ),
+            6,
+        ).alias("pooled_corr_target_encoding")
+    )
+    return (
+        per.crossJoin(F.broadcast(corr))
+        .select(
+            "grp",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "mean_encoding",
+            "sd_encoding",
+            "pooled_corr_target_encoding",
+        )
+        .orderBy("grp")
+    )

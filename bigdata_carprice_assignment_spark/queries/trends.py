@@ -3194,3 +3194,55 @@ def kfold_slope_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("slope"),
     ).orderBy("fold")
+
+
+@query(
+    "hill_tail_index_order_values",
+    oracle="""
+WITH top AS (
+  SELECT o_totalprice::DOUBLE AS x
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 101
+),
+thr AS (SELECT min(x) AS t FROM top)
+SELECT 100::BIGINT AS k,
+       round(thr.t, 2) AS threshold,
+       round(sum(ln(top.x / thr.t)) / 100, 6) AS hill_inv_alpha,
+       round(100 / sum(ln(top.x / thr.t)), 4) AS hill_alpha
+FROM top, thr GROUP BY thr.t
+""",
+)
+def hill_tail_index_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index over the top k=100
+    order statistics: 1/alpha = mean of ln(x_(i)/x_(k+1)) — the
+    heavy-tail exponent that says whether extreme orders have finite
+    variance (alpha > 2) and how hard whale-driven skew will bite
+    aggregates. Complements ``copurchase_degree_powerlaw`` (discrete
+    log-log fit) with the order-statistics estimator.
+
+    The k+1 frame is a TakeOrdered top-101 (per-partition heaps, no
+    global sort); the threshold row contributes ln(1)=0, so the k-term
+    mean is one aggregate over the whole frame — no rank column needed.
+
+    Exactness: the cut is on (value desc, key asc); ln and the fold are
+    engine-shared; one division each for the two outputs."""
+    orders = load_table(spark, sf_dir, "orders")
+    top = (
+        orders.select(
+            F.col("o_totalprice").cast("double").alias("x"), "o_orderkey"
+        )
+        .orderBy(F.desc("x"), F.asc("o_orderkey"))
+        .limit(101)
+        .drop("o_orderkey")
+    )
+    thr = top.agg(F.min("x").alias("t"))
+    return (
+        top.crossJoin(F.broadcast(thr))
+        .groupBy("t")
+        .agg(F.sum(F.log(F.col("x") / F.col("t"))).alias("sumln"))
+        .select(
+            F.lit(100).cast("long").alias("k"),
+            F.round(F.col("t"), 2).alias("threshold"),
+            F.round(F.col("sumln") / 100, 6).alias("hill_inv_alpha"),
+            F.round(100 / F.col("sumln"), 4).alias("hill_alpha"),
+        )
+    )

@@ -359,3 +359,48 @@ def test_fd_histogram_covers_all_rows(spark):
         assert r["bin_lo"] < r["bin_hi"]
     bins = [r["bin"] for r in rows]
     assert bins == sorted(bins)
+
+
+def test_feature_hashing_counts_consistent(spark):
+    got = registry.QUERIES["feature_hashing_collision_audit"](spark, SF).collect()[0]
+    assert got["n_buckets_used"] <= min(32, got["n_keys"])
+    assert got["n_colliding_keys"] in (0,) or got["n_colliding_keys"] >= 2
+    assert got["max_keys_per_bucket"] >= 1
+
+
+def test_loo_encoding_matches_brute(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"select o_orderpriority, o_totalprice from "
+        f"read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, x in rows:
+        by_g[g].append(x)
+    got = {r["grp"]: r for r in
+           registry.QUERIES["loo_target_encoding_stats"](spark, SF).collect()}
+    for g, xs in by_g.items():
+        s, n = sum(xs), len(xs)
+        encs = [(s - x) / (n - 1) for x in xs]
+        m = sum(encs) / n
+        assert abs(got[g]["mean_encoding"] - m) < 1e-3
+    # LOO encoding pooled corr must be finite and in [-1, 1]
+    c = next(iter(got.values()))["pooled_corr_target_encoding"]
+    assert -1 <= c <= 1
+
+
+def test_hill_matches_brute(spark):
+    import duckdb
+
+    xs = [r[0] for r in duckdb.sql(
+        f"select o_totalprice from read_parquet('{SF}/orders.parquet') "
+        f"order by o_totalprice desc, o_orderkey limit 101"
+    ).fetchall()]
+    thr = min(xs)
+    hill_inv = sum(math.log(x / thr) for x in xs) / 100
+    got = registry.QUERIES["hill_tail_index_order_values"](spark, SF).collect()[0]
+    assert abs(got["hill_inv_alpha"] - hill_inv) < 1e-5
+    assert got["hill_alpha"] > 0
