@@ -265,6 +265,27 @@ HEADLINE: list[str] = [
     "orc_roundtrip_lineitem_stats",
     "bpe_first_merges",
     "weekly_seasonal_decomposition",
+    # round-5 fourth-wave additions (this session)
+    "yule_walker_ar2_daily_revenue",
+    "chow_break_test_daily_revenue",
+    "daily_orders_overdispersion",
+    "cooks_distance_top_days",
+    "pmi_collocations_top",
+    "randomization_test_priority_diff",
+    "mad_anomaly_days",
+    "doc_novelty_by_source",
+    "sorted_neighborhood_linkage",
+    "int8_quantization_cosine_audit",
+    "huber_regression_daily_revenue",
+    "newey_west_trend_se",
+    "kfold_slope_stability",
+    "event_burst_band_join",
+    "zipf_slope_fit",
+    "time_weighted_user_value",
+    "fd_histogram_order_values",
+    "feature_hashing_collision_audit",
+    "loo_target_encoding_stats",
+    "hill_tail_index_order_values",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

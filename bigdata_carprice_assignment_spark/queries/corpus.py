@@ -1329,3 +1329,134 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("zipf_intercept"),
         F.round((cxy * cxy) / (cxx * cyy), 6).alias("r_squared"),
     )
+
+
+@query(
+    "heldout_bigram_lm_eval",
+    oracle=r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+         ('0x' || substr(md5('lm:' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % 10000 < 8000 AS in_train
+  FROM documents WHERE trim(text) <> ''
+),
+bg AS (
+  SELECT doc_id, in_train,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> toks[i])) AS w1,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> toks[i+1])) AS w2
+  FROM tk WHERE len(toks) >= 2
+),
+cb AS (
+  SELECT w1, w2, count(*)::BIGINT AS cb FROM bg WHERE in_train GROUP BY 1, 2
+),
+cu AS (SELECT w1, count(*)::BIGINT AS cu FROM bg WHERE in_train GROUP BY 1),
+vv AS (SELECT count(DISTINCT w2)::DOUBLE AS v FROM bg WHERE in_train),
+ho AS (
+  SELECT h.doc_id,
+         coalesce(cb.cb, 0) AS cb, coalesce(cu.cu, 0) AS cu
+  FROM (SELECT * FROM bg WHERE NOT in_train) h
+  LEFT JOIN cb ON h.w1 = cb.w1 AND h.w2 = cb.w2
+  LEFT JOIN cu ON h.w1 = cu.w1
+),
+sc AS (
+  SELECT ln((cb + 0.5) / (cu + 0.5 * vv.v)) AS lp,
+         CASE WHEN cb = 0 THEN 1 ELSE 0 END AS oov
+  FROM ho, vv
+)
+SELECT (SELECT count(*) FROM tk WHERE in_train)::BIGINT AS n_train_docs,
+       (SELECT count(DISTINCT doc_id) FROM ho)::BIGINT AS n_heldout_docs,
+       (SELECT v FROM vv)::BIGINT AS vocab_size,
+       count(*)::BIGINT AS n_heldout_bigrams,
+       round(avg(lp), 6) AS mean_logprob,
+       round(sum(oov)::DOUBLE / count(*)::DOUBLE, 6) AS oov_bigram_rate
+FROM sc
+""",
+)
+def heldout_bigram_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram language-model evaluation with add-0.5 smoothing:
+    train on a deterministic 80% document split, score the held-out 20%
+    — pooled mean ln P(w2|w1) = ln((c12+0.5)/(c1+0.5V)) and the unseen-
+    bigram rate. The proper train/eval shape that
+    ``doc_bigram_logprob_quality`` (self-trained, unsmoothed) skips:
+    THIS number is comparable across corpora and catches distribution
+    shift between splits; smoothing means unseen events score 1/V-ish
+    instead of crashing the product.
+
+    Scale: train counts are two hash aggregates on n-gram keys; scoring
+    is two shuffle joins of the held-out bigram stream against them
+    (the model IS a pair of tables — no driver state); one scalar
+    vocab broadcast.
+
+    Exactness: every count and the split decision are integer/hash
+    exact; lp is one shared expression; the means round at 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        TX.tokens("text").alias("toks"),
+        (
+            TX.portable_hash60(
+                F.concat(F.lit("lm:"), F.col("doc_id").cast("string"))
+            )
+            % 10000
+            < 8000
+        ).alias("in_train"),
+    ).filter(F.size("toks") >= 1)
+    bg = (
+        tk.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "in_train",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("pr"),
+        )
+        .select("doc_id", "in_train", "pr.w1", "pr.w2")
+    )
+    tr = bg.filter("in_train")
+    cb = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vv = tr.agg(F.countDistinct("w2").cast("double").alias("v"))
+    ho = (
+        bg.filter(~F.col("in_train"))
+        .join(cb, ["w1", "w2"], "left")
+        .join(cu, ["w1"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+            F.coalesce("cu", F.lit(0)).alias("cu"),
+        )
+    )
+    sc = ho.crossJoin(F.broadcast(vv)).select(
+        "doc_id",
+        F.log((F.col("cb") + 0.5) / (F.col("cu") + 0.5 * F.col("v"))).alias("lp"),
+        F.when(F.col("cb") == 0, 1).otherwise(0).alias("oov"),
+    )
+    ntr = tk.filter("in_train").agg(F.count(F.lit(1)).alias("n_train_docs"))
+    agg = sc.agg(
+        F.countDistinct("doc_id").alias("n_heldout_docs"),
+        F.count(F.lit(1)).alias("n_heldout_bigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        F.round(
+            F.sum("oov").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("oov_bigram_rate"),
+    )
+    return (
+        ntr.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            F.col("n_train_docs").cast("long").alias("n_train_docs"),
+            F.col("n_heldout_docs").cast("long").alias("n_heldout_docs"),
+            F.col("v").cast("long").alias("vocab_size"),
+            F.col("n_heldout_bigrams").cast("long").alias("n_heldout_bigrams"),
+            "mean_logprob",
+            "oov_bigram_rate",
+        )
+    )

@@ -2777,32 +2777,30 @@ def mad_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     it hunts (50% breakdown point). The workhorse anomaly gate for
     monitoring pipelines where one bad day must not move the baseline.
 
-    Exactness: both medians go through the buffer-free distributed
-    percentile path (``exact_percentiles_distributed``), which equals
-    DuckDB's quantile_cont type-7 exactly; ranking on the rounded
-    |z| with a day tiebreak.
+    Exactness: both medians are Spark's exact ``percentile`` aggregate,
+    which equals DuckDB's quantile_cont type-7 exactly; ranking on the
+    rounded |z| with a day tiebreak.
 
-    Scale: one grouped integer aggregate to day grain; medians are two
-    value-compressed cumulative passes (no single-task window, no
-    O(column) buffer); top-k is a TakeOrdered."""
-    from ..operators.aggregates import exact_percentiles_distributed
-
+    Scale: one grouped integer aggregate to day grain; the medians run
+    on the DAY-GRAIN frame, whose cardinality is bounded by the
+    calendar (|days| never grows with corpus size), so the single-
+    buffer percentile aggregate is O(bounded) state at any SF — the
+    buffer-free distributed path stays reserved for unbounded columns
+    (see ``fd_histogram_order_values``). Top-k is a TakeOrdered."""
     orders = load_table(spark, sf_dir, "orders")
     d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    med = exact_percentiles_distributed(
-        d.select(F.col("cents").cast("double").alias("c")), "c", [0.5]
-    ).select(F.col("value").alias("med"))
+    med = d.agg(
+        F.expr("percentile(CAST(cents AS DOUBLE), 0.5)").alias("med")
+    )
     dv = d.crossJoin(F.broadcast(med)).select(
         "day",
         "cents",
         "med",
         F.abs(F.col("cents").cast("double") - F.col("med")).alias("adev"),
     )
-    mad = exact_percentiles_distributed(dv, "adev", [0.5]).select(
-        F.col("value").alias("mad")
-    )
+    mad = dv.agg(F.expr("percentile(adev, 0.5)").alias("mad"))
     z = 0.6745 * (F.col("cents").cast("double") - F.col("med")) / F.col("mad")
     return (
         dv.crossJoin(F.broadcast(mad))
@@ -2904,16 +2902,14 @@ def huber_regression_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     aggregate per iteration. Reports the OLS slope next to the Huber
     slope so the outlier pull is visible.
 
-    Exactness: the scale goes through the buffer-free distributed
-    median (== quantile_cont); every iteration's weight expression and
+    Exactness: the scale is Spark's exact percentile over the
+    calendar-bounded day-grain residuals (== quantile_cont); every iteration's weight expression and
     normal-equation solve use one shared association order; the Huber
     psi is CONTINUOUS at |r|=c, so ulp-level sum differences cannot
     flip a weight discontinuously and IRLS contraction absorbs them.
 
     Scale: day-grain; each iteration is one aggregate, state is two
     doubles — the same loop shape runs on any corpus at any SF."""
-    from ..operators.aggregates import exact_percentiles_distributed
-
     orders = load_table(spark, sf_dir, "orders")
     d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
@@ -2940,10 +2936,9 @@ def huber_regression_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     r0 = xy.select(
         F.abs(F.col("y") - (F.lit(icept) + F.lit(slope) * F.col("x"))).alias("r")
     )
-    mad = (
-        exact_percentiles_distributed(r0, "r", [0.5])
-        .collect()[0]["value"]
-    )
+    # day-grain residual frame: calendar-bounded, so the single-buffer
+    # exact percentile (== quantile_cont) is O(bounded) at any SF
+    mad = r0.agg(F.expr("percentile(r, 0.5)").alias("v")).collect()[0]["v"]
     c = mad / 0.6745 * 1.345
     for _ in range(_HUBER_ITERS):
         r = F.abs(F.col("y") - (F.lit(icept) + F.lit(slope) * F.col("x")))
@@ -3245,4 +3240,153 @@ def hill_tail_index_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sumln") / 100, 6).alias("hill_inv_alpha"),
             F.round(100 / F.col("sumln"), 4).alias("hill_alpha"),
         )
+    )
+
+
+@query(
+    "copurchase_component_sizes",
+    oracle="""
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 49
+),
+pairs AS (
+  SELECT a.p AS a, b.p AS b
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+),
+pe AS (SELECT DISTINCT a, b FROM pairs),
+e2 AS (SELECT a, b FROM pe UNION SELECT b AS a, a AS b FROM pe),
+nodes AS (SELECT DISTINCT a AS node FROM e2),
+conn(x, y) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT c.x, e.b FROM conn c JOIN e2 e ON c.y = e.a
+),
+comp AS (SELECT x AS node, min(y) AS component FROM conn GROUP BY x),
+sz AS (SELECT component, count(*)::BIGINT AS size FROM comp GROUP BY component)
+SELECT size AS component_size,
+       count(*)::BIGINT AS n_components,
+       (size * count(*))::BIGINT AS n_parts
+FROM sz GROUP BY size ORDER BY size
+""",
+)
+def copurchase_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size histogram of the high-quantity
+    co-purchase graph (parts sharing an order at quantity >= 49):
+    "does bulk co-buying form isolated pairs or merchandise families?"
+    — the component structure that drives assortment bundling and is
+    the graph-shape sibling of ``copurchase_degree_powerlaw`` (degree
+    tells you hubs; components tell you reach).
+
+    Components run through ``llm/dedup.connected_components`` — the
+    SAME adaptive operator the near-dup canonicalizer uses (union-find
+    under the driver-heap threshold, pointer-jumping min-label
+    propagation above it), exercised here on a product graph instead
+    of a duplicate graph. The oracle replays the full transitive
+    closure with a recursive CTE; the quantity floor keeps the closure
+    frontier bounded at every benched SF (edge count probes: 189 at
+    sf0.01, ~2k at sf0.1 — degree ~0.2, far below percolation).
+
+    Scale: the edge build is two shuffles on order/part keys; the
+    histogram is component-grain."""
+    from ..llm.dedup import connected_components
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = li.select(F.col("o"), F.col("p").alias("pb"))
+    edges = (
+        li.join(b, "o")
+        .filter(F.col("p") < F.col("pb"))
+        .select(F.col("p").alias("a"), F.col("pb").alias("b"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    sz = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sz.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .select(
+            F.col("size").cast("long").alias("component_size"),
+            F.col("n_components").cast("long").alias("n_components"),
+            (F.col("size") * F.col("n_components")).cast("long").alias("n_parts"),
+        )
+        .orderBy("component_size")
+    )
+
+
+@query(
+    "winsorized_correlation_qty_price",
+    oracle="""
+WITH v AS (
+  SELECT l_quantity::DOUBLE AS q, l_extendedprice::DOUBLE AS p FROM lineitem
+),
+b AS (
+  SELECT quantile_cont(q, 0.05) AS ql, quantile_cont(q, 0.95) AS qh,
+         quantile_cont(p, 0.05) AS pl, quantile_cont(p, 0.95) AS ph
+  FROM v
+),
+w AS (
+  SELECT least(greatest(v.q, b.ql), b.qh) AS q,
+         least(greatest(v.p, b.pl), b.ph) AS p
+  FROM v, b
+),
+cr AS (
+  SELECT corr(v.q, v.p) AS raw FROM v
+),
+cw AS (
+  SELECT corr(q, p) AS wins, count(*)::BIGINT AS n FROM w
+)
+SELECT cw.n AS n_rows,
+       round(cr.raw, 6) AS pearson_raw,
+       round(cw.wins, 6) AS pearson_winsorized,
+       round(cw.wins - cr.raw, 6) AS winsorization_effect
+FROM cr, cw
+""",
+)
+def winsorized_correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5/95) Pearson correlation of quantity vs extended
+    price next to the raw correlation — the tail-robust association
+    readout: when the two disagree, the raw correlation is being
+    steered by the extremes, not the bulk. Clamping bounds come from
+    the buffer-free distributed percentile path; both correlations are
+    single corr() folds.
+
+    Scale: two passes (quantile pass, corr pass) with a 1-row
+    broadcast of the four clamp bounds between them."""
+    from ..operators.aggregates import exact_percentiles_distributed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_quantity").cast("double").alias("q"),
+        F.col("l_extendedprice").cast("double").alias("p"),
+    )
+    qb = (
+        exact_percentiles_distributed(v, "q", [0.05, 0.95])
+        .groupBy()
+        .pivot("p", [0.05, 0.95])
+        .agg(F.first("value"))
+        .select(F.col("`0.05`").alias("ql"), F.col("`0.95`").alias("qh"))
+    )
+    pb = (
+        exact_percentiles_distributed(v, "p", [0.05, 0.95])
+        .groupBy()
+        .pivot("p", [0.05, 0.95])
+        .agg(F.first("value"))
+        .select(F.col("`0.05`").alias("pl"), F.col("`0.95`").alias("ph"))
+    )
+    w = v.crossJoin(F.broadcast(qb)).crossJoin(F.broadcast(pb)).select(
+        F.least(F.greatest(F.col("q"), F.col("ql")), F.col("qh")).alias("q"),
+        F.least(F.greatest(F.col("p"), F.col("pl")), F.col("ph")).alias("p"),
+    )
+    cr = v.agg(F.corr("q", "p").alias("raw"))
+    cw = w.agg(F.corr("q", "p").alias("wins"), F.count(F.lit(1)).alias("n"))
+    return cw.crossJoin(F.broadcast(cr)).select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round("raw", 6).alias("pearson_raw"),
+        F.round("wins", 6).alias("pearson_winsorized"),
+        F.round(F.col("wins") - F.col("raw"), 6).alias("winsorization_effect"),
     )

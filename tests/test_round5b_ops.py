@@ -404,3 +404,96 @@ def test_hill_matches_brute(spark):
     got = registry.QUERIES["hill_tail_index_order_values"](spark, SF).collect()[0]
     assert abs(got["hill_inv_alpha"] - hill_inv) < 1e-5
     assert got["hill_alpha"] > 0
+
+
+def test_copurchase_components_match_union_find(spark):
+    import duckdb
+
+    edges = duckdb.sql(f"""
+        WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p
+                    FROM read_parquet('{SF}/lineitem.parquet')
+                    WHERE l_quantity >= 49)
+        SELECT DISTINCT a.p, b.p FROM li a JOIN li b
+        ON a.o = b.o AND a.p < b.p
+    """).fetchall()
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        nodes |= {a, b}
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    sizes = Counter()
+    comp = Counter(find(n) for n in nodes)
+    for c, s in comp.items():
+        sizes[s] += 1
+    got = registry.QUERIES["copurchase_component_sizes"](spark, SF).collect()
+    assert {r["component_size"]: r["n_components"] for r in got} == dict(sizes)
+
+
+def test_winsorized_corr_matches_numpy(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"select l_quantity, l_extendedprice from "
+        f"read_parquet('{SF}/lineitem.parquet')"
+    ).fetchnumpy()
+    q = rows["l_quantity"].astype(float)
+    p = rows["l_extendedprice"].astype(float)
+    ql, qh = np.quantile(q, 0.05), np.quantile(q, 0.95)
+    pl, ph = np.quantile(p, 0.05), np.quantile(p, 0.95)
+    wq, wp = np.clip(q, ql, qh), np.clip(p, pl, ph)
+    raw = np.corrcoef(q, p)[0, 1]
+    wins = np.corrcoef(wq, wp)[0, 1]
+    got = registry.QUERIES["winsorized_correlation_qty_price"](spark, SF).collect()[0]
+    assert abs(got["pearson_raw"] - raw) < 1e-4
+    assert abs(got["pearson_winsorized"] - wins) < 1e-4
+
+
+def test_heldout_lm_matches_brute(spark):
+    import duckdb
+    import hashlib
+    from collections import Counter
+
+    docs = duckdb.sql(
+        f"select doc_id, text from read_parquet('{SF}/documents.parquet')"
+        f" where trim(text) <> ''"
+    ).fetchall()
+
+    def in_train(doc_id):
+        h = hashlib.md5(f"lm:{doc_id}".encode()).hexdigest()[:15]
+        return int(h, 16) % 10000 < 8000
+
+    cb, cu, vocab = Counter(), Counter(), set()
+    held = []
+    for did, text in docs:
+        toks = text.strip().split()
+        if len(toks) < 2:
+            continue
+        pairs = list(zip(toks, toks[1:]))
+        if in_train(did):
+            cb.update(pairs)
+            cu.update(t for t, _ in pairs)
+            vocab |= {b for _, b in pairs}
+        else:
+            held.extend(pairs)
+    V = len(vocab)
+    lps = [
+        math.log((cb.get(pr, 0) + 0.5) / (cu.get(pr[0], 0) + 0.5 * V))
+        for pr in held
+    ]
+    oov = sum(1 for pr in held if cb.get(pr, 0) == 0)
+    got = registry.QUERIES["heldout_bigram_lm_eval"](spark, SF).collect()[0]
+    assert got["vocab_size"] == V
+    assert got["n_heldout_bigrams"] == len(held)
+    assert abs(got["mean_logprob"] - sum(lps) / len(lps)) < 1e-5
+    assert abs(got["oov_bigram_rate"] - oov / len(held)) < 1e-6
