@@ -286,6 +286,12 @@ HEADLINE: list[str] = [
     "feature_hashing_collision_audit",
     "loo_target_encoding_stats",
     "hill_tail_index_order_values",
+    "copurchase_component_sizes",
+    "winsorized_correlation_qty_price",
+    "heldout_bigram_lm_eval",
+    "boilerplate_shingle_dictionary",
+    "hard_negative_mining",
+    "tokenizer_fertility_by_lang",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -2440,3 +2440,234 @@ def int8_quantization_cosine_audit(spark: SparkSession, sf_dir: str) -> DataFram
         "mean_abs_cos_err",
         "max_abs_cos_err",
     )
+
+
+@query(
+    "boilerplate_shingle_dictionary",
+    oracle=r"""
+WITH nrm AS (
+  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM nrm),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 1)),
+             i -> array_to_string(toks[i:i+3], ' ')))) AS g
+  FROM tk WHERE len(toks) >= 4
+),
+df AS (SELECT g, count(*)::BIGINT AS doc_freq FROM sh GROUP BY g),
+nd AS (SELECT count(*)::DOUBLE AS n FROM nrm)
+SELECT g AS shingle, doc_freq,
+       round(doc_freq / nd.n, 6) AS doc_share
+FROM df, nd
+WHERE doc_freq >= 3
+ORDER BY doc_freq DESC, shingle LIMIT 20
+""",
+)
+def boilerplate_shingle_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate dictionary: the word 4-gram shingles that recur
+    across the MOST distinct documents (doc-frequency, not occurrence
+    count — a shingle repeated inside one page is repetition, across
+    pages it's template chrome). The removal list every web-corpus
+    cleaner builds before near-dup ("cookie policy" beats any classifier
+    at finding nav bars). Support floor 3, top-20 on (doc_freq desc,
+    shingle).
+
+    Scale: explode to per-doc DISTINCT shingles, one hash aggregate on
+    the shingle key (map-side combine), TakeOrdered top-k — exactly the
+    first-introduction plan shape of ``doc_novelty_by_source``."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", TX.tokens(TX.normalize_text(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= 4)
+    sh = tk.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                        F.element_at("toks", i + 3),
+                    ),
+                )
+            )
+        ).alias("g"),
+    ).distinct()
+    df_ = sh.groupBy("g").agg(F.count(F.lit(1)).alias("doc_freq")).filter(
+        F.col("doc_freq") >= 3
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        df_.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("g").alias("shingle"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.round(F.col("doc_freq") / F.col("n"), 6).alias("doc_share"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(20)
+    )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=r"""
+WITH nrm AS (
+  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, list_distinct(string_split(t, ' ')) AS toks
+  FROM nrm WHERE t <> ''
+),
+q AS (SELECT doc_id AS qid, toks AS qt FROM tk WHERE doc_id < 10),
+c AS (SELECT doc_id AS cid, toks AS ct FROM tk WHERE doc_id >= 10),
+sc AS (
+  SELECT q.qid, c.cid,
+         len(list_intersect(q.qt, c.ct))::DOUBLE
+           / (len(q.qt) + len(c.ct) - len(list_intersect(q.qt, c.ct)))::DOUBLE
+           AS jac
+  FROM q, c
+),
+band AS (
+  SELECT qid, cid, round(jac, 6) AS jaccard
+  FROM sc WHERE jac >= 0.1 AND jac < 0.5
+),
+rk AS (
+  SELECT qid, cid, jaccard,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY jaccard DESC, cid ASC) AS rn
+  FROM band
+)
+SELECT qid AS query_doc, cid AS negative_doc, jaccard, rn AS rank
+FROM rk WHERE rn <= 3 ORDER BY query_doc, rank
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: for each
+    query document (the small eval side, doc_id < 10), the top-3
+    corpus documents by DISTINCT-token Jaccard restricted to the
+    [0.1, 0.5) band — similar enough to be confusable, dissimilar
+    enough to be true negatives (the standard band that excludes
+    near-dups, which would be FALSE negatives). Each (query, negative,
+    score, rank) row is a training triple ingredient.
+
+    Scale: the query side broadcasts (eval sets are thousands of docs);
+    scoring is a broadcast nested-loop over the corpus — a map-only
+    pass, no corpus shuffle; the per-query top-3 window partitions on
+    query_doc (parallel, bounded state). At larger eval sides, swap
+    the broadcast for the shared-token equi-join prefilter that
+    ``prefix_filter_jaccard_pairs`` demonstrates.
+
+    Exactness: token sets and intersections are exact; one division;
+    banding and ranking on the rounded score with a cid tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.array_distinct(TX.tokens(TX.normalize_text(F.col("text")))).alias(
+            "toks"
+        ),
+    ).filter(F.size("toks") >= 1)
+    q = tk.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("qid"), F.col("toks").alias("qt")
+    )
+    c = tk.filter(F.col("doc_id") >= 10).select(
+        F.col("doc_id").alias("cid"), F.col("toks").alias("ct")
+    )
+    inter = F.size(F.array_intersect(F.col("qt"), F.col("ct"))).cast("double")
+    jac = inter / (
+        F.size("qt").cast("double") + F.size("ct").cast("double") - inter
+    )
+    sc = c.crossJoin(F.broadcast(q)).select("qid", "cid", jac.alias("_j"))
+    band = sc.filter((F.col("_j") >= 0.1) & (F.col("_j") < 0.5)).select(
+        "qid", "cid", F.round("_j", 6).alias("jaccard")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("jaccard"), F.asc("cid"))
+    return (
+        band.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("qid").alias("query_doc"),
+            F.col("cid").alias("negative_doc"),
+            "jaccard",
+            F.col("rn").cast("long").alias("rank"),
+        )
+        .orderBy("query_doc", "rank")
+    )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=r"""
+WITH d AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws,
+         len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_ws)::BIGINT AS whitespace_tokens,
+       sum(n_bpe)::BIGINT AS bpeish_tokens,
+       round(sum(n_bpe)::DOUBLE / sum(n_ws)::DOUBLE, 6) AS fertility,
+       round(sum(n_chars)::DOUBLE / sum(n_bpe)::DOUBLE, 6)
+         AS chars_per_token
+FROM d GROUP BY lang ORDER BY lang
+""",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit by language: sub-word-ish tokens per
+    whitespace token (fertility — the cost multiplier a BPE-style
+    tokenizer imposes on a language) and characters per token (the
+    compression each language gets from the vocabulary). THE budgeting
+    table for multilingual training mixes: languages with fertility ≫ 1
+    pay more context window per word, which feeds directly into the
+    ``lang_sampling_temperature`` rebalance.
+
+    Scale: one narrow map-side pass (two regex counts per row) + a
+    |langs|-row rollup. Exactness: counts are exact integers from the
+    engines' shared regex semantics; two single divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(TX.tokens("text")).alias("n_ws"),
+        TX.bpe_ish_token_count("text").alias("n_bpe"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("whitespace_tokens"),
+            F.sum("n_bpe").alias("bpeish_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_ws").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_bpe").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("whitespace_tokens").cast("long").alias("whitespace_tokens"),
+            F.col("bpeish_tokens").cast("long").alias("bpeish_tokens"),
+            "fertility",
+            "chars_per_token",
+        )
+        .orderBy("lang")
+    )

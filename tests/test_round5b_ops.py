@@ -497,3 +497,53 @@ def test_heldout_lm_matches_brute(spark):
     assert got["n_heldout_bigrams"] == len(held)
     assert abs(got["mean_logprob"] - sum(lps) / len(lps)) < 1e-5
     assert abs(got["oov_bigram_rate"] - oov / len(held)) < 1e-6
+
+
+def test_boilerplate_shingles_match_brute(spark):
+    import duckdb
+    import re
+    from collections import Counter
+
+    docs = duckdb.sql(
+        f"select doc_id, text from read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    df = Counter()
+    for _, text in docs:
+        t = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9_\s]", " ", text.lower())).strip()
+        toks = t.split(" ")
+        grams = {
+            " ".join(toks[i:i + 4]) for i in range(len(toks) - 3)
+        } if len(toks) >= 4 else set()
+        df.update(grams)
+    want = sorted(
+        ((g, c) for g, c in df.items() if c >= 3),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:20]
+    got = registry.QUERIES["boilerplate_shingle_dictionary"](spark, SF).collect()
+    assert [(r["shingle"], r["doc_freq"]) for r in got] == want
+
+
+def test_hard_negatives_banded_and_ranked(spark):
+    got = registry.QUERIES["hard_negative_mining"](spark, SF).collect()
+    assert got, "expected at least one hard negative at sf0.001"
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in got:
+        assert 0.1 <= r["jaccard"] < 0.5
+        assert r["negative_doc"] >= 10 and r["query_doc"] < 10
+        per_q[r["query_doc"]].append((r["rank"], r["jaccard"]))
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+        jacs = [j for _, j in rows]
+        assert jacs == sorted(jacs, reverse=True)
+
+
+def test_fertility_at_least_one(spark):
+    got = registry.QUERIES["tokenizer_fertility_by_lang"](spark, SF).collect()
+    assert got
+    for r in got:
+        # sub-word-ish splitting can only produce >= whitespace tokens
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_token"] > 0
