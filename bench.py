@@ -292,6 +292,8 @@ HEADLINE: list[str] = [
     "boilerplate_shingle_dictionary",
     "hard_negative_mining",
     "tokenizer_fertility_by_lang",
+    "functional_dependency_audit",
+    "categorical_entropy_profile",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -333,3 +333,175 @@ def feature_hashing_collision_audit(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("max_keys_per_bucket").cast("long").alias("max_keys_per_bucket"),
         F.col("max_bucket_rows").cast("long").alias("max_bucket_rows"),
     )
+
+
+@query(
+    "functional_dependency_audit",
+    oracle="""
+WITH f1 AS (
+  SELECT o_custkey AS k, count(DISTINCT o_orderpriority)::BIGINT AS d
+  FROM orders GROUP BY 1
+),
+f2 AS (
+  SELECT l_partkey AS k, count(DISTINCT l_suppkey)::BIGINT AS d
+  FROM lineitem GROUP BY 1
+),
+f3 AS (
+  SELECT c_nationkey AS k, count(DISTINCT c_mktsegment)::BIGINT AS d
+  FROM customer GROUP BY 1
+),
+u AS (
+  SELECT 'orders: o_custkey -> o_orderpriority' AS fd, * FROM f1
+  UNION ALL
+  SELECT 'lineitem: l_partkey -> l_suppkey', * FROM f2
+  UNION ALL
+  SELECT 'customer: c_nationkey -> c_mktsegment', * FROM f3
+)
+SELECT fd,
+       count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating_keys,
+       round(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS violation_rate,
+       max(d) AS max_distinct_rhs
+FROM u GROUP BY fd ORDER BY fd
+""",
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit for three candidate FDs:
+    per left-hand key, does more than one right-hand value occur? The
+    schema-profiling primitive behind normalization advice, join-key
+    sanity ("is this really 1:1?"), and dedup-rule design — an FD that
+    ALMOST holds (violation_rate ~ 0) usually marks dirty rows, not a
+    false rule.
+
+    Scale: one count-distinct grouped pass per audited FD (Spark's
+    two-phase single-distinct rewrite, map-side partials), then a
+    key-grain rollup. Adding an FD adds one aggregate, never a join."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def fd(df, key, val, label):
+        return (
+            df.groupBy(F.col(key).alias("k"))
+            .agg(F.count_distinct(F.col(val)).alias("d"))
+            .select(F.lit(label).alias("fd"), "k", "d")
+        )
+
+    u = (
+        fd(orders, "o_custkey", "o_orderpriority",
+           "orders: o_custkey -> o_orderpriority")
+        .unionByName(
+            fd(lineitem, "l_partkey", "l_suppkey",
+               "lineitem: l_partkey -> l_suppkey")
+        )
+        .unionByName(
+            fd(customer, "c_nationkey", "c_mktsegment",
+               "customer: c_nationkey -> c_mktsegment")
+        )
+    )
+    return (
+        u.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0)).alias(
+                "n_violating_keys"
+            ),
+            F.round(
+                F.sum(F.when(F.col("d") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("violation_rate"),
+            F.max("d").alias("max_distinct_rhs"),
+        )
+        .select(
+            "fd",
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_violating_keys").cast("long").alias("n_violating_keys"),
+            "violation_rate",
+            F.col("max_distinct_rhs").cast("long").alias("max_distinct_rhs"),
+        )
+        .orderBy("fd")
+    )
+
+
+@query(
+    "categorical_entropy_profile",
+    oracle="""
+WITH c1 AS (
+  SELECT 'orders.o_orderpriority' AS col, o_orderpriority AS v,
+         count(*)::DOUBLE AS n
+  FROM orders GROUP BY 2
+),
+c2 AS (
+  SELECT 'orders.o_orderstatus', o_orderstatus, count(*)::DOUBLE
+  FROM orders GROUP BY 2
+),
+c3 AS (
+  SELECT 'lineitem.l_returnflag', l_returnflag, count(*)::DOUBLE
+  FROM lineitem GROUP BY 2
+),
+c4 AS (
+  SELECT 'customer.c_mktsegment', c_mktsegment, count(*)::DOUBLE
+  FROM customer GROUP BY 2
+),
+u AS (
+  SELECT * FROM c1 UNION ALL SELECT * FROM c2
+  UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+),
+t AS (SELECT col, sum(n) AS tot FROM u GROUP BY col)
+SELECT u.col,
+       count(*)::BIGINT AS n_distinct,
+       round(sum(-(u.n / t.tot) * log2(u.n / t.tot)), 6) AS entropy_bits,
+       round(max(u.n) / t.tot, 6) AS mode_share
+FROM u JOIN t ON u.col = t.col
+GROUP BY u.col, t.tot ORDER BY u.col
+""",
+)
+def categorical_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy profile of four categorical columns (bits), with
+    distinct counts and mode share — the column-level information
+    readout that ranks encoder candidates (near-zero entropy: drop or
+    constant-fold the column; entropy ~ log2(k): uniform, hashing-safe)
+    and baselines compressibility.
+
+    Scale: one grouped count per column (map-side combine), unioned at
+    category grain (a few dozen rows total), then a per-column fold."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def cat(df, col, label):
+        return df.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("double").alias("n")
+        ).select(F.lit(label).alias("col"), "v", "n")
+
+    u = (
+        cat(orders, "o_orderpriority", "orders.o_orderpriority")
+        .unionByName(cat(orders, "o_orderstatus", "orders.o_orderstatus"))
+        .unionByName(cat(lineitem, "l_returnflag", "lineitem.l_returnflag"))
+        .unionByName(cat(customer, "c_mktsegment", "customer.c_mktsegment"))
+    )
+    t = u.groupBy("col").agg(F.sum("n").alias("tot"))
+    return (
+        u.join(t, "col")
+        .groupBy("col", "tot")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(
+                F.sum(
+                    -(F.col("n") / F.col("tot"))
+                    * F.log2(F.col("n") / F.col("tot"))
+                ),
+                6,
+            ).alias("entropy_bits"),
+            F.round(F.max("n") / F.col("tot"), 6).alias("mode_share"),
+        )
+        .select(
+            "col",
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "entropy_bits",
+            "mode_share",
+        )
+        .orderBy("col")
+    )

@@ -547,3 +547,47 @@ def test_fertility_at_least_one(spark):
         # sub-word-ish splitting can only produce >= whitespace tokens
         assert r["fertility"] >= 1.0
         assert r["chars_per_token"] > 0
+
+
+def test_auc_matches_brute_pairs(spark):
+    got = registry.QUERIES["carprice_logit_auc_brier"](spark, SF).collect()[0]
+    # brute pairwise AUC from the raw csv + an independent sklearn-free fit
+    from bigdata_carprice_assignment_spark.pipelines import carprice as cp
+
+    raw = cp.load_raw(spark).select("horsepower", "curbweight", "price").collect()
+    X = np.array([[r["horsepower"] / 100, r["curbweight"] / 1000] for r in raw])
+    yv = np.array([1.0 if r["price"] > 15000 else 0.0 for r in raw])
+    beta = np.zeros(3)
+    Z = np.column_stack([np.ones(len(yv)), X])
+    for _ in range(8):
+        mu = 1 / (1 + np.exp(-(Z @ beta)))
+        W = mu * (1 - mu)
+        H = Z.T @ (Z * W[:, None])
+        g = Z.T @ (yv - mu)
+        beta = beta + np.linalg.solve(H, g)
+    p = 1 / (1 + np.exp(-(Z @ beta)))
+    pos, neg = p[yv == 1], p[yv == 0]
+    wins = sum((pos_i > neg).sum() + 0.5 * (pos_i == neg).sum() for pos_i in pos)
+    auc = wins / (len(pos) * len(neg))
+    assert abs(got["auc"] - auc) < 1e-5
+    brier = ((p - yv) ** 2).mean()
+    assert abs(got["brier_score"] - brier) < 1e-5
+    assert got["n_pos"] + got["n_neg"] == 205
+
+
+def test_fd_audit_sane(spark):
+    rows = {r["fd"]: r for r in
+            registry.QUERIES["functional_dependency_audit"](spark, SF).collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert 0 <= r["violation_rate"] <= 1
+        assert r["n_violating_keys"] <= r["n_keys"]
+        assert r["max_distinct_rhs"] >= 1
+
+
+def test_entropy_profile_bounds(spark):
+    rows = registry.QUERIES["categorical_entropy_profile"](spark, SF).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert 0 <= r["entropy_bits"] <= math.log2(max(r["n_distinct"], 2)) + 1e-9
+        assert 0 < r["mode_share"] <= 1
