@@ -294,6 +294,10 @@ HEADLINE: list[str] = [
     "tokenizer_fertility_by_lang",
     "functional_dependency_audit",
     "categorical_entropy_profile",
+    "diff_in_diff_building_vs_auto",
+    "standardized_urgent_rate_by_segment",
+    "mean_excess_over_thresholds",
+    "seasonal_naive_backtest",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -3306,3 +3306,196 @@ def loo_target_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "diff_in_diff_building_vs_auto",
+    oracle="""
+WITH sp AS (
+  SELECT CAST(min(o_orderdate) AS DATE)
+           + CAST(CAST(datediff('day', min(o_orderdate),
+               max(o_orderdate)) AS DOUBLE) / 2 AS INTEGER) AS mid
+  FROM orders
+),
+cell AS (
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treated,
+         CASE WHEN CAST(o.o_orderdate AS DATE) > sp.mid
+              THEN 1 ELSE 0 END AS post,
+         count(*)::DOUBLE AS n,
+         avg(o.o_totalprice) AS m,
+         var_samp(o.o_totalprice) AS v
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey, sp
+  WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT
+    max(CASE WHEN treated = 1 AND post = 1 THEN m END) AS t1,
+    max(CASE WHEN treated = 1 AND post = 0 THEN m END) AS t0,
+    max(CASE WHEN treated = 0 AND post = 1 THEN m END) AS c1,
+    max(CASE WHEN treated = 0 AND post = 0 THEN m END) AS c0,
+    max(CASE WHEN treated = 1 AND post = 1 THEN v / n END) AS s1,
+    max(CASE WHEN treated = 1 AND post = 0 THEN v / n END) AS s0,
+    max(CASE WHEN treated = 0 AND post = 1 THEN v / n END) AS u1,
+    max(CASE WHEN treated = 0 AND post = 0 THEN v / n END) AS u0,
+    sum(n)::BIGINT AS n_total
+  FROM cell
+)
+SELECT n_total,
+       round(t0, 4) AS treated_pre, round(t1, 4) AS treated_post,
+       round(c0, 4) AS control_pre, round(c1, 4) AS control_post,
+       round((t1 - t0) - (c1 - c0), 4) AS did_estimate,
+       round(sqrt(s1 + s0 + u1 + u0), 4) AS did_se
+FROM w
+""",
+)
+def diff_in_diff_building_vs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: BUILDING-segment (treated) vs
+    AUTOMOBILE-segment (control) mean order value, before vs after the
+    calendar midpoint — DiD = (T_post - T_pre) - (C_post - C_pre), the
+    parallel-trends causal estimator, with the four-cell variance-sum
+    SE. The observational-causal workhorse every experimentation stack
+    keeps next to its A/B tests for launches that couldn't be
+    randomized.
+
+    Scale: one fact-dim equi-join and ONE grouped pass produce all four
+    cells (2x2 conditional aggregation); everything after is a 1-row
+    fold. Exactness: cell moments are single-pass; one shared
+    association order for the estimate and SE."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    sp = orders.agg(
+        F.expr(
+            "date_add(min(o_orderdate), CAST(CAST(datediff(max(o_orderdate),"
+            " min(o_orderdate)) AS DOUBLE) / 2 AS INT))"
+        ).alias("mid")
+    )
+    j = (
+        orders.join(
+            customer.filter(
+                F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+            ).select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .crossJoin(F.broadcast(sp))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias(
+                "treated"
+            ),
+            F.when(F.col("o_orderdate") > F.col("mid"), 1).otherwise(0).alias(
+                "post"
+            ),
+            "o_totalprice",
+        )
+    )
+    cell = j.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("o_totalprice").alias("m"),
+        F.var_samp("o_totalprice").alias("v"),
+    )
+    pick = lambda t, p, e: F.max(  # noqa: E731
+        F.when((F.col("treated") == t) & (F.col("post") == p), e)
+    )
+    w = cell.agg(
+        pick(1, 1, F.col("m")).alias("t1"),
+        pick(1, 0, F.col("m")).alias("t0"),
+        pick(0, 1, F.col("m")).alias("c1"),
+        pick(0, 0, F.col("m")).alias("c0"),
+        pick(1, 1, F.col("v") / F.col("n")).alias("s1"),
+        pick(1, 0, F.col("v") / F.col("n")).alias("s0"),
+        pick(0, 1, F.col("v") / F.col("n")).alias("u1"),
+        pick(0, 0, F.col("v") / F.col("n")).alias("u0"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return w.select(
+        "n_total",
+        F.round("t0", 4).alias("treated_pre"),
+        F.round("t1", 4).alias("treated_post"),
+        F.round("c0", 4).alias("control_pre"),
+        F.round("c1", 4).alias("control_post"),
+        F.round(
+            (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")), 4
+        ).alias("did_estimate"),
+        F.round(
+            F.sqrt(F.col("s1") + F.col("s0") + F.col("u1") + F.col("u0")), 4
+        ).alias("did_se"),
+    )
+
+
+@query(
+    "standardized_urgent_rate_by_segment",
+    oracle="""
+WITH j AS (
+  SELECT c.c_mktsegment AS seg, c.c_nationkey AS stratum,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+st AS (
+  SELECT stratum, count(*)::DOUBLE AS w FROM j GROUP BY stratum
+),
+tot AS (SELECT sum(w) AS tw FROM st),
+cm AS (
+  SELECT seg, stratum, avg(y) AS m, count(*)::BIGINT AS n
+  FROM j GROUP BY seg, stratum
+),
+crude AS (SELECT seg, avg(y) AS crude_rate FROM j GROUP BY seg)
+SELECT cm.seg,
+       sum(cm.n)::BIGINT AS n_orders,
+       round(max(crude.crude_rate), 6) AS crude_urgent_rate,
+       round(sum(cm.m * st.w / tot.tw), 6) AS standardized_urgent_rate
+FROM cm
+JOIN st ON cm.stratum = st.stratum
+JOIN crude ON crude.seg = cm.seg
+CROSS JOIN tot
+GROUP BY cm.seg ORDER BY cm.seg
+""",
+)
+def standardized_urgent_rate_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct standardization: each segment's urgent-order rate
+    reweighted to the POOLED nation distribution — the confounding
+    adjustment that makes segments comparable when their customers
+    cluster in different nations (crude vs standardized disagreement IS
+    the confounding signal; epidemiology's age-adjustment, rebuilt for
+    business strata).
+
+    Caveat stated honestly: a segment absent from some stratum simply
+    contributes no term for it (its standardized rate renormalizes over
+    covered strata only) — visible because covered-strata weights then
+    sum below 1; at this corpus every segment covers every nation.
+
+    Scale: one fact-dim join, two grouped passes (stratum weights, per
+    segment-stratum cell means), and a weighted fold — no per-row
+    weights materialized."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        customer.select("c_custkey", "c_mktsegment", "c_nationkey"),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("stratum"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    st = j.groupBy("stratum").agg(F.count(F.lit(1)).cast("double").alias("w"))
+    tot = st.agg(F.sum("w").alias("tw"))
+    cm = j.groupBy("seg", "stratum").agg(
+        F.avg("y").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    crude = j.groupBy("seg").agg(F.avg("y").alias("crude_rate"))
+    return (
+        cm.join(st, "stratum")
+        .join(crude, "seg")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("seg")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.round(F.max("crude_rate"), 6).alias("crude_urgent_rate"),
+            F.round(
+                F.sum(F.col("m") * F.col("w") / F.col("tw")), 6
+            ).alias("standardized_urgent_rate"),
+        )
+        .orderBy("seg")
+    )

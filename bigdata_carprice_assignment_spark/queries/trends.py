@@ -3390,3 +3390,160 @@ def winsorized_correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFr
         F.round("wins", 6).alias("pearson_winsorized"),
         F.round(F.col("wins") - F.col("raw"), 6).alias("winsorization_effect"),
     )
+
+
+@query(
+    "mean_excess_over_thresholds",
+    oracle="""
+WITH v AS (SELECT o_totalprice::DOUBLE AS x FROM orders),
+q AS (
+  SELECT quantile_cont(x, 0.90) AS q90, quantile_cont(x, 0.95) AS q95,
+         quantile_cont(x, 0.99) AS q99
+  FROM v
+),
+u AS (
+  SELECT 0.90 AS p, q90 AS thr FROM q
+  UNION ALL SELECT 0.95, q95 FROM q
+  UNION ALL SELECT 0.99, q99 FROM q
+),
+me AS (
+  SELECT u.p, u.thr,
+         count(*)::BIGINT AS n_exceed,
+         avg(v.x - u.thr) AS mean_excess
+  FROM v JOIN u ON v.x > u.thr
+  GROUP BY u.p, u.thr
+)
+SELECT p AS prob,
+       round(thr, 2) AS threshold,
+       n_exceed,
+       round(mean_excess, 4) AS mean_excess
+FROM me ORDER BY p
+""",
+)
+def mean_excess_over_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold mean-excess function at the p90/p95/p99
+    thresholds: E[X - u | X > u] — the EVT diagnostic that pairs with
+    ``hill_tail_index_order_values`` (a mean excess that GROWS with the
+    threshold is the generalized-Pareto heavy-tail signature; flat ~
+    exponential tail). The number that prices 'how bad is bad' for
+    reserve sizing and anomaly budgets.
+
+    Scale: thresholds via the buffer-free distributed percentile path;
+    the excess pass is one broadcast theta-join of the 3-row threshold
+    frame against the fact (a map-side filter per threshold)."""
+    from ..operators.aggregates import exact_percentiles_distributed
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(F.col("o_totalprice").cast("double").alias("x"))
+    u = exact_percentiles_distributed(v, "x", [0.90, 0.95, 0.99]).select(
+        F.col("p"), F.col("value").alias("thr")
+    )
+    me = (
+        v.join(F.broadcast(u), v.x > F.col("thr"))
+        .groupBy("p", "thr")
+        .agg(
+            F.count(F.lit(1)).alias("n_exceed"),
+            F.avg(F.col("x") - F.col("thr")).alias("mean_excess"),
+        )
+    )
+    return me.select(
+        F.col("p").alias("prob"),
+        F.round("thr", 2).alias("threshold"),
+        F.col("n_exceed").cast("long").alias("n_exceed"),
+        F.round("mean_excess", 4).alias("mean_excess"),
+    ).orderBy("prob")
+
+
+@query(
+    "seasonal_naive_backtest",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT max(day) AS mxd FROM d),
+bt AS (
+  SELECT a.day, a.cents::DOUBLE / 100 AS actual,
+         p.cents::DOUBLE / 100 AS forecast
+  FROM d a
+  JOIN d p ON p.day = a.day - 7, mx
+  WHERE a.day > mx.mxd - 28
+),
+e AS (
+  SELECT count(*)::BIGINT AS n_days,
+         avg(abs(actual - forecast) / actual) AS mape,
+         sqrt(avg((actual - forecast) * (actual - forecast))) AS rmse,
+         avg(abs(actual - forecast)) AS mae
+  FROM bt
+),
+nv AS (
+  SELECT sqrt(avg((a.cents::DOUBLE / 100 - p.cents::DOUBLE / 100)
+              * (a.cents::DOUBLE / 100 - p.cents::DOUBLE / 100))) AS rmse1
+  FROM d a JOIN d p ON p.day = a.day - 1, mx
+  WHERE a.day > mx.mxd - 28
+)
+SELECT e.n_days,
+       round(e.mape, 6) AS mape,
+       round(e.rmse, 4) AS rmse,
+       round(e.mae, 4) AS mae,
+       round(e.rmse / nv.rmse1, 6) AS rmse_vs_naive1
+FROM e, nv
+""",
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest over the last 28 days: forecast
+    revenue(t) = revenue(t-7), scored with MAPE/RMSE/MAE, plus the RMSE
+    ratio against the lag-1 naive — the baseline gauntlet every real
+    forecasting model (Holt two queries up) must beat before it ships;
+    a ratio < 1 confirms the weekly cycle carries signal beyond
+    persistence.
+
+    Scale: day-grain; the forecast is a calendar equi-join (t-7 / t-1),
+    never a window; the backtest horizon is a constant slice."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    mx = d.agg(F.max("day").alias("mxd"))
+
+    def joined(lag):
+        p = d.select(
+            F.expr(f"date_add(day, {lag})").alias("day"),
+            (F.col("cents").cast("double") / 100).alias("forecast"),
+        )
+        return (
+            d.select("day", (F.col("cents").cast("double") / 100).alias("actual"))
+            .join(p, "day")
+            .crossJoin(F.broadcast(mx))
+            .filter(F.col("day") > F.date_sub("mxd", 28))
+        )
+    bt = joined(7)
+    e = bt.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.avg(F.abs(F.col("actual") - F.col("forecast")) / F.col("actual")).alias(
+            "mape"
+        ),
+        F.sqrt(
+            F.avg(
+                (F.col("actual") - F.col("forecast"))
+                * (F.col("actual") - F.col("forecast"))
+            )
+        ).alias("rmse"),
+        F.avg(F.abs(F.col("actual") - F.col("forecast"))).alias("mae"),
+    )
+    nv = joined(1).agg(
+        F.sqrt(
+            F.avg(
+                (F.col("actual") - F.col("forecast"))
+                * (F.col("actual") - F.col("forecast"))
+            )
+        ).alias("rmse1")
+    )
+    return e.crossJoin(F.broadcast(nv)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round("mape", 6).alias("mape"),
+        F.round("rmse", 4).alias("rmse"),
+        F.round("mae", 4).alias("mae"),
+        F.round(F.col("rmse") / F.col("rmse1"), 6).alias("rmse_vs_naive1"),
+    )

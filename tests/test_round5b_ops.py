@@ -591,3 +591,47 @@ def test_entropy_profile_bounds(spark):
     for r in rows:
         assert 0 <= r["entropy_bits"] <= math.log2(max(r["n_distinct"], 2)) + 1e-9
         assert 0 < r["mode_share"] <= 1
+
+
+def test_did_matches_cell_means(spark):
+    got = registry.QUERIES["diff_in_diff_building_vs_auto"](spark, SF).collect()[0]
+    did = (got["treated_post"] - got["treated_pre"]) - (
+        got["control_post"] - got["control_pre"]
+    )
+    assert abs(got["did_estimate"] - did) < 2e-4  # rounding of 4dp cells
+    assert got["did_se"] > 0
+
+
+def test_standardization_weights_sum(spark):
+    rows = registry.QUERIES["standardized_urgent_rate_by_segment"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["standardized_urgent_rate"] <= 1
+        assert 0 <= r["crude_urgent_rate"] <= 1
+
+
+def test_mean_excess_monotone_thresholds(spark):
+    rows = registry.QUERIES["mean_excess_over_thresholds"](spark, SF).collect()
+    assert [r["prob"] for r in rows] == [0.90, 0.95, 0.99]
+    # higher thresholds exceed less
+    ns = [r["n_exceed"] for r in rows]
+    assert ns[0] > ns[1] > ns[2] > 0
+    for r in rows:
+        assert r["mean_excess"] > 0
+
+
+def test_seasonal_naive_matches_brute(spark):
+    rows = _daily_cents(spark)
+    by_day = {r["day"]: r["cents"] / 100 for r in rows}
+    mx = max(by_day)
+    import datetime
+
+    errs = []
+    for d, a in by_day.items():
+        p = by_day.get(d - datetime.timedelta(days=7))
+        if p is not None and d > mx - datetime.timedelta(days=28):
+            errs.append((a, p))
+    mape = sum(abs(a - p) / a for a, p in errs) / len(errs)
+    got = registry.QUERIES["seasonal_naive_backtest"](spark, SF).collect()[0]
+    assert got["n_days"] == len(errs)
+    assert abs(got["mape"] - mape) < 1e-5
