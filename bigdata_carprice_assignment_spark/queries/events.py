@@ -1746,3 +1746,44 @@ def time_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_plain",
         "mean_sampling_bias",
     )
+
+
+_STREAM_REPLAY_SEQ = [0]
+
+
+@query(
+    "streaming_dedup_hourly_replay",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def streaming_dedup_hourly_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING hard check: the events file-stream is read
+    TWICE and unioned (an at-least-once source replaying every record),
+    piped through ``dedup_stream`` (``dropDuplicatesWithinWatermark`` on
+    event_id — watermark-bounded state) and the watermarked hourly
+    rollup, drained to completion, and returned as a batch table. The
+    DuckDB oracle is the plain single-copy hourly aggregate, so the
+    hash check fails if the streaming dedup misses or over-drops even
+    one duplicate, or if watermark bookkeeping corrupts a window.
+
+    Scale: the same plan attaches to Kafka unchanged; dedup state is
+    bounded by the 2h watermark horizon, window state by the rollup
+    watermark — no unbounded state at 100 TB/day.
+    """
+    from ..streaming import jobs as SJ
+
+    doubled = SJ.read_event_stream(spark, sf_dir).unionByName(
+        SJ.read_event_stream(spark, sf_dir)
+    )
+    deduped = SJ.dedup_stream(doubled, keys=["event_id"])
+    rolled = SJ.hourly_rollup_stream(deduped, watermark=None)
+    _STREAM_REPLAY_SEQ[0] += 1
+    out = SJ.run_to_completion(
+        rolled, f"stream_replay_{_STREAM_REPLAY_SEQ[0]}", output_mode="complete"
+    )
+    return out.orderBy("hour", "event_type")

@@ -701,6 +701,57 @@ def ivf_knn_join_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("srp_knn_join_adaptive_gate", oracle=_KNN_TOP1_ORACLE)
+def srp_knn_join_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard correctness gate for the ADAPTIVE production SRP path
+    (``srp_knn_join(band_bits=None)`` — the scale default that sizes
+    band bits ~log2(n) so candidate growth stays linear; see
+    ``srp_adaptive_band_bits``): its k=1 output at the planted-dup
+    threshold must equal DuckDB's brute-force top-1. The pinned
+    ``srp_candidate_pairs_exact`` gate checks the 10-bit MECHANISM
+    bit-for-bit; this one checks the count→bits→dispatch→rerank path a
+    cluster actually runs. Deterministic end to end (md5-derived
+    hyperplanes, exact-integer features), so the hash check is stable.
+
+    Scale: banding keeps candidates ~n·n_bands·(n/2^bits); the exact
+    rerank touches candidates only."""
+    feats = _hashed_doc_features(spark, sf_dir)
+    top1 = S.srp_knn_join(feats, "feat", "doc_id", k=1, band_bits=None)
+    return (
+        top1.filter(F.col("cosine") >= 0.85)
+        .select("doc_id", "nn_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("doc_id")
+    )
+
+
+@query("ivf_knn_join_adaptive_gate", oracle=_KNN_TOP1_ORACLE)
+def ivf_knn_join_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard correctness gate for the ADAPTIVE production IVF path
+    (``ivf_index(n_cells=None)`` — the FAISS-guideline ~4·sqrt(n) cell
+    count that keeps the per-cell matmul O(n^1.5) instead of the pinned
+    gate's O(n²) 8-cell setting): probing nprobe=4 of ~4√n cells must
+    still retrieve every true ≥0.85 partner (near-identical vectors
+    rank their cells near-identically, so the partner's home cell sits
+    inside the probe list). Deterministic: seeded k-means on a
+    deterministic hash-sample + exact cosine rerank."""
+    from ..plans.materialize import pinned, pool_get
+
+    pool = f"ivf_assigned_adaptive:{sf_dir}"
+    ent = _IVF_CACHE.get(f"adaptive:{sf_dir}")
+    if ent is None or pool_get(pool, spark) is None:
+        feats = _hashed_doc_features(spark, sf_dir)
+        model, assigned = S.ivf_index(feats, "feat", n_cells=None, id_col="doc_id")
+        assigned = pinned(assigned, pool)
+        _IVF_CACHE[f"adaptive:{sf_dir}"] = (model, assigned)
+    model, assigned = _IVF_CACHE[f"adaptive:{sf_dir}"]
+    top1 = S.ivf_knn_join(model, assigned, "feat", "doc_id", k=1, nprobe=4)
+    return (
+        top1.filter(F.col("cosine") >= 0.85)
+        .select("doc_id", "nn_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline operators (oracle-backed): deterministic
 # stratified sampling, context-window chunking, sequence packing,

@@ -3151,12 +3151,17 @@ def randomization_test_priority_diff(spark: SparkSession, sf_dir: str) -> DataFr
     aggs = []
     for b in range(_PERM_B):
         bit = F.substring(F.col("d"), b + 1, 1) < "8"
-        aggs.append(F.sum(F.when(bit, F.col("x")).otherwise(0.0)).alias(f"s{b}"))
+        # No .otherwise(): sum skips nulls, so the accumulator keeps the
+        # exact DECIMAL type of o_totalprice just like the oracle's
+        # CASE ... ELSE 0 (integer 0 widens, never demotes to double).
+        # .otherwise(0.0) would coerce to double and break the
+        # engine-identical exactness claim (round-5 ADVICE fix).
+        aggs.append(F.sum(F.when(bit, F.col("x"))).alias(f"s{b}"))
         aggs.append(
             F.sum(F.when(bit, 1).otherwise(0)).cast("double").alias(f"c{b}")
         )
     aggs += [
-        F.sum(F.when(F.col("gu") == 1, F.col("x")).otherwise(0.0)).alias("su"),
+        F.sum(F.when(F.col("gu") == 1, F.col("x"))).alias("su"),
         F.sum("gu").cast("double").alias("cu"),
         F.sum("x").alias("st"),
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -3313,8 +3318,8 @@ def loo_target_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH sp AS (
   SELECT CAST(min(o_orderdate) AS DATE)
-           + CAST(CAST(datediff('day', min(o_orderdate),
-               max(o_orderdate)) AS DOUBLE) / 2 AS INTEGER) AS mid
+           + CAST(datediff('day', min(o_orderdate),
+               max(o_orderdate)) // 2 AS INTEGER) AS mid
   FROM orders
 ),
 cell AS (
@@ -3365,10 +3370,13 @@ def diff_in_diff_building_vs_auto(spark: SparkSession, sf_dir: str) -> DataFrame
     association order for the estimate and SE."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    # Midpoint via integer FLOOR division on both engines (DuckDB //,
+    # Spark div): a double-divide CAST rounds half-to-even in DuckDB but
+    # truncates in Spark when datediff % 4 == 3 (round-5 ADVICE fix).
     sp = orders.agg(
         F.expr(
-            "date_add(min(o_orderdate), CAST(CAST(datediff(max(o_orderdate),"
-            " min(o_orderdate)) AS DOUBLE) / 2 AS INT))"
+            "date_add(min(o_orderdate),"
+            " CAST(datediff(max(o_orderdate), min(o_orderdate)) div 2 AS INT))"
         ).alias("mid")
     )
     j = (

@@ -2424,8 +2424,8 @@ WITH d AS (
 ),
 sp AS (
   SELECT min(day) AS mnd,
-         min(day) + CAST(CAST(datediff('day', min(day), max(day)) AS DOUBLE)
-                         / 2 AS INTEGER) AS mid
+         min(day) + CAST(datediff('day', min(day), max(day)) // 2
+                         AS INTEGER) AS mid
   FROM d
 ),
 xy AS (
@@ -2483,8 +2483,10 @@ def chow_break_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Exactness: per-segment sufficient statistics (six sums) from exact
     integer cents; SSR via the centered closed form with identical
-    association on both engines; seg boundary from integer date
-    arithmetic (truncating division mirrored by CAST).
+    association on both engines; seg boundary from integer FLOOR
+    division on both engines (DuckDB ``//``, Spark ``div``) — a
+    double-divide CAST would round half-to-even in DuckDB but truncate
+    in Spark whenever datediff % 4 == 3 (round-5 ADVICE fix).
 
     Scale: one grouped integer aggregate to day grain, then two
     aggregates over |days| rows — no row-level residual pass; the
@@ -2496,8 +2498,8 @@ def chow_break_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     sp = d.agg(
         F.min("day").alias("mnd"),
         F.expr(
-            "date_add(min(day), CAST(CAST(datediff(max(day), min(day)) AS DOUBLE)"
-            " / 2 AS INT))"
+            "date_add(min(day),"
+            " CAST(datediff(max(day), min(day)) div 2 AS INT))"
         ).alias("mid"),
     )
     xy = d.crossJoin(F.broadcast(sp)).select(

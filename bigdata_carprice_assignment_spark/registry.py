@@ -42,112 +42,95 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # in r1-r3 (143 checked, all green at last check) are rotated BEHIND the
 # window so never-checked oracle queries get their first hard check.
 PRIORITY: tuple[str, ...] = (
-    # ---- round-5 window head: the 49 oracle-backed queries never
-    # driver-hash-checked in r1-r4 (CORRECTNESS_r01-r04 union), plus the
-    # new exact OLS-coefficients query. All locally hash-green at
-    # sf0.001/0.01/0.1 every pytest run (tests/test_oracle_queries.py);
-    # this window converts that local claim into the driver's hard check
-    # (cumulative driver-checked goes 191 -> 241).
-    "daily_order_cusum",
-    "rolling_7d_active_users_hll",
-    "lineitem_two_var_ols",
-    "flag_status_mutual_information",
-    "partitioned_parquet_roundtrip",
-    "data_quality_report",
-    "cms_heavy_hitters_check",
-    "large_volume_orders",
-    "late_supplier_blame",
-    "idle_rich_customers_by_code",
-    "priority_late_order_counts",
-    "user_value_ewma",
-    "forecast_revenue_change",
-    "nation_market_share",
-    "part_value_concentration",
-    "late_line_priority_mix",
-    "promo_revenue_share",
-    "top_quarter_supplier",
-    "bracketed_discount_revenue",
-    "supplier_catalog_breadth",
-    "order_lines_histogram",
-    "monthly_revenue_running_total",
-    "weekday_order_seasonality",
-    "part_pair_cooccurrence",
-    "nation_supplier_hhi",
-    "event_value_winsorized_stats",
-    "user_inter_event_gap_stats",
-    "monthly_urgent_share",
-    "customer_order_position_prices",
-    "doc_dedup_survivor_stats",
-    "embedding_dim_variance_top",
-    "user_activity_gini",
-    "order_value_log_histogram",
-    "monthly_ship_lag_trend",
-    "doc_token_budget_by_source",
-    "doc_length_token_corr",
-    "discount_level_effect",
-    "supplier_lag_consistency",
-    "benford_price_audit",
-    "events_dow_hour_heatmap",
-    "nation_customer_balance_quartiles",
-    "top_revenue_days",
-    "lineitem_qty_price_covariance",
-    "customer_balance_spend_corr",
-    "doc_dup_cluster_sizes",
-    "clicks_near_purchase_activity",
-    "doc_bigram_logprob_quality",
-    "srp_candidate_pairs_exact",
-    "copurchase_pagerank_top20",
-    "carprice_lm_coefficients_exact",
-    # ---- positions 51+: the round-6 queue — queries added or changed
-    # this round (multimodal decode became content-derived; nine new
-    # round-5 oracle queries), the five rows-only queries the driver has
-    # never run, then three sentinel re-checks of long-green queries
-    # whose shared operators (agg core, broadcast join, FPGrowth) would
-    # carry any systemic regression.
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
+    # ---- round-6 window head (50): 47 of the 66 oracle-backed queries
+    # never driver-hash-checked in r1-r5 (CORRECTNESS_r01-r05 union) —
+    # the exact-ML family, the time-series/robust-stats diagnostics, and
+    # the round-5 session-2 additions — plus THREE new-this-round hard
+    # checks: the adaptive SRP/IVF production-path recall gates and the
+    # Structured Streaming dedup+rollup replay. All locally hash-green
+    # at sf0.001/0.01 (tests/test_oracle_queries.py); this window takes
+    # cumulative driver-checked from 241 to 291 of 289 oracle-backed
+    # (>85% per the round-5 ask). The three ADVICE-fixed queries
+    # (chow/diff-in-diff midpoint, randomization-test decimal) are all
+    # inside this window so the fixes get the hard check.
+    "srp_knn_join_adaptive_gate",
+    "ivf_knn_join_adaptive_gate",
+    "streaming_dedup_hourly_replay",
+    "carprice_logit_irls_exact",
+    "carprice_ridge_coefficients_exact",
+    "carprice_top_pca_eigen_exact",
+    "carprice_lda_fisher_exact",
+    "carprice_isotonic_price_by_hp",
+    "carprice_conformal_interval",
+    "carprice_logit_calibration_ece",
+    "carprice_logit_auc_brier",
+    "gaussian_mixture_em_order_values",
+    "poisson_glm_daily_orders",
+    "holt_linear_daily_revenue",
+    "weekly_seasonal_decomposition",
+    "revenue_changepoint_binseg",
+    "revenue_periodicity_folding",
+    "ljung_box_daily_revenue",
+    "jarque_bera_order_values",
+    "yule_walker_ar2_daily_revenue",
+    "chow_break_test_daily_revenue",
+    "diff_in_diff_building_vs_auto",
+    "randomization_test_priority_diff",
+    "daily_orders_overdispersion",
+    "cooks_distance_top_days",
+    "mad_anomaly_days",
+    "huber_regression_daily_revenue",
+    "newey_west_trend_se",
+    "hill_tail_index_order_values",
+    "winsorized_correlation_qty_price",
+    "mean_excess_over_thresholds",
+    "durbin_watson_daily_revenue",
     "friedman_test_components",
     "urgent_highvalue_kappa",
     "priority_status_cramers_v",
-    "durbin_watson_daily_revenue",
-    "copurchase_degree_powerlaw",
-    "lineitem_ols_diagnostics",
-    "minhash_estimate_calibration",
-    "bm25_tfidf_rank_overlap",
-    "token_weighted_doc_sample",
+    "yuen_trimmed_t_components",
+    "cohens_d_priority_extremes",
     "ab_srm_check",
     "cuped_variance_reduction",
     "nelson_aalen_cumulative_hazard",
     "bootstrap_mean_se_order_value",
     "ams_f2_sketch_check",
-    "yuen_trimmed_t_components",
-    "cohens_d_priority_extremes",
-    "carprice_top_pca_eigen_exact",
-    "carprice_kde_nb_confusion",
-    "carprice_loess_smooth",
-    "approx_vs_exact_stats",
-    "hypothesis_suite",
-    "tukey_hsd_priority",
+    "lineitem_ols_diagnostics",
+    "minhash_estimate_calibration",
+    "bm25_tfidf_rank_overlap",
+    "token_weighted_doc_sample",
+    "copurchase_degree_powerlaw",
+    "copurchase_component_sizes",
+    "orc_roundtrip_lineitem_stats",
+    "bpe_first_merges",
+    # ---- positions 51+: the round-7 queue — the 19 backlog queries that
+    # didn't fit this window (all locally hash-green), then the three
+    # sentinel re-checks of long-green queries whose shared operators
+    # (agg core, broadcast join, FPGrowth) would carry any systemic
+    # regression.
+    "fd_histogram_order_values",
+    "pmi_collocations_top",
+    "doc_novelty_by_source",
+    "zipf_slope_fit",
+    "heldout_bigram_lm_eval",
+    "event_burst_band_join",
+    "time_weighted_user_value",
+    "int8_quantization_cosine_audit",
+    "boilerplate_shingle_dictionary",
+    "hard_negative_mining",
+    "tokenizer_fertility_by_lang",
+    "sorted_neighborhood_linkage",
+    "feature_hashing_collision_audit",
+    "functional_dependency_audit",
+    "categorical_entropy_profile",
+    "loo_target_encoding_stats",
+    "standardized_urgent_rate_by_segment",
+    "kfold_slope_stability",
+    "seasonal_naive_backtest",
     "pricing_summary_report",
     "region_revenue",
     "fpgrowth_rules",
-    # round-5 session-2 additions (never driver-checked; all locally
-    # hash-green at sf0.001/0.01/0.1): time-series diagnostics,
-    # iteration-exact GLM/EM/isotonic, ORC roundtrip.
-    "ljung_box_daily_revenue",
-    "jarque_bera_order_values",
-    "revenue_changepoint_binseg",
-    "revenue_periodicity_folding",
-    "holt_linear_daily_revenue",
-    "poisson_glm_daily_orders",
-    "gaussian_mixture_em_order_values",
-    "carprice_logit_irls_exact",
-    "carprice_isotonic_price_by_hp",
-    "orc_roundtrip_lineitem_stats",
-    "bpe_first_merges",
-    "weekly_seasonal_decomposition",
-    "carprice_ridge_coefficients_exact",
-    # ---- everything else: previously driver-hash-green (r1-r4) and
+    # ---- everything else: previously driver-hash-green (r1-r5) and
     # rows-only queries keep module registration order (handled by
     # load_all: any registered query not named here follows after).
 )

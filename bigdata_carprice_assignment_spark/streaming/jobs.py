@@ -61,11 +61,18 @@ def _normalize_ts(df: DataFrame, ts_type: T.DataType) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Tumbling 1-hour windowed counts/sums with a late-data watermark."""
+def hourly_rollup_stream(
+    events: DataFrame, watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windowed counts/sums with a late-data watermark.
+
+    ``watermark=None`` means the input already carries one (e.g. a
+    ``dedup_stream`` upstream) — redefining a watermark between two
+    stateful operators is disallowed by the engine."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
     return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
