@@ -244,6 +244,7 @@ def ngram_contamination(
     id_col: str,
     n: int = 8,
     min_shared: int = 2,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Benchmark-decontamination check: training docs sharing ≥
     ``min_shared`` distinct word n-grams with any eval doc (the standard
@@ -254,15 +255,29 @@ def ngram_contamination(
     and the training corpus is matched with a broadcast hash join on the
     gram — no shuffle of training-side grams; the per-(train, eval)
     distinct-gram count is one hash aggregation. At extreme eval sizes
-    swap the broadcast for a shuffle join on ``xxhash64(gram)``."""
+    swap the broadcast for a shuffle join on ``xxhash64(gram)``.
+
+    ``tokens_col`` names an already-tokenized array column on BOTH
+    inputs (a pooled normalize+tokenize prefix); grams then skip the
+    regex stack."""
+    from .text import shingles_from_tokens
+
+    def grams(df: DataFrame):
+        if tokens_col is not None:
+            return F.explode(shingles_from_tokens(F.col(tokens_col), n))
+        return F.explode(shingles(text_col, n))
+
     # spread the shingle+explode CPU work first: a single-file corpus
-    # arrives as ONE input split and would otherwise tokenize serially
-    n_parts = max(train.sparkSession.sparkContext.defaultParallelism, 8)
-    tr = train.repartition(n_parts, id_col).select(
-        F.col(id_col).alias("train_id"), F.explode(shingles(text_col, n)).alias("_g")
+    # arrives as ONE input split and would otherwise tokenize serially.
+    # A pooled tokenized input is already spread — don't re-shuffle it.
+    if tokens_col is None:
+        n_parts = max(train.sparkSession.sparkContext.defaultParallelism, 8)
+        train = train.repartition(n_parts, id_col)
+    tr = train.select(
+        F.col(id_col).alias("train_id"), grams(train).alias("_g")
     )
     ev = eval_df.select(
-        F.col(id_col).alias("eval_id"), F.explode(shingles(text_col, n)).alias("_g")
+        F.col(id_col).alias("eval_id"), grams(eval_df).alias("_g")
     )
     return (
         tr.join(F.broadcast(ev), "_g")

@@ -173,16 +173,23 @@ def shingles(col: str | Column, n: int = 3) -> Column:
     normalization O(tokens) times per document — measured 3× the cost
     of the MinHash signature aggregation it feeds)."""
 
-    def build(t: Column) -> Column:
-        k = F.greatest(F.size(t) - (n - 1), F.lit(1))
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-            )
-        )
+    return bind_once(
+        tokens(normalize_text(col)), lambda t: shingles_from_tokens(t, n)
+    )
 
-    return bind_once(tokens(normalize_text(col)), build)
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-TOKENIZED array —
+    the entry point for pipelines that pool the normalize+tokenize
+    prefix once per corpus (``queries/llmdata.py::_doc_norm_tokens``)
+    instead of re-inlining the regex stack into every consumer's plan."""
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
 
 
 def char_ngrams(col: str | Column, n: int = 5) -> Column:
@@ -251,11 +258,16 @@ def _grams_multiset(c: Column, n: int = 3) -> Column:
     """Word n-grams WITH multiplicity (repetition measures need the
     duplicates that ``shingles`` removes); token array bound once."""
     return bind_once(
-        tokens(normalize_text(c)),
-        lambda t: F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        ),
+        tokens(normalize_text(c)), lambda t: grams_multiset_from_tokens(t, n)
+    )
+
+
+def grams_multiset_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-grams WITH multiplicity from an already-tokenized array
+    (pooled-prefix entry point, cf. :func:`shingles_from_tokens`)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
 
 
@@ -274,13 +286,22 @@ def repetition_metrics(col: str | Column) -> dict[str, Column]:
     }
 
 
-def repetition_metrics_df(df, text_col: str, id_col: str):
+def repetition_metrics_df(df, text_col: str, id_col: str, tokens_col: str | None = None):
     """Scale path of :func:`repetition_metrics`: the Column form
     references the gram array twice in one projection (size +
     size∘array_distinct), and CollapseProject re-inlines the whole
     interpreted gram-construction tree into BOTH slots. Here each array
     is built once and consumed by an explode, with count/count_distinct
-    as codegen'd aggregations. Identical ratios."""
+    as codegen'd aggregations. Identical ratios.
+
+    ``tokens_col`` names an already-tokenized array column (a pooled
+    normalize+tokenize prefix) — grams then come straight from it and
+    the regex stack never enters this plan."""
+    grams = (
+        grams_multiset_from_tokens(F.col(tokens_col))
+        if tokens_col is not None
+        else _grams_multiset(F.col(text_col))
+    )
     lines = (
         df.select(F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("_l"))
         .groupBy(id_col)
@@ -290,7 +311,7 @@ def repetition_metrics_df(df, text_col: str, id_col: str):
         )
     )
     gr = (
-        df.select(F.col(id_col), F.explode(_grams_multiset(F.col(text_col))).alias("_g"))
+        df.select(F.col(id_col), F.explode(grams).alias("_g"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("_ng"),
@@ -339,19 +360,31 @@ def hashed_shingle_features(col: str | Column, dim: int = 64, n: int = 3) -> Col
 
 
 def hashed_shingle_features_df(
-    df, text_col: str, id_col: str, dim: int = 64, n: int = 3, out_col: str = "feat"
+    df,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    n: int = 3,
+    out_col: str = "feat",
+    tokens_col: str | None = None,
 ):
     """Scale path of :func:`hashed_shingle_features`: identical vectors,
     built as explode(grams) → project bucket (codegen) → two hash
     aggregations (per-(id,bucket) counts, then per-id dense array) —
     whole-stage-codegen throughout, no interpreted per-gram lambda; the
-    shuffles carry (id, bucket, count) triples, never text."""
+    shuffles carry (id, bucket, count) triples, never text.
+
+    ``tokens_col`` names a pooled normalize+tokenize prefix column —
+    grams then skip the regex stack (cf. :func:`shingles_from_tokens`)."""
     assert dim & (dim - 1) == 0, "dim must be a power of two (bucket mask)"
     from pyspark.sql import DataFrame  # noqa: F401
 
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("_gram")
-    ).select(
+    grams = (
+        shingles_from_tokens(F.col(tokens_col), n)
+        if tokens_col is not None
+        else shingles(text_col, n)
+    )
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("_gram")).select(
         id_col,
         portable_hash60(F.col("_gram")).bitwiseAND(F.lit(dim - 1)).alias("_bucket"),
     )

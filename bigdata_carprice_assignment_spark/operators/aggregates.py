@@ -235,30 +235,35 @@ def exact_percentiles_distributed_grouped(
     df: DataFrame, col: str, group: str, probs: Sequence[float]
 ) -> DataFrame:
     """Per-GROUP type-7 exact percentiles without per-group value
-    buffers — the grouped companion of ``exact_percentiles_distributed``
-    for high-cardinality groups whose largest group would blow the
-    ``percentile`` aggregation buffer. All passes stay inside the group
-    partition: (group, value) counts, an intra-group cumulative window,
-    an intra-group total, then order-statistic probes per requested
-    probability. Returns (group, p, value)."""
-    from pyspark.sql import Window
+    buffers OR per-group single-task windows — the grouped companion of
+    ``exact_percentiles_distributed`` for high-cardinality or SKEWED
+    groups. A ``Window.partitionBy(group)`` cumulative serializes each
+    group into one task, so a 50%-of-rows group becomes a straggler
+    (round-6 skew probe measured 1.4× at sf0.1 with the window form;
+    the ratio grows with data). Instead: one GLOBAL range-partitioned
+    cumulative over (group, value) order — parallel WITHIN the big
+    group — minus each group's exclusive offset (a second, bounded
+    range cumulative over the per-group totals) gives the intra-group
+    cumulative with no task ever owning a whole group. Returns
+    (group, p, value)."""
+    from .windows import range_partitioned_cumsum
 
     spark = df.sparkSession
     vals = df.select(
         F.col(group).alias("g"), F.col(col).alias("v")
     ).filter(F.col("v").isNotNull())
     counts = vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
-    w_cum = (
-        Window.partitionBy("g")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gcum = range_partitioned_cumsum(counts, ["g", "v"], ["c"]).select(
+        "g", "v", F.col("cum_c").alias("gcum")
     )
-    w_all = Window.partitionBy("g")
-    cum = counts.select(
-        "g",
-        "v",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_all).alias("n"),
+    gtot = counts.groupBy("g").agg(F.sum("c").alias("n"))
+    # exclusive per-group offset = inclusive cumulative over group
+    # totals minus the group's own total (bounded input: one row/group)
+    off = range_partitioned_cumsum(gtot, ["g"], ["n"]).select(
+        "g", "n", (F.col("cum_n") - F.col("n")).alias("off")
+    )
+    cum = gcum.join(off, "g").select(
+        "g", "v", (F.col("gcum") - F.col("off")).alias("cum"), "n"
     )
     p_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
     j = cum.join(F.broadcast(p_df))

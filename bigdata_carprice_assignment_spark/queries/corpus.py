@@ -91,10 +91,10 @@ def vocab_zipf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy lifting), total via a 1-row broadcast aggregate — the
     rank triangle-join runs only on the top-k candidate frame, never
     the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w")
-    ).filter(F.col("w") != "")
+    from .llmdata import _doc_norm_tokens
+
+    docs = _doc_norm_tokens(spark, sf_dir)
+    toks = docs.select(F.explode("toks").alias("w")).filter(F.col("w") != "")
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_occurrences"))
     total = counts.groupBy().agg(F.sum("n_occurrences").alias("total"))
     # top-(20+ties) candidate cut FIRST (TakeOrderedAndProject — per-
@@ -597,13 +597,14 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode → one hash aggregate to the (vocab × 2) conditional
     counts (map-side combined), a 1-row totals aggregate broadcast via
     crossJoin, then a single reduce — no joins on the token stream."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    from .llmdata import _doc_norm_tokens
+
+    docs = _doc_norm_tokens(spark, sf_dir).filter(
         F.col("source").isin("src0", "src1")
     )
-    toks = docs.select(
-        "source",
-        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("t"),
-    ).filter(F.col("t") != "")
+    toks = docs.select("source", F.explode("toks").alias("t")).filter(
+        F.col("t") != ""
+    )
     c = toks.groupBy("t").agg(
         F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
         .cast("long")
@@ -765,10 +766,10 @@ def vocab_coverage_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-task window."""
     from ..operators.windows import range_partitioned_cumsum
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w")
-    ).filter(F.col("w") != "")
+    from .llmdata import _doc_norm_tokens
+
+    docs = _doc_norm_tokens(spark, sf_dir)
+    toks = docs.select(F.explode("toks").alias("w")).filter(F.col("w") != "")
     c = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
     tot = c.agg(
         F.sum("n").cast("long").alias("total"),
@@ -991,10 +992,12 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost O(|vocab| * avg_word_len) each. This is exactly how production
     BPE trainers scale to TB corpora — the merge loop never touches the
     corpus again."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w")
-    ).filter(F.col("w").rlike(r"^[a-z]+$"))
+    from .llmdata import _doc_norm_tokens
+
+    docs = _doc_norm_tokens(spark, sf_dir)
+    toks = docs.select(F.explode("toks").alias("w")).filter(
+        F.col("w").rlike(r"^[a-z]+$")
+    )
     vocab = (
         toks.groupBy(F.col("w").alias("word"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1298,10 +1301,10 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     association; ln is the engines' shared libm."""
     from ..operators.windows import range_partitioned_rank
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w")
-    ).filter(F.col("w") != "")
+    from .llmdata import _doc_norm_tokens
+
+    docs = _doc_norm_tokens(spark, sf_dir)
+    toks = docs.select(F.explode("toks").alias("w")).filter(F.col("w") != "")
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
     rk = range_partitioned_rank(
         counts.withColumn("neg_n", -F.col("n")), ["neg_n", "w"], out="rank"

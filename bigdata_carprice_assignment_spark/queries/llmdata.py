@@ -482,11 +482,40 @@ def _hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = pool_get(pool, spark)
     if cached is not None:
         return cached
+    return pinned(
+        TX.hashed_shingle_features_df(
+            _doc_norm_tokens(spark, sf_dir), "text", "doc_id", tokens_col="toks"
+        ),
+        pool,
+    )
+
+
+def _doc_norm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, lang, text, toks) with toks =
+    tokens(normalize_text(text)), computed ONCE per (session, sf_dir)
+    and shared by the text-retrieval/quality family (tfidf, bm25,
+    contamination, repetition): normalize+tokenize is the dominant cost
+    of each AND its regex/higher-order-lambda expression tree is the
+    single most expensive thing in the whole repo to codegen (~5s of
+    Janino per distinct plan) — pooling removes both the re-execution
+    and the re-compilation from every consumer (round-5 bench:
+    keyword_search_tfidf 0.94s cold → 7.5s WARM from exactly this
+    recompile). Immutable parquet ⇒ the pool can't go stale."""
+    from ..plans.materialize import pinned, pool_get
+
+    pool = f"doc_norm_tokens:{sf_dir}"
+    cached = pool_get(pool, spark)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents")
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     return pinned(
-        TX.hashed_shingle_features_df(
-            docs.repartition(n_parts, "doc_id"), "text", "doc_id"
+        docs.repartition(n_parts, "doc_id").select(
+            "doc_id",
+            "source",
+            "lang",
+            "text",
+            TX.tokens(TX.normalize_text(F.col("text"))).alias("toks"),
         ),
         pool,
     )
@@ -504,11 +533,11 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = pool_get(pool, spark)
     if cached is not None:
         return cached
-    docs = load_table(spark, sf_dir, "documents")
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    from ..llm.text import shingles_from_tokens
+
     return pinned(
-        docs.repartition(n_parts, "doc_id").select(
-            "doc_id", TX.shingles("text").alias("_sh")
+        _doc_norm_tokens(spark, sf_dir).select(
+            "doc_id", shingles_from_tokens(F.col("toks")).alias("_sh")
         ),
         pool,
     )
@@ -999,7 +1028,7 @@ def eval_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     share ≥3 distinct word 8-grams with the held-out eval set
     (doc_id < 10)? Broadcast-join on the gram (the eval side is small by
     construction); checked against DuckDB's exact list-intersect."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _doc_norm_tokens(spark, sf_dir)
     hits = D.ngram_contamination(
         docs.filter(F.col("doc_id") >= 10),
         docs.filter(F.col("doc_id") < 10),
@@ -1007,6 +1036,7 @@ def eval_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n=8,
         min_shared=3,
+        tokens_col="toks",
     )
     return hits.select(
         F.col("train_id"), F.col("eval_id"), F.col("n_shared").cast("long").alias("n_shared")
@@ -1053,13 +1083,10 @@ def keyword_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     in nondeterministic order). Document frequencies are a broadcast
     1-row aggregate; ranking is TakeOrderedAndProject."""
     terms = ["vector", "join", "stream"]
-    docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # one scalar to the driver
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    toks = (
-        docs.repartition(n_parts, "doc_id")
-        .select("doc_id", F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w"))
-        .filter(F.col("w").isin(terms))
+    docs = _doc_norm_tokens(spark, sf_dir)
+    n_docs = docs.count()  # one scalar to the driver (cached pool)
+    toks = docs.select("doc_id", F.explode("toks").alias("w")).filter(
+        F.col("w").isin(terms)
     )
     tf = toks.groupBy("doc_id").agg(
         *[
@@ -1121,10 +1148,8 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and duplicate-3-gram ratios per source, plus how many docs a
     dup-gram >20% filter would drop. Integer-ratio doubles keep the
     threshold and rounding engine-exact."""
-    docs = load_table(spark, sf_dir, "documents")
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    docs = docs.repartition(n_parts, "doc_id")
-    metrics = TX.repetition_metrics_df(docs, "text", "doc_id")
+    docs = _doc_norm_tokens(spark, sf_dir)
+    metrics = TX.repetition_metrics_df(docs, "text", "doc_id", tokens_col="toks")
     return (
         docs.select("doc_id", "source")
         .join(metrics, "doc_id")
@@ -1530,15 +1555,11 @@ def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     is written with the oracle's exact operand order."""
     terms = ["vector", "join", "stream"]
     k1, b = 1.2, 0.75
-    docs = load_table(spark, sf_dir, "documents")
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    base = docs.repartition(n_parts, "doc_id")
-    dl = base.select(
-        "doc_id", F.size(TX.tokens(TX.normalize_text(F.col("text")))).alias("dl")
+    base = _doc_norm_tokens(spark, sf_dir)
+    dl = base.select("doc_id", F.size("toks").alias("dl"))
+    toks = base.select("doc_id", F.explode("toks").alias("w")).filter(
+        F.col("w").isin(terms)
     )
-    toks = base.select(
-        "doc_id", F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w")
-    ).filter(F.col("w").isin(terms))
     tf = toks.groupBy("doc_id").agg(
         *[F.sum((F.col("w") == t).cast("long")).alias(f"tf_{t}") for t in terms]
     )
@@ -2321,16 +2342,12 @@ def bm25_tfidf_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the tf/df/dl aggregates are the only corpus-sized work."""
     terms = ["vector", "join", "stream"]
     k1, b = 1.2, 0.75
-    docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    base = docs.repartition(n_parts, "doc_id")
-    dl = base.select(
-        "doc_id", F.size(TX.tokens(TX.normalize_text(F.col("text")))).alias("dl")
+    base = _doc_norm_tokens(spark, sf_dir)
+    n_docs = base.count()
+    dl = base.select("doc_id", F.size("toks").alias("dl"))
+    toks = base.select("doc_id", F.explode("toks").alias("w")).filter(
+        F.col("w").isin(terms)
     )
-    toks = base.select(
-        "doc_id", F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("w")
-    ).filter(F.col("w").isin(terms))
     tf = toks.groupBy("doc_id").agg(
         *[F.sum((F.col("w") == t).cast("long")).alias(f"tf_{t}") for t in terms]
     )
@@ -2530,10 +2547,9 @@ def boilerplate_shingle_dictionary(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: explode to per-doc DISTINCT shingles, one hash aggregate on
     the shingle key (map-side combine), TakeOrdered top-k — exactly the
     first-introduction plan shape of ``doc_novelty_by_source``."""
-    docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id", TX.tokens(TX.normalize_text(F.col("text"))).alias("toks")
-    ).filter(F.size("toks") >= 4)
+    tk = _doc_norm_tokens(spark, sf_dir).select("doc_id", "toks").filter(
+        F.size("toks") >= 4
+    )
     sh = tk.select(
         "doc_id",
         F.explode(
@@ -2554,7 +2570,9 @@ def boilerplate_shingle_dictionary(spark: SparkSession, sf_dir: str) -> DataFram
     df_ = sh.groupBy("g").agg(F.count(F.lit(1)).alias("doc_freq")).filter(
         F.col("doc_freq") >= 3
     )
-    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    nd = _doc_norm_tokens(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
     return (
         df_.crossJoin(F.broadcast(nd))
         .select(
@@ -2620,12 +2638,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: token sets and intersections are exact; one division;
     banding and ranking on the rounded score with a cid tiebreak."""
-    docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id",
-        F.array_distinct(TX.tokens(TX.normalize_text(F.col("text")))).alias(
-            "toks"
-        ),
+    tk = _doc_norm_tokens(spark, sf_dir).select(
+        "doc_id", F.array_distinct("toks").alias("toks")
     ).filter(F.size("toks") >= 1)
     q = tk.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("qid"), F.col("toks").alias("qt")

@@ -56,6 +56,14 @@ def get_spark(app_name: str = "bigdata_carprice_assignment_spark") -> SparkSessi
         # cluster scale data arrives as many files and this is a no-op.
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "1m")
+        # The generated-class cache defaults to 100 entries; an analytics
+        # session running hundreds of distinct queries evicts every class
+        # between two executions of the same query, so re-runs re-pay
+        # Janino compilation — worst for the big tokenize/higher-order-
+        # lambda expression trees (~5s each, plan- not data-sized;
+        # round-5 bench: keyword_search_tfidf 0.94s cold -> 7.5s WARM).
+        # Static conf: takes effect on first session build.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
