@@ -132,3 +132,45 @@ def pagerank(
             (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
         ).localCheckpoint()
     return ranks
+
+
+def kcore_peel_trace(
+    e: DataFrame, k: int, rounds: int, pool: str = "kcore"
+) -> list[tuple[int, int, int]]:
+    """Synchronous k-core peeling over an undirected simple graph
+    ((u, v) rows, u < v): each round removes every node whose degree
+    among still-alive nodes is < k; returns the per-round trace
+    [(round, n_alive_nodes, n_alive_edges)] for rounds 0..rounds.
+
+    FIXED round count (not a convergence test) keeps the computation
+    deterministic and oracle-replayable (the trace is the check, like
+    ``pagerank``'s unrolled iterations); once the peel converges the
+    remaining rounds are no-ops that re-emit the same counts.
+
+    Pregel shape, one degree aggregate + two semi-joins per round, all
+    hash-partitioned on the node key; the alive frame is
+    ``localCheckpoint``-ed per round (O(nodes), 1 column — same
+    lineage-truncation rationale as pagerank; at cluster scale use
+    ``checkpoint``). Per-round driver traffic is two scalar counts.
+    """
+    from ..plans.materialize import pinned
+
+    edges = pinned(e.select("u", "v"), pool + "_edges")
+    sym = edges.select(F.col("u").alias("node"), F.col("v").alias("other")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("other"))
+    )
+    alive = sym.select("node").distinct().localCheckpoint()
+    trace = [(0, alive.count(), edges.count())]
+    for r in range(1, rounds + 1):
+        deg = (
+            sym.join(alive, "node", "leftsemi")
+            .join(alive.select(F.col("node").alias("other")), "other", "leftsemi")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= k).select("node").localCheckpoint()
+        e_alive = edges.join(alive.select(F.col("node").alias("u")), "u", "leftsemi").join(
+            alive.select(F.col("node").alias("v")), "v", "leftsemi"
+        )
+        trace.append((r, alive.count(), e_alive.count()))
+    return trace

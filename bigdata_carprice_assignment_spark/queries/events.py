@@ -1787,3 +1787,179 @@ def streaming_dedup_hourly_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         rolled, f"stream_replay_{_STREAM_REPLAY_SEQ[0]}", output_mode="complete"
     )
     return out.orderBy("hour", "event_type")
+
+
+@query(
+    "streaming_sessionization_replay",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events, sum(value) AS v
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       round(avg(n_events), 6) AS avg_events_per_session,
+       round(sum(v), 2) AS total_value
+FROM per_session GROUP BY user_id ORDER BY user_id
+""",
+)
+def streaming_sessionization_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING hard check #2: the native ``session_window``
+    sessionizer (streaming/jobs.py::session_stream, watermark-bounded
+    state) drained over the events file-stream must reproduce the batch
+    lag-gap sessionization EXACTLY — per-user session counts, mean
+    session size, and total value all hash-checked against the DuckDB
+    window-function sessionizer. Raw (unrounded) per-session sums are
+    re-aggregated after the drain so rounding happens exactly once,
+    like the oracle.
+
+    Scale: session state is bounded by the watermark horizon per active
+    user; the post-drain rollup is a tiny grouped aggregate."""
+    from ..streaming import jobs as SJ
+
+    sess = SJ.session_stream(
+        SJ.read_event_stream(spark, sf_dir), rounded=False
+    )
+    _STREAM_REPLAY_SEQ[0] += 1
+    out = SJ.run_to_completion(
+        sess, f"stream_sess_{_STREAM_REPLAY_SEQ[0]}", output_mode="complete"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+            F.round(F.sum("session_value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "streaming_attribution_replay",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT c.user_id, value,
+         epoch_us(purchase_ts) - epoch_us(click_ts) AS lag_us
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND click_ts <= purchase_ts
+   AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+),
+bucketed AS (
+  SELECT CASE WHEN lag_us < 600000000 THEN '00-10m'
+              WHEN lag_us < 1800000000 THEN '10-30m'
+              ELSE '30-60m' END AS lag_bucket,
+         value, lag_us
+  FROM pairs
+)
+SELECT lag_bucket,
+       count(*) AS n_pairs,
+       round(avg(value), 4) AS avg_purchase_value,
+       round(avg(lag_us) / 60000000.0, 4) AS avg_lag_min
+FROM bucketed GROUP BY lag_bucket ORDER BY lag_bucket
+""",
+)
+def streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING hard check #3: the STREAM-STREAM inner join
+    (streaming/jobs.py::attribution_join_stream — clicks x purchases by
+    user within a 1-hour horizon, both sides watermarked so join state
+    expires) drained in append mode must emit exactly the batch pair
+    set; the drained pairs are bucketed by attribution lag and
+    hash-checked against the DuckDB range-join oracle.
+
+    Scale: join state is bounded by watermark + horizon on both sides —
+    the pattern for joining two unbounded firehoses; the post-drain
+    bucket rollup is constant-size."""
+    from ..streaming import jobs as SJ
+
+    ev = SJ.read_event_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    pairs = SJ.attribution_join_stream(clicks, purchases, horizon="1 hour")
+    _STREAM_REPLAY_SEQ[0] += 1
+    out = SJ.run_to_completion(
+        pairs, f"stream_attr_{_STREAM_REPLAY_SEQ[0]}", output_mode="append"
+    )
+    bucket = (
+        F.when(F.col("lag_us") < 600_000_000, "00-10m")
+        .when(F.col("lag_us") < 1_800_000_000, "10-30m")
+        .otherwise("30-60m")
+    )
+    return (
+        out.groupBy(bucket.alias("lag_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("purchase_value"), 4).alias("avg_purchase_value"),
+            F.round(F.avg("lag_us") / 60_000_000.0, 4).alias("avg_lag_min"),
+        )
+        .orderBy("lag_bucket")
+    )
+
+
+@query(
+    "streaming_stateful_totals_replay",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(coalesce(value, 0.0)), 2) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def streaming_stateful_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING hard check #4 — the CUSTOM STATEFUL operator
+    (streaming/jobs.py::stateful_user_totals_stream,
+    ``applyInPandasWithState``): per-user running count/value totals
+    maintained in explicit Arrow-batched state must, after the stream
+    drains, equal the batch per-user aggregate (DuckDB oracle). Update
+    mode emits one row per (user, micro-batch); the LAST update per
+    user — max n_events, running counts are monotone — is the final
+    state. This is the escape-hatch operator for semantics
+    window/session_window can't express; the other three replays cover
+    the declarative stateful surface.
+
+    Scale: state is one tiny row per user, keyed shuffle once."""
+    from ..streaming import jobs as SJ
+
+    totals = SJ.stateful_user_totals_stream(
+        SJ.read_event_stream(spark, sf_dir), rounded=False
+    )
+    _STREAM_REPLAY_SEQ[0] += 1
+    out = SJ.run_to_completion(
+        totals, f"stream_state_{_STREAM_REPLAY_SEQ[0]}", output_mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("total_value", 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -3549,3 +3549,84 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mae", 4).alias("mae"),
         F.round(F.col("rmse") / F.col("rmse1"), 6).alias("rmse_vs_naive1"),
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+# Per-round CTEs are MATERIALIZED: each a{r} is referenced twice by
+# round r+1, so DuckDB's default CTE inlining re-expands the whole
+# chain ~2^rounds times (measured 96s at sf0.01; materialized: <1s).
+_KCORE_ORACLE = (
+    """
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 30
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+),
+sym AS MATERIALIZED (SELECT u AS node, v AS other FROM e UNION ALL SELECT v AS node, u AS other FROM e),
+a0 AS (SELECT DISTINCT node FROM sym)"""
+    + "".join(
+        f""",
+d{r} AS (
+  SELECT s.node, count(*) AS deg
+  FROM sym s JOIN a{r - 1} x ON s.node = x.node
+             JOIN a{r - 1} y ON s.other = y.node
+  GROUP BY s.node
+),
+a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {_KCORE_K}),
+er{r} AS (
+  SELECT count(*)::BIGINT AS c
+  FROM e JOIN a{r} x ON e.u = x.node JOIN a{r} y ON e.v = y.node
+)"""
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    + """
+SELECT 0::BIGINT AS round,
+       (SELECT count(*) FROM a0)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM e)::BIGINT AS n_edges
+"""
+    + "".join(
+        f"""UNION ALL
+SELECT {r}::BIGINT, (SELECT count(*) FROM a{r})::BIGINT, (SELECT c FROM er{r})
+"""
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    + "ORDER BY round"
+)
+
+
+@query("copurchase_kcore_peel_trace", oracle=_KCORE_ORACLE)
+def copurchase_kcore_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the part co-purchase graph by
+    synchronous peeling, ORACLE-REPLAYED per round: each of the 6
+    rounds' (alive nodes, alive edges) counts are hash-checked against
+    the same peel unrolled as DuckDB CTEs — the iterative computation
+    itself is the check, like ``copurchase_pagerank_top20``. The k-core
+    is the standard dense-subgraph/community-seed primitive next to
+    triangles and components in the graph family.
+
+    Scale: one degree aggregate + two leftsemi joins per round, all
+    hash-partitioned on the node key; alive frames are localCheckpoint-
+    truncated per round (O(nodes)); exact integers end to end."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    from ..operators.graphs import kcore_peel_trace
+
+    trace = kcore_peel_trace(e, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return spark.createDataFrame(
+        trace, "round long, n_nodes long, n_edges long"
+    ).orderBy("round")

@@ -42,20 +42,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # in r1-r3 (143 checked, all green at last check) are rotated BEHIND the
 # window so never-checked oracle queries get their first hard check.
 PRIORITY: tuple[str, ...] = (
-    # ---- round-6 window head (50): 47 of the 66 oracle-backed queries
+    # ---- round-6 window head (50): 43 of the 66 oracle-backed queries
     # never driver-hash-checked in r1-r5 (CORRECTNESS_r01-r05 union) —
     # the exact-ML family, the time-series/robust-stats diagnostics, and
-    # the round-5 session-2 additions — plus THREE new-this-round hard
-    # checks: the adaptive SRP/IVF production-path recall gates and the
-    # Structured Streaming dedup+rollup replay. All locally hash-green
-    # at sf0.001/0.01 (tests/test_oracle_queries.py); this window takes
-    # cumulative driver-checked from 241 to 291 of 289 oracle-backed
-    # (>85% per the round-5 ask). The three ADVICE-fixed queries
+    # the round-5 session-2 additions — plus SEVEN new-this-round hard
+    # checks: the adaptive SRP/IVF production-path recall gates, FOUR
+    # Structured Streaming replays (dedup+rollup, session_window
+    # sessionization, stream-stream attribution join, and the
+    # applyInPandasWithState custom stateful totals), and the k-core
+    # peel trace. All locally hash-green at sf0.001/0.01
+    # (tests/test_oracle_queries.py); this window takes cumulative
+    # oracle-checked from 220/289 (76%) to 270/293 (92%) — above the
+    # round-5 ask's 85% bar. The three ADVICE-fixed queries
     # (chow/diff-in-diff midpoint, randomization-test decimal) are all
     # inside this window so the fixes get the hard check.
     "srp_knn_join_adaptive_gate",
     "ivf_knn_join_adaptive_gate",
     "streaming_dedup_hourly_replay",
+    "streaming_sessionization_replay",
+    "streaming_attribution_replay",
+    "streaming_stateful_totals_replay",
+    "copurchase_kcore_peel_trace",
     "carprice_logit_irls_exact",
     "carprice_ridge_coefficients_exact",
     "carprice_top_pca_eigen_exact",
@@ -94,20 +101,20 @@ PRIORITY: tuple[str, ...] = (
     "cuped_variance_reduction",
     "nelson_aalen_cumulative_hazard",
     "bootstrap_mean_se_order_value",
-    "ams_f2_sketch_check",
     "lineitem_ols_diagnostics",
-    "minhash_estimate_calibration",
-    "bm25_tfidf_rank_overlap",
-    "token_weighted_doc_sample",
     "copurchase_degree_powerlaw",
     "copurchase_component_sizes",
     "orc_roundtrip_lineitem_stats",
     "bpe_first_merges",
-    # ---- positions 51+: the round-7 queue — the 19 backlog queries that
+    # ---- positions 51+: the round-7 queue — the 21 backlog queries that
     # didn't fit this window (all locally hash-green), then the three
     # sentinel re-checks of long-green queries whose shared operators
     # (agg core, broadcast join, FPGrowth) would carry any systemic
     # regression.
+    "ams_f2_sketch_check",
+    "minhash_estimate_calibration",
+    "bm25_tfidf_rank_overlap",
+    "token_weighted_doc_sample",
     "fd_histogram_order_values",
     "pmi_collocations_top",
     "doc_novelty_by_source",

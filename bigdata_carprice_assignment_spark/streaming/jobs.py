@@ -99,15 +99,20 @@ def sliding_rollup_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def session_stream(
+    events: DataFrame, gap: str = "30 minutes", rounded: bool = True
+) -> DataFrame:
     """Per-user sessionization with the native session_window operator
-    (state bounded by the watermark)."""
+    (state bounded by the watermark). ``rounded=False`` keeps raw
+    session sums for consumers that re-aggregate (double rounding would
+    diverge from a single-rounding batch oracle)."""
+    val = F.sum("value")
     return (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            (F.round(val, 2) if rounded else val).alias("session_value"),
         )
         .select(
             "user_id",
@@ -118,12 +123,14 @@ def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
+def stateful_user_totals_stream(events: DataFrame, rounded: bool = True) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count / value total maintained in explicit state across
     micro-batches (the escape hatch for operators ``window``/
     ``session_window`` can't express). Arrow-batched; state is one tiny
-    row per user."""
+    row per user. ``rounded=False`` emits the raw running total for
+    consumers that round once downstream (a Python-side ``round`` is
+    banker's rounding — not the engines' shared half-away rule)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -137,7 +144,11 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
             total += float(pdf["value"].fillna(0.0).sum())
         state.update((n, total))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2) if rounded else total],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
