@@ -174,3 +174,40 @@ def kcore_peel_trace(
         )
         trace.append((r, alive.count(), e_alive.count()))
     return trace
+
+
+def bfs_hop_counts(
+    e: DataFrame, seeds: DataFrame, hops: int
+) -> list[tuple[int, int]]:
+    """Multi-source BFS over an undirected simple graph ((u, v) rows,
+    u < v) from a ``seeds`` frame of (node) rows: returns the per-hop
+    trace [(hop, n_newly_reached)] for hops 0..hops (hop 0 = the seeds
+    themselves; seeds not present in the graph still count at hop 0 —
+    they simply have no neighbors).
+
+    FIXED hop count keeps the trace deterministic and oracle-replayable
+    (like ``kcore_peel_trace``); once the reachable set is exhausted the
+    remaining hops emit 0. Per hop: one leftsemi join to expand the
+    frontier through the symmetric edge list, a distinct, and one
+    left_anti against the visited set — all hash-partitioned on the node
+    key. Frontier and visited frames are ``localCheckpoint``-truncated
+    (O(nodes), 1 column); per-hop driver traffic is one scalar count.
+    """
+    edges = e.select("u", "v")
+    sym = edges.select(F.col("u").alias("node"), F.col("v").alias("other")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("other"))
+    )
+    frontier = seeds.select("node").distinct().localCheckpoint()
+    visited = frontier
+    trace = [(0, frontier.count())]
+    for h in range(1, hops + 1):
+        frontier = (
+            sym.join(frontier, "node", "leftsemi")
+            .select(F.col("other").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(frontier).localCheckpoint()
+        trace.append((h, frontier.count()))
+    return trace

@@ -1963,3 +1963,113 @@ def streaming_stateful_totals_replay(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "position_weighted_attribution",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT purchase_id, value, click_id, click_ts
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND click_ts <= purchase_ts
+   AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+),
+ranked AS (
+  SELECT purchase_id, value,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY click_ts, click_id) AS rn,
+         count(*) OVER (PARTITION BY purchase_id) AS n
+  FROM pairs
+),
+credited AS (
+  SELECT CASE WHEN n = 1 THEN 'only'
+              WHEN rn = 1 THEN 'first'
+              WHEN rn = n THEN 'last'
+              ELSE 'middle' END AS position,
+         CASE WHEN n = 1 THEN 1.0
+              WHEN n = 2 THEN 0.5
+              WHEN rn = 1 OR rn = n THEN 0.4
+              ELSE 0.2 / (n - 2) END * coalesce(value, 0.0) AS credit
+  FROM ranked
+)
+SELECT position,
+       count(*) AS n_touches,
+       round(sum(credit), 2) AS credit_sum
+FROM credited GROUP BY position ORDER BY position
+""",
+)
+def position_weighted_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TOUCH (U-shaped / position-based) attribution: every click
+    within the hour before a purchase shares that purchase's value —
+    40% to the first touch, 40% to the last, 20% split across the middle
+    (sole touch: 100%, two touches: 50/50). The marketing-science
+    counterpart to the last-touch pair query (click_purchase_attribution)
+    — same watermarkable range join, plus the per-purchase position
+    ranking that makes credit assignment order-aware.
+
+    Determinism: click order within a purchase is (click_ts, click_id) —
+    a total order — on both engines; credit weights are exact rationals
+    applied per row, summed and rounded once.
+
+    Scale: the pair join shuffles on user_id with the time range as a
+    residual (add a day-grain equi-key at 100 TB); the ranking window
+    partitions by purchase_id — millions of small partitions, no skew."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    pairs = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "value", "click_id", "click_ts")
+    wp = Window.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "purchase_id",
+        "value",
+        F.row_number()
+        .over(wp.orderBy("click_ts", "click_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    position = (
+        F.when(F.col("n") == 1, "only")
+        .when(F.col("rn") == 1, "first")
+        .when(F.col("rn") == F.col("n"), "last")
+        .otherwise("middle")
+    )
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        ranked.select(
+            position.alias("position"),
+            (weight * F.coalesce("value", F.lit(0.0))).alias("credit"),
+        )
+        .groupBy("position")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("credit"), 2).alias("credit_sum"),
+        )
+        .orderBy("position")
+    )

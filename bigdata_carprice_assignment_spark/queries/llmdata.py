@@ -2736,3 +2736,119 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "ann_knn_label_vote",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+r AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 25 <> 0
+),
+s AS (
+  SELECT q.qid, q.qlabel, r.vec_id, r.label,
+         list_sum(list_transform(list_zip(r.embedding, q.qe),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(r.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qe,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+  FROM r, q
+),
+top3 AS (
+  SELECT qid, qlabel, label FROM (
+    SELECT qid, qlabel, label,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM s) WHERE rn <= 3
+),
+votes AS (
+  SELECT qid, qlabel, label, count(*) AS c
+  FROM top3 GROUP BY qid, qlabel, label
+),
+winner AS (
+  SELECT qid, qlabel, label AS voted FROM (
+    SELECT qid, qlabel, label,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, label ASC) AS vr
+    FROM votes) WHERE vr = 1
+)
+SELECT qlabel AS label,
+       count(*) AS n_queries,
+       sum(CASE WHEN voted = qlabel THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       round(sum(CASE WHEN voted = qlabel THEN 1 ELSE 0 END) / count(*), 4)
+         AS accuracy
+FROM winner GROUP BY qlabel ORDER BY qlabel
+""",
+)
+def ann_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN CLASSIFICATION over the embedding column: every 25th vector is
+    held out as a query, its 3 nearest reference neighbors by exact
+    cosine vote on its label (majority; ties -> smaller label; neighbor
+    ties -> higher cosine then smaller vec_id), and per-true-label
+    accuracy is hash-checked against the DuckDB list-arithmetic replica.
+    The label-propagation primitive of a training-data pipeline
+    (auto-labeling / label-noise audit by neighborhood agreement).
+
+    This is the exact ground-truth path: the bounded query batch is
+    BROADCAST against one scan of the references (same shape as
+    exact_cosine_pairs_blocked); at 100 TB swap the scoring stage for
+    the IVF/SRP kNN-join (ivf_knn_join / srp_knn_join) and keep the
+    vote/accuracy tail unchanged — the adaptive gates pin that swap.
+
+    Exactness: both engines fold the same float32 parquet values to
+    doubles in array order (green precedent: cosine_topk_vs_query);
+    ranks, votes, and counts are exact integers; one rounded division."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    r = emb.filter(F.col("vec_id") % 25 != 0)
+    scored = r.join(F.broadcast(q)).select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        "label",
+        S.cosine(F.col("embedding"), F.col("qe")).alias("cosine"),
+    )
+    top3 = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("cosine"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("qid", "qlabel", "label")
+    )
+    votes = top3.groupBy("qid", "qlabel", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    winner = (
+        votes.withColumn(
+            "vr",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("label"))
+            ),
+        )
+        .filter(F.col("vr") == 1)
+        .select("qid", "qlabel", F.col("label").alias("voted"))
+    )
+    correct = F.sum((F.col("voted") == F.col("qlabel")).cast("long"))
+    return (
+        winner.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            correct.alias("n_correct"),
+            F.round(correct / F.count(F.lit(1)), 4).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

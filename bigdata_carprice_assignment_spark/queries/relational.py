@@ -1201,3 +1201,38 @@ def bloom_prefilter_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bits_set",
         )
     )
+
+
+@query(
+    "part_skyline_pareto",
+    oracle="""
+SELECT a.p_partkey, a.p_retailprice, a.p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
+ORDER BY a.p_partkey
+""",
+)
+def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) operator: the parts no other part beats
+    on BOTH retail price and size (minimize both) — the multi-objective
+    "best offers" primitive relational engines lack as a built-in. The
+    distributed plan is the two-stage divide-and-conquer from
+    operators/skyline.py::skyline_2d_min: a per-partition running-min
+    sweep (JVM window over spark_partition_id) prunes to a candidate
+    superset, then one BroadcastNestedLoopJoin anti-join over the k-row
+    candidate frame applies the exact dominance predicate. The oracle is
+    the textbook NOT EXISTS dominance query — quadratic, fine at oracle
+    SF; the Spark side is the shape that survives 100 TB (candidates are
+    O(partitions x frontier), never all-pairs).
+
+    Exactness: dominance compares the same parquet doubles/ints on both
+    engines; no arithmetic is performed at all."""
+    from ..operators.skyline import skyline_2d_min
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline_2d_min(part, "p_retailprice", "p_size").orderBy("p_partkey")

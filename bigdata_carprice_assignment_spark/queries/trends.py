@@ -3630,3 +3630,79 @@ def copurchase_kcore_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         trace, "round long, n_nodes long, n_edges long"
     ).orderBy("round")
+
+
+_BFS_HOPS = 4
+_BFS_SEED_MOD = 101
+
+_BFS_ORACLE = (
+    f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 30
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+),
+sym AS MATERIALIZED (SELECT u AS node, v AS other FROM e UNION ALL SELECT v AS node, u AS other FROM e),
+f0 AS MATERIALIZED (SELECT DISTINCT node FROM sym WHERE node % {_BFS_SEED_MOD} = 0),
+r0 AS MATERIALIZED (SELECT node FROM f0)"""
+    + "".join(
+        f""",
+f{h} AS MATERIALIZED (
+  SELECT s.other AS node FROM sym s JOIN f{h - 1} p ON s.node = p.node
+  EXCEPT SELECT node FROM r{h - 1}
+),
+r{h} AS MATERIALIZED (SELECT node FROM r{h - 1} UNION SELECT node FROM f{h})"""
+        for h in range(1, _BFS_HOPS + 1)
+    )
+    + """
+SELECT 0::BIGINT AS hop, (SELECT count(*) FROM f0)::BIGINT AS n_new
+"""
+    + "".join(
+        f"""UNION ALL
+SELECT {h}::BIGINT, (SELECT count(*) FROM f{h})::BIGINT
+"""
+        for h in range(1, _BFS_HOPS + 1)
+    )
+    + "ORDER BY hop"
+)
+
+
+@query("copurchase_bfs_hop_histogram", oracle=_BFS_ORACLE)
+def copurchase_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS reachability histogram over the part co-purchase
+    graph: seeds are the graph nodes with partkey % 101 == 0, and each of
+    the 4 hops' newly-reached node count is hash-checked against the same
+    expansion unrolled as MATERIALIZED DuckDB CTEs (frontier = neighbors
+    EXCEPT visited). The traversal primitive next to pagerank / triangles
+    / components / k-core in the graph family — hop histograms are the
+    standard "how far is the catalog from the promoted SKUs" probe.
+
+    Scale: per hop one leftsemi frontier expansion + one left_anti
+    against visited, hash-partitioned on the node key; frontier/visited
+    are localCheckpoint-truncated single-column frames
+    (operators/graphs.py::bfs_hop_counts). Exact integers end to end."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % _BFS_SEED_MOD == 0)
+    from ..operators.graphs import bfs_hop_counts
+
+    trace = bfs_hop_counts(e, seeds, hops=_BFS_HOPS)
+    return spark.createDataFrame(trace, "hop long, n_new long").orderBy("hop")

@@ -107,10 +107,15 @@ PRIORITY: tuple[str, ...] = (
     "orc_roundtrip_lineitem_stats",
     "bpe_first_merges",
     # ---- positions 51+: the round-7 queue — the 21 backlog queries that
-    # didn't fit this window (all locally hash-green), then the three
-    # sentinel re-checks of long-green queries whose shared operators
-    # (agg core, broadcast join, FPGrowth) would carry any systemic
-    # regression.
+    # didn't fit this window (all locally hash-green), the four
+    # new-this-session ops (skyline, BFS hop histogram, position-weighted
+    # attribution, kNN label vote), then the three sentinel re-checks of
+    # long-green queries whose shared operators (agg core, broadcast
+    # join, FPGrowth) would carry any systemic regression.
+    "part_skyline_pareto",
+    "copurchase_bfs_hop_histogram",
+    "position_weighted_attribution",
+    "ann_knn_label_vote",
     "ams_f2_sketch_check",
     "minhash_estimate_calibration",
     "bm25_tfidf_rank_overlap",
