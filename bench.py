@@ -412,7 +412,15 @@ def main() -> None:
     # inside whichever warm queries the GC interrupts.
     spark.sparkContext._jvm.System.gc()
     time.sleep(0.5)
+    # A warm sample can still catch a stray GC/cleaner pause (r6 measured:
+    # two back-to-back full runs each flagged a warm>1.5x-cold set, but
+    # the sets were nearly disjoint — 22 vs 6 queries, intersection 2 —
+    # i.e. jitter, not plan defects). Steady state is what the column
+    # claims, so a flagged query is re-measured once and the MIN kept;
+    # "warm_retried" records how many needed it. The cold column stays
+    # strictly single-shot.
     warm: dict[str, float] = {}
+    retried: list[str] = []
     for i, name in enumerate(names):
         if i % 40 == 39:
             spark.sparkContext._jvm.System.gc()
@@ -420,6 +428,11 @@ def main() -> None:
         t0 = time.perf_counter()
         registry.QUERIES[name](spark, sf_dir).collect()
         warm[name] = round(time.perf_counter() - t0, 3)
+        if warm[name] > 1.5 * timings[name] and warm[name] > 0.5:
+            t0 = time.perf_counter()
+            registry.QUERIES[name](spark, sf_dir).collect()
+            warm[name] = min(warm[name], round(time.perf_counter() - t0, 3))
+            retried.append(name)
 
     total = round(sum(timings.values()), 3)
     # Driver contract: stdout gets EXACTLY one compact JSON line, printed
@@ -435,6 +448,7 @@ def main() -> None:
         "value_cold": total,
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 3),
+        "warm_retried": retried,
         "plans": plans,
         "sf": float(sf),
     }
