@@ -1463,3 +1463,100 @@ def heldout_bigram_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_bigram_rate",
         )
     )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(""" + _DUCK_TOKENS + r""") AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS b
+  FROM tok WHERE t <> ''
+),
+cb AS (
+  SELECT b,
+         count(*) FILTER (source = 'src0')::BIGINT AS ct,
+         count(*)::BIGINT AS cr
+  FROM feat GROUP BY b
+),
+tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM cb),
+lr AS (
+  SELECT b, ln(((ct + 1)::DOUBLE / (nt + 256))
+               / ((cr + 1)::DOUBLE / (nr + 256))) AS logratio
+  FROM cb, tot
+),
+w AS (
+  SELECT f.doc_id, f.source, sum(lr.logratio) AS w, count(*) AS n_toks
+  FROM feat f JOIN lr ON f.b = lr.b
+  GROUP BY f.doc_id, f.source
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_toks)::BIGINT AS n_tokens,
+       round(avg(w), 6) AS avg_log_weight,
+       round(max(w), 6) AS max_log_weight
+FROM w GROUP BY source ORDER BY source
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hashed unigram features (portable 60-bit md5 hash -> 256 buckets),
+    bucket distributions for the TARGET (source='src0') and the RAW
+    corpus with add-one smoothing, and per-document importance
+    log-weight = sum over its tokens of log(p_target(b)/p_raw(b)).
+    Reported per source: how strongly would importance resampling pull
+    each slice toward the target domain.
+
+    Scale: one explode -> hash-agg to 256 bucket counts, the 256-row
+    log-ratio table broadcast back onto the token stream, one grouped
+    sum per doc, one rollup per source. No joins on anything larger
+    than the token stream; state is 256 doubles.
+
+    Exactness: bucket counts are exact integers (engine-shared md5
+    hash), each log-ratio is IEEE-deterministic; per-doc/group sums
+    reorder only ~1e-13-noise terms under the 6dp rounding (same
+    argument as source_unigram_kl)."""
+    from .llmdata import _doc_norm_tokens
+
+    feat = (
+        _doc_norm_tokens(spark, sf_dir)
+        .select("doc_id", "source", F.explode("toks").alias("t"))
+        .filter(F.col("t") != "")
+        .select(
+            "doc_id", "source", (TX.portable_hash60(F.col("t")) % 256).alias("b")
+        )
+    )
+    cb = feat.groupBy("b").agg(
+        F.sum((F.col("source") == "src0").cast("long")).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tot = cb.agg(
+        F.sum("ct").cast("long").alias("nt"), F.sum("cr").cast("long").alias("nr")
+    )
+    lr = cb.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("ct") + 1).cast("double") / (F.col("nt") + 256))
+            / ((F.col("cr") + 1).cast("double") / (F.col("nr") + 256))
+        ).alias("logratio"),
+    )
+    w = (
+        feat.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("logratio").alias("w"), F.count(F.lit(1)).alias("n_toks"))
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.round(F.avg("w"), 6).alias("avg_log_weight"),
+            F.round(F.max("w"), 6).alias("max_log_weight"),
+        )
+        .orderBy("source")
+    )

@@ -2073,3 +2073,39 @@ def position_weighted_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("position")
     )
+
+
+@query(
+    "streaming_sliding_rollup_replay",
+    oracle="""
+WITH w AS (
+  SELECT (epoch_us(ts) // 900000000 - j) * 900000000 AS start_us
+  FROM events, unnest([0, 1, 2, 3]) AS t(j)
+)
+SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       count(*) AS n
+FROM w GROUP BY start_us ORDER BY start_us
+""",
+)
+def streaming_sliding_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING hard check #5 — OVERLAPPING (sliding)
+    windows: the 1-hour/15-minute sliding rollup
+    (streaming/jobs.py::sliding_rollup_stream) drained over the events
+    file-stream must assign every event to EXACTLY its four covering
+    epoch-aligned windows; the DuckDB oracle replicates each event into
+    those four starts by integer epoch arithmetic (slide=900s, so
+    start = (epoch_us // slide - j) * slide for j in 0..3) and counts.
+    Completes the declarative streaming surface: tumbling (dedup
+    rollup), session, sliding, stream-stream join, custom state.
+
+    Scale: sliding-window state is windows-per-slide x active keys,
+    bounded by the watermark horizon; counts are exact integers."""
+    from ..streaming import jobs as SJ
+
+    rolled = SJ.sliding_rollup_stream(SJ.read_event_stream(spark, sf_dir))
+    _STREAM_REPLAY_SEQ[0] += 1
+    out = SJ.run_to_completion(
+        rolled, f"stream_slide_{_STREAM_REPLAY_SEQ[0]}", output_mode="complete"
+    )
+    return out.orderBy("window_start")

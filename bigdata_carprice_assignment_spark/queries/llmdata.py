@@ -2743,10 +2743,11 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qe, label AS qlabel
-  FROM embeddings WHERE vec_id % 25 = 0
+  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 5000
 ),
 r AS (
-  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 25 <> 0
+  SELECT vec_id, embedding, label
+  FROM embeddings WHERE NOT (vec_id % 25 = 0 AND vec_id < 5000)
 ),
 s AS (
   SELECT q.qid, q.qlabel, r.vec_id, r.label,
@@ -2784,8 +2785,11 @@ FROM winner GROUP BY qlabel ORDER BY qlabel
 """,
 )
 def ann_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN CLASSIFICATION over the embedding column: every 25th vector is
-    held out as a query, its 3 nearest reference neighbors by exact
+    """kNN CLASSIFICATION over the embedding column: every 25th vector
+    under id 5000 is held out as a query (a FIXED-SIZE batch — the cap
+    keeps the gate linear in corpus size: without it the r6 10x-data
+    probe measured 110x, with it the scored-pair count grows only with
+    the reference side), its 3 nearest reference neighbors by exact
     cosine vote on its label (majority; ties -> smaller label; neighbor
     ties -> higher cosine then smaller vec_id), and per-true-label
     accuracy is hash-checked against the DuckDB list-arithmetic replica.
@@ -2804,12 +2808,18 @@ def ann_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+    is_q = (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 5000)
+    q = emb.filter(is_q).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("qlabel"),
     )
-    r = emb.filter(F.col("vec_id") % 25 != 0)
+    # the scoring expression is the per-row cost; the parquet arrives in
+    # a handful of row-group splits, so spread refs across the executor
+    # slots before fanning out x|Q| (r6 probe: 62s -> ~8s at sf1.0)
+    r = emb.filter(~is_q).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     scored = r.join(F.broadcast(q)).select(
         "qid",
         "qlabel",
@@ -2851,4 +2861,185 @@ def ann_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(correct / F.count(F.lit(1)), 4).alias("accuracy"),
         )
         .orderBy("label")
+    )
+
+
+@query(
+    "rrf_fused_retrieval_top10",
+    oracle=r"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+dl AS (
+  SELECT doc_id,
+         len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id,
+         count(*) FILTER (w = 'vector') AS tv,
+         count(*) FILTER (w = 'join')   AS tj,
+         count(*) FILTER (w = 'stream') AS ts
+  FROM tk WHERE w IN ('vector', 'join', 'stream') GROUP BY doc_id
+),
+df AS (
+  SELECT count(DISTINCT doc_id) FILTER (w = 'vector') AS dv,
+         count(DISTINCT doc_id) FILTER (w = 'join')   AS dj,
+         count(DISTINCT doc_id) FILTER (w = 'stream') AS ds
+  FROM tk WHERE w IN ('vector', 'join', 'stream')
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+st AS (SELECT avg(dl.dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         tf.tv * ln((1.0 + n.n_docs) / (1.0 + df.dv))
+           + tf.tj * ln((1.0 + n.n_docs) / (1.0 + df.dj))
+           + tf.ts * ln((1.0 + n.n_docs) / (1.0 + df.ds)) AS s_tfidf,
+         ln(1.0 + (n.n_docs - df.dv + 0.5) / (df.dv + 0.5))
+           * ((tf.tv * 2.2) / (tf.tv + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+         + ln(1.0 + (n.n_docs - df.dj + 0.5) / (df.dj + 0.5))
+           * ((tf.tj * 2.2) / (tf.tj + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+         + ln(1.0 + (n.n_docs - df.ds + 0.5) / (df.ds + 0.5))
+           * ((tf.ts * 2.2) / (tf.ts + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+           AS s_bm25,
+         tf.tv + tf.tj + tf.ts AS s_cnt
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id, df, n, st
+),
+rt AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s_tfidf DESC, doc_id) AS r
+  FROM scored QUALIFY r <= 20
+),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s_bm25 DESC, doc_id) AS r
+  FROM scored QUALIFY r <= 20
+),
+rc AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s_cnt DESC, doc_id) AS r
+  FROM scored QUALIFY r <= 20
+),
+ids AS (
+  SELECT doc_id FROM rt UNION SELECT doc_id FROM rb UNION SELECT doc_id FROM rc
+),
+fused AS (
+  SELECT ids.doc_id,
+         coalesce(1.0 / (60 + rt.r), 0.0)
+           + coalesce(1.0 / (60 + rb.r), 0.0)
+           + coalesce(1.0 / (60 + rc.r), 0.0) AS rrf
+  FROM ids
+  LEFT JOIN rt ON ids.doc_id = rt.doc_id
+  LEFT JOIN rb ON ids.doc_id = rb.doc_id
+  LEFT JOIN rc ON ids.doc_id = rc.doc_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf_score
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+)
+def rrf_fused_retrieval_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL RANK FUSION (Cormack et al. 2009) of three retrievers
+    over the same fixed 3-term query — smoothed TF-IDF, BM25 (k1=1.2,
+    b=0.75), and raw term count — each truncated to its top-20 list;
+    fused score = sum over lists of 1/(60 + rank). The standard way a
+    retrieval pipeline combines sparse/dense/heuristic rankers without
+    score calibration.
+
+    Rank assignment avoids a partitionless global window: each top-20
+    list is a TakeOrderedAndProject, and the rank WITHIN the 20-row
+    broadcast frame is 1 + count(strictly-better rows) via a broadcast
+    self-join — exactly row_number under the (score DESC, doc_id) total
+    order the oracle uses. Fusion is a 3-way outer join of k-row frames;
+    the fused sum is three rationals added in literal order, so the
+    double is engine-identical.
+
+    Scale: the only corpus-sized work is the shared tf/df/dl pass (one
+    explode + hash aggregates); everything downstream is k-row."""
+    terms = ["vector", "join", "stream"]
+    k1, b = 1.2, 0.75
+    base = _doc_norm_tokens(spark, sf_dir)
+    n_docs = base.count()
+    dl = base.select("doc_id", F.size("toks").alias("dl"))
+    toks = base.select("doc_id", F.explode("toks").alias("w")).filter(
+        F.col("w").isin(terms)
+    )
+    tf = toks.groupBy("doc_id").agg(
+        *[F.sum((F.col("w") == t).cast("long")).alias(f"tf_{t}") for t in terms]
+    )
+    dfreq = toks.groupBy().agg(
+        *[
+            F.count_distinct(F.when(F.col("w") == t, F.col("doc_id"))).alias(f"df_{t}")
+            for t in terms
+        ]
+    )
+    stats = dl.groupBy().agg(F.avg("dl").alias("avgdl"))
+
+    def tfidf_term(t: str) -> F.Column:
+        return F.col(f"tf_{t}") * F.log((1.0 + n_docs) / (1.0 + F.col(f"df_{t}")))
+
+    def bm25_term(t: str) -> F.Column:
+        idf = F.log(
+            1.0 + (F.lit(n_docs) - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        tfn = (F.col(f"tf_{t}") * (k1 + 1.0)) / (
+            F.col(f"tf_{t}") + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl"))
+        )
+        return idf * tfn
+
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(dfreq))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                tfidf_term(terms[0]) + tfidf_term(terms[1]) + tfidf_term(terms[2])
+            ).alias("s_tfidf"),
+            (bm25_term(terms[0]) + bm25_term(terms[1]) + bm25_term(terms[2])).alias(
+                "s_bm25"
+            ),
+            (F.col("tf_vector") + F.col("tf_join") + F.col("tf_stream")).alias(
+                "s_cnt"
+            ),
+        )
+    )
+
+    def ranked_top20(score: str, out: str):
+        top = (
+            scored.orderBy(F.desc(score), F.asc("doc_id"))
+            .limit(20)
+            .select("doc_id", F.col(score).alias("s"))
+        )
+        other = F.broadcast(
+            top.select(F.col("doc_id").alias("_od"), F.col("s").alias("_os"))
+        )
+        better = (F.col("_os") > F.col("s")) | (
+            (F.col("_os") == F.col("s")) & (F.col("_od") < F.col("doc_id"))
+        )
+        return (
+            top.join(other, better, "left")
+            .groupBy("doc_id")
+            .agg((F.count("_od") + 1).alias(out))
+        )
+
+    rt = ranked_top20("s_tfidf", "r_t")
+    rb = ranked_top20("s_bm25", "r_b")
+    rc = ranked_top20("s_cnt", "r_c")
+    fused = (
+        rt.join(rb, "doc_id", "full")
+        .join(rc, "doc_id", "full")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (60 + F.col("r_t")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_b")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_c")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("rrf", 6).alias("rrf_score"))
     )

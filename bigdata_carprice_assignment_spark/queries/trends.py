@@ -3706,3 +3706,121 @@ def copurchase_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     trace = bfs_hop_counts(e, seeds, hops=_BFS_HOPS)
     return spark.createDataFrame(trace, "hop long, n_new long").orderBy("hop")
+
+
+@query(
+    "copurchase_clustering_coeff_hist",
+    oracle="""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 30
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+),
+sym AS MATERIALIZED (
+  SELECT u AS node, v AS other FROM e
+  UNION ALL SELECT v AS node, u AS other FROM e
+),
+deg AS (SELECT node, count(*)::BIGINT AS deg FROM sym GROUP BY node),
+tri AS (
+  SELECT a.node, count(*)::BIGINT AS n_tri
+  FROM sym a JOIN sym b ON a.node = b.node AND a.other < b.other
+       JOIN e ON e.u = a.other AND e.v = b.other
+  GROUP BY a.node
+),
+cc AS (
+  SELECT d.node, d.deg,
+         coalesce(t.n_tri, 0)::DOUBLE / (d.deg * (d.deg - 1) / 2.0) AS c
+  FROM deg d LEFT JOIN tri t ON d.node = t.node
+  WHERE d.deg >= 2
+),
+b AS (
+  SELECT CASE WHEN c = 0 THEN '0'
+              WHEN c < 0.25 THEN '(0,0.25)'
+              WHEN c < 0.5  THEN '[0.25,0.5)'
+              WHEN c < 0.75 THEN '[0.5,0.75)'
+              WHEN c < 1.0  THEN '[0.75,1)'
+              ELSE '1' END AS bin,
+         c
+  FROM cc
+)
+SELECT bin,
+       count(*) AS n_nodes,
+       round(avg(c), 6) AS avg_coeff
+FROM b GROUP BY bin ORDER BY bin
+""",
+)
+def copurchase_clustering_coeff_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT distribution of the part co-purchase
+    graph: per node with degree >= 2, c = closed wedges / possible
+    wedges, bucketed into six fixed bins — the per-node companion of the
+    global triangle count (how clique-ish is each neighborhood, the
+    community-structure readout). Wedge enumeration is the standard
+    sym-join-sym with the (other < other') half-filter, closed by an
+    equi-join against the canonical edge list — cost O(sum deg^2), the
+    same budget as copurchase_triangle_count; at 100 TB degree-cap or
+    sample wedges per node.
+
+    Exactness: wedge/triangle/degree counts are exact integers; c is a
+    single integer-ratio double, bin edges are exact binary fractions
+    (0.25/0.5/0.75), one rounded average per bin."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = e.select(F.col("u").alias("node"), F.col("v").alias("other")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("other"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    wa, wb = sym.alias("wa"), sym.alias("wb")
+    tri = (
+        wa.join(
+            wb,
+            (F.col("wa.node") == F.col("wb.node"))
+            & (F.col("wa.other") < F.col("wb.other")),
+        )
+        .join(
+            e,
+            (F.col("u") == F.col("wa.other")) & (F.col("v") == F.col("wb.other")),
+        )
+        .groupBy(F.col("wa.node").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    cc = (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            (
+                F.coalesce("n_tri", F.lit(0)).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1) / 2.0)
+            ).alias("c"),
+        )
+    )
+    bin_ = (
+        F.when(F.col("c") == 0, "0")
+        .when(F.col("c") < 0.25, "(0,0.25)")
+        .when(F.col("c") < 0.5, "[0.25,0.5)")
+        .when(F.col("c") < 0.75, "[0.5,0.75)")
+        .when(F.col("c") < 1.0, "[0.75,1)")
+        .otherwise("1")
+    )
+    return (
+        cc.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.round(F.avg("c"), 6).alias("avg_coeff"),
+        )
+        .orderBy("bin")
+    )

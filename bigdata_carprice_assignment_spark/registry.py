@@ -116,6 +116,10 @@ PRIORITY: tuple[str, ...] = (
     "copurchase_bfs_hop_histogram",
     "position_weighted_attribution",
     "ann_knn_label_vote",
+    "dsir_importance_weights",
+    "rrf_fused_retrieval_top10",
+    "copurchase_clustering_coeff_hist",
+    "streaming_sliding_rollup_replay",
     "ams_f2_sketch_check",
     "minhash_estimate_calibration",
     "bm25_tfidf_rank_overlap",

@@ -186,7 +186,7 @@ def test_knn_label_vote_matches_numpy(spark):
     ids = np.array([r["vec_id"] for r in rows])
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
     labels = np.array([r["label"] for r in rows])
-    qm = ids % 25 == 0
+    qm = (ids % 25 == 0) & (ids < 5000)
     Q, QL, QI = X[qm], labels[qm], ids[qm]
     R, RL, RI = X[~qm], labels[~qm], ids[~qm]
     Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
@@ -209,3 +209,167 @@ def test_knn_label_vote_matches_numpy(spark):
         assert got[lab][0] == nq
         assert got[lab][1] == nc
         assert abs(got[lab][2] - round(nc / nq, 4)) < 1e-9
+
+
+def _norm_tokens(text):
+    import re
+
+    t = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9_\s]", " ", text.lower())).strip()
+    return t.split(" ") if t else [""]
+
+
+def test_dsir_importance_weights_matches_python(spark):
+    import hashlib
+    import math
+
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    B = 256
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % B
+
+    ct, cr = Counter(), Counter()
+    per_doc = {}
+    for r in docs:
+        toks = [t for t in _norm_tokens(r["text"]) if t != ""]
+        bs = [bucket(t) for t in toks]
+        per_doc[r["doc_id"]] = (r["source"], bs)
+        for b in bs:
+            cr[b] += 1
+            if r["source"] == "src0":
+                ct[b] += 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+    lr = {
+        b: math.log(((ct.get(b, 0) + 1) / (nt + B)) / ((cr[b] + 1) / (nr + B)))
+        for b in cr
+    }
+    agg = defaultdict(lambda: [0, 0, 0.0, -1e18])
+    for src, bs in per_doc.values():
+        if not bs:
+            continue
+        w = sum(lr[b] for b in bs)
+        a = agg[src]
+        a[0] += 1
+        a[1] += len(bs)
+        a[2] += w
+        a[3] = max(a[3], w)
+    got = {
+        r["source"]: r
+        for r in registry.QUERIES["dsir_importance_weights"](spark, SF).collect()
+    }
+    assert set(got) == set(agg)
+    for src, (nd, ntk, sw, mx) in agg.items():
+        assert got[src]["n_docs"] == nd
+        assert got[src]["n_tokens"] == ntk
+        assert abs(got[src]["avg_log_weight"] - sw / nd) < 1e-5
+        assert abs(got[src]["max_log_weight"] - mx) < 1e-5
+
+
+def test_rrf_fusion_matches_python(spark):
+    import math
+
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    terms = ["vector", "join", "stream"]
+    n_docs = len(docs)
+    tf, dl = {}, {}
+    for r in docs:
+        toks = _norm_tokens(r["text"])
+        dl[r["doc_id"]] = len(toks)
+        c = Counter(t for t in toks if t in terms)
+        if c:
+            tf[r["doc_id"]] = c
+    dfreq = {t: sum(1 for c in tf.values() if c[t] > 0) for t in terms}
+    avgdl = sum(dl.values()) / n_docs
+    k1, b = 1.2, 0.75
+
+    def s_tfidf(d):
+        return sum(
+            tf[d][t] * math.log((1 + n_docs) / (1 + dfreq[t])) for t in terms
+        )
+
+    def s_bm25(d):
+        return sum(
+            math.log(1 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            * (tf[d][t] * (k1 + 1))
+            / (tf[d][t] + k1 * ((1 - b) + b * dl[d] / avgdl))
+            for t in terms
+        )
+
+    def s_cnt(d):
+        return sum(tf[d][t] for t in terms)
+
+    fused = Counter()
+    for scorer in (s_tfidf, s_bm25, s_cnt):
+        order = sorted(tf, key=lambda d: (-scorer(d), d))[:20]
+        for rank, d in enumerate(order, 1):
+            fused[d] += 1.0 / (60 + rank)
+    want = sorted(fused, key=lambda d: (-fused[d], d))[:10]
+    got = registry.QUERIES["rrf_fused_retrieval_top10"](spark, SF).collect()
+    assert [r["doc_id"] for r in got] == want
+    for r in got:
+        assert abs(r["rrf_score"] - round(fused[r["doc_id"]], 6)) < 1e-9
+
+
+def test_clustering_coeff_matches_python(spark):
+    edges = _copurchase_edges(spark)
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    agg = defaultdict(lambda: [0, 0.0])
+    for n, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        nbl = sorted(nb)
+        tri = sum(
+            1
+            for i in range(d)
+            for j in range(i + 1, d)
+            if nbl[j] in adj[nbl[i]]
+        )
+        c = tri / (d * (d - 1) / 2)
+        if c == 0:
+            bin_ = "0"
+        elif c < 0.25:
+            bin_ = "(0,0.25)"
+        elif c < 0.5:
+            bin_ = "[0.25,0.5)"
+        elif c < 0.75:
+            bin_ = "[0.5,0.75)"
+        elif c < 1.0:
+            bin_ = "[0.75,1)"
+        else:
+            bin_ = "1"
+        agg[bin_][0] += 1
+        agg[bin_][1] += c
+    got = {
+        r["bin"]: r
+        for r in registry.QUERIES["copurchase_clustering_coeff_hist"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(agg)
+    for bin_, (n, sc) in agg.items():
+        assert got[bin_]["n_nodes"] == n
+        assert abs(got[bin_]["avg_coeff"] - sc / n) < 1e-5
+
+
+def test_sliding_rollup_replay_matches_python(spark):
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF, "events").select("ts").collect()
+    counts = Counter()
+    for r in ev:
+        epoch = int(r["ts"].timestamp() * 1_000_000)
+        for j in range(4):
+            counts[(epoch // 900_000_000 - j) * 900_000_000] += 1
+    got = registry.QUERIES["streaming_sliding_rollup_replay"](spark, SF).collect()
+    assert len(got) == len(counts)
+    assert sum(r["n"] for r in got) == 4 * len(ev)

@@ -31,8 +31,9 @@ PROBES = [
     ("position_weighted_attribution", "user-key range join + purchase windows"),
     (
         "ann_knn_label_vote",
-        "KNOWN-QUADRATIC exact gate (|Q| and |R| both grow 10x -> ~100x "
-        "scored pairs); production swap = ivf/srp kNN-join scoring stage",
+        "FIXED query batch (vec_id%25==0 AND vec_id<5000) x linear "
+        "reference scan; the uncapped form measured 110x at 10x data "
+        "before the cap; production swap = ivf/srp kNN-join scoring",
     ),
     ("streaming_dedup_hourly_replay", "watermarked stream drain; linear"),
     ("streaming_sessionization_replay", "session_window drain; linear"),
