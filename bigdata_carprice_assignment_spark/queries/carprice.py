@@ -1708,3 +1708,113 @@ def carprice_logit_auc_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("auc"),
         F.round("brier", 6).alias("brier_score"),
     )
+
+
+_NUMERIC6 = ["horsepower", "enginesize", "curbweight", "citympg", "carwidth", "price"]
+
+_BODY_PROFILE_ORACLE = (
+    "WITH cleaned AS (" + _CLEANED_ORACLE + "),\n"
+    + "m AS (SELECT carbody, "
+    + ", ".join(f"avg({c}) AS {c}" for c in _NUMERIC6)
+    + " FROM cleaned GROUP BY carbody),\n"
+    + "b AS (SELECT "
+    + ", ".join(f"min({c}) AS mn_{c}, max({c}) AS mx_{c}" for c in _NUMERIC6)
+    + " FROM m)\n"
+    + "SELECT m.carbody, "
+    + ", ".join(
+        f"round((m.{c} - b.mn_{c}) / greatest(b.mx_{c} - b.mn_{c}, 1e-12), 6)"
+        f" AS {c}"
+        for c in _NUMERIC6
+    )
+    + " FROM m, b ORDER BY m.carbody"
+)
+
+
+@query("carprice_body_profile_normalized", oracle=_BODY_PROFILE_ORACLE)
+def carprice_body_profile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 + A8 + M13 SQL-replay hard check: per-carbody means of the six
+    radar features, min-max normalized to [0,1] across the group-mean
+    rows — EXACTLY the radar reduction (BigDataProject.R:480-529) with
+    the deterministic carbody grouping standing in for the k-means
+    cluster id, so the group_means/minmax/normalize operator chain gets
+    a DuckDB hash check (carprice_radar_profile itself stays rows-only
+    because its grouping is the fitted clustering).
+
+    Exactness: group means differ across engines only by sum-order noise
+    (~1e-13 relative); the min-max bounds are Spark's own means fed back
+    as literals, so the normalized ratios agree far inside the 6dp
+    rounding."""
+    from ..operators.aggregates import group_means, minmax
+
+    df = _cleaned(spark)
+    means = group_means(df, "carbody", _NUMERIC6)
+    bounds = minmax(means, _NUMERIC6)
+    return means.select(
+        "carbody",
+        *[
+            F.round(
+                (F.col(c) - F.lit(bounds[c][0]))
+                / F.lit(max(bounds[c][1] - bounds[c][0], 1e-12)),
+                6,
+            ).alias(c)
+            for c in _NUMERIC6
+        ],
+    ).orderBy("carbody")
+
+
+_STD_STATS_ORACLE = (
+    "WITH cleaned AS (" + _CLEANED_ORACLE + "),\n"
+    + "s AS (SELECT "
+    + ", ".join(
+        f"avg({c}) AS m_{c}, stddev_samp({c}) AS s_{c}" for c in _NUMERIC6
+    )
+    + " FROM cleaned)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS feature,"
+        f" round(min((cleaned.{c} - s.m_{c}) / s.s_{c}), 6) AS min_scaled,"
+        f" round(max((cleaned.{c} - s.m_{c}) / s.s_{c}), 6) AS max_scaled,"
+        f" round(avg(abs((cleaned.{c} - s.m_{c}) / s.s_{c})), 6) AS mean_abs_scaled"
+        f" FROM cleaned, s"
+        for c in _NUMERIC6
+    )
+    + "\nORDER BY feature"
+)
+
+
+@query("carprice_standardized_stats", oracle=_STD_STATS_ORACLE)
+def carprice_standardized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 SQL-replay hard check: the ML-pipeline standardizer
+    (ml/pipelines.py::feature_stages StandardScaler withMean/withStd,
+    == R scale(), BigDataProject.R:394) applied to the six radar
+    features, with per-feature min/max/mean-|z| of the SCALED column
+    hash-checked against DuckDB's (x - avg)/stddev_samp replica. The
+    scaled values come out of the fitted StandardScaler vector via
+    vector_to_array, so the check pins the actual Spark ML path, not a
+    re-derivation.
+
+    Exactness: Spark ML's streaming summarizer and DuckDB's two-pass
+    moments differ at ~1e-12 relative — noise under the 6dp rounding of
+    z-scale values."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.functions import vector_to_array
+
+    df = _cleaned(spark)
+    pipe = Pipeline(
+        stages=mlp.feature_stages(_NUMERIC6, (), "features", standardize=True)
+    )
+    scaled = pipe.fit(df).transform(df).select(
+        vector_to_array("features").alias("z")
+    )
+    rows = [
+        scaled.select(
+            F.lit(c).alias("feature"),
+            F.round(F.min(F.col("z")[i]), 6).alias("min_scaled"),
+            F.round(F.max(F.col("z")[i]), 6).alias("max_scaled"),
+            F.round(F.avg(F.abs(F.col("z")[i])), 6).alias("mean_abs_scaled"),
+        )
+        for i, c in enumerate(_NUMERIC6)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("feature")

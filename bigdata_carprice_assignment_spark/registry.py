@@ -120,6 +120,8 @@ PRIORITY: tuple[str, ...] = (
     "rrf_fused_retrieval_top10",
     "copurchase_clustering_coeff_hist",
     "streaming_sliding_rollup_replay",
+    "carprice_body_profile_normalized",
+    "carprice_standardized_stats",
     "ams_f2_sketch_check",
     "minhash_estimate_calibration",
     "bm25_tfidf_rank_overlap",

@@ -373,3 +373,52 @@ def test_sliding_rollup_replay_matches_python(spark):
     got = registry.QUERIES["streaming_sliding_rollup_replay"](spark, SF).collect()
     assert len(got) == len(counts)
     assert sum(r["n"] for r in got) == 4 * len(ev)
+
+
+def test_body_profile_normalized_matches_numpy(spark):
+    from bigdata_carprice_assignment_spark.queries.carprice import (
+        _NUMERIC6,
+        _cleaned,
+    )
+
+    rows = _cleaned(spark).select("carbody", *_NUMERIC6).collect()
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["carbody"]].append([r[c] for c in _NUMERIC6])
+    means = {g: np.mean(np.array(v), axis=0) for g, v in groups.items()}
+    M = np.array([means[g] for g in sorted(means)])
+    mn, mx = M.min(axis=0), M.max(axis=0)
+    want = (M - mn) / np.maximum(mx - mn, 1e-12)
+    got = registry.QUERIES["carprice_body_profile_normalized"](
+        spark, SF
+    ).collect()
+    assert [r["carbody"] for r in got] == sorted(means)
+    for i, r in enumerate(got):
+        for j, c in enumerate(_NUMERIC6):
+            assert abs(r[c] - want[i, j]) < 1e-5
+    # normalization invariant: every column spans exactly [0, 1]
+    arr = np.array([[r[c] for c in _NUMERIC6] for r in got])
+    assert np.allclose(arr.min(axis=0), 0, atol=1e-6)
+    assert np.allclose(arr.max(axis=0), 1, atol=1e-6)
+
+
+def test_standardized_stats_matches_numpy(spark):
+    from bigdata_carprice_assignment_spark.queries.carprice import (
+        _NUMERIC6,
+        _cleaned,
+    )
+
+    rows = _cleaned(spark).select(*_NUMERIC6).collect()
+    X = np.array([[r[c] for c in _NUMERIC6] for r in rows], dtype=float)
+    Z = (X - X.mean(axis=0)) / X.std(axis=0, ddof=1)
+    got = {
+        r["feature"]: r
+        for r in registry.QUERIES["carprice_standardized_stats"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(_NUMERIC6)
+    for j, c in enumerate(_NUMERIC6):
+        assert abs(got[c]["min_scaled"] - Z[:, j].min()) < 1e-4
+        assert abs(got[c]["max_scaled"] - Z[:, j].max()) < 1e-4
+        assert abs(got[c]["mean_abs_scaled"] - np.abs(Z[:, j]).mean()) < 1e-4
