@@ -3824,3 +3824,111 @@ def copurchase_clustering_coeff_hist(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "holt_winters_weekly_daily_revenue",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS t, cents::DOUBLE AS x FROM d
+),
+nn AS (SELECT max(t) AS n FROM idx),
+xl AS (SELECT list(x ORDER BY t) AS xs FROM idx),
+r AS (
+  SELECT 7 AS t,
+         list_sum(xs[1:7]) / 7 AS l,
+         (list_sum(xs[8:14]) / 7 - list_sum(xs[1:7]) / 7) / 7 AS b,
+         list_transform(xs[1:7], v -> v - list_sum(xs[1:7]) / 7) AS seas,
+         CAST(0.0 AS DOUBLE) AS sse
+  FROM xl
+  UNION ALL
+  SELECT r.t + 1,
+         0.3 * (i.x - r.seas[1]) + 0.7 * (r.l + r.b),
+         0.1 * ((0.3 * (i.x - r.seas[1]) + 0.7 * (r.l + r.b)) - r.l)
+           + 0.9 * r.b,
+         list_append(r.seas[2:7],
+             0.2 * (i.x - (0.3 * (i.x - r.seas[1]) + 0.7 * (r.l + r.b)))
+               + 0.8 * r.seas[1]),
+         r.sse + (i.x - (r.l + r.b + r.seas[1]))
+               * (i.x - (r.l + r.b + r.seas[1]))
+  FROM r JOIN idx i ON i.t = r.t + 1
+)
+SELECT nn.n::BIGINT AS n_days,
+       round(r.l / 100, 4) AS level,
+       round(r.b / 100, 4) AS trend,
+       round(r.seas[1] / 100, 4) AS next_seasonal,
+       round((r.l + r.b + r.seas[1]) / 100, 4) AS forecast_next,
+       round(sqrt(r.sse / (nn.n - 7)) / 100, 4) AS rmse_1step
+FROM r, nn WHERE r.t = nn.n
+""",
+)
+def holt_winters_weekly_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADDITIVE HOLT-WINTERS (alpha=0.3, beta=0.1, gamma=0.2, m=7) over
+    the daily revenue series — the seasonal member completing the
+    exponential-smoothing family next to Holt's linear trend. State is
+    (level, trend, 7 seasonal offsets); init is the standard first-week
+    mean level, week2-vs-week1 trend, first-week seasonal deviations;
+    the one-step-ahead SSE accumulates alongside. ITERATION-EXACT like
+    holt_linear_daily_revenue: Spark folds the day-sorted array with
+    ``aggregate`` carrying the seasonal ARRAY in the state struct,
+    DuckDB runs the identical arithmetic as a recursive CTE carrying a
+    LIST column — every step's expressions are written in the same
+    literal operand order, so the doubles agree bitwise before the 4dp
+    round.
+
+    Scale: the fact collapses to the bounded day-grain series first;
+    only that ~|days| array is folded. For MANY series, the same fold
+    runs per key via groupBy(series).agg(aggregate(...))."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    arr = d.agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("a")
+    ).select(F.expr("transform(a, z -> cast(z.cents as double))").alias("xs"))
+    sum7 = "aggregate(slice(xs, {o}, 7), cast(0.0 as double), (a, v) -> a + v)"
+    l0 = sum7.format(o=1) + " / 7"
+    b0 = f"({sum7.format(o=8)} / 7 - {sum7.format(o=1)} / 7) / 7"
+    st = arr.select(
+        F.size("xs").alias("n"),
+        F.expr(
+            f"""
+aggregate(
+  slice(xs, 8, size(xs) - 7),
+  named_struct(
+    'l', {l0},
+    'b', {b0},
+    'seas', transform(slice(xs, 1, 7), v -> v - {l0}),
+    'sse', cast(0.0 as double)),
+  (st, x) -> named_struct(
+    'l', 0.3 * (x - st.seas[0]) + 0.7 * (st.l + st.b),
+    'b', 0.1 * ((0.3 * (x - st.seas[0]) + 0.7 * (st.l + st.b)) - st.l)
+           + 0.9 * st.b,
+    'seas', concat(slice(st.seas, 2, 6),
+        array(0.2 * (x - (0.3 * (x - st.seas[0]) + 0.7 * (st.l + st.b)))
+                + 0.8 * st.seas[0])),
+    'sse', st.sse + (x - (st.l + st.b + st.seas[0]))
+                  * (x - (st.l + st.b + st.seas[0]))),
+  st -> st)
+"""
+        ).alias("h"),
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("h.l") / 100, 4).alias("level"),
+        F.round(F.col("h.b") / 100, 4).alias("trend"),
+        F.round(F.expr("h.seas[0]") / 100, 4).alias("next_seasonal"),
+        F.round(
+            (F.col("h.l") + F.col("h.b") + F.expr("h.seas[0]")) / 100, 4
+        ).alias("forecast_next"),
+        F.round(
+            F.sqrt(F.col("h.sse") / (F.col("n") - 7)) / 100, 4
+        ).alias("rmse_1step"),
+    )

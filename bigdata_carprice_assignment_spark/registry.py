@@ -122,6 +122,7 @@ PRIORITY: tuple[str, ...] = (
     "streaming_sliding_rollup_replay",
     "carprice_body_profile_normalized",
     "carprice_standardized_stats",
+    "holt_winters_weekly_daily_revenue",
     "ams_f2_sketch_check",
     "minhash_estimate_calibration",
     "bm25_tfidf_rank_overlap",

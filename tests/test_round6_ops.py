@@ -422,3 +422,37 @@ def test_standardized_stats_matches_numpy(spark):
         assert abs(got[c]["min_scaled"] - Z[:, j].min()) < 1e-4
         assert abs(got[c]["max_scaled"] - Z[:, j].max()) < 1e-4
         assert abs(got[c]["mean_abs_scaled"] - np.abs(Z[:, j]).mean()) < 1e-4
+
+
+def test_holt_winters_matches_python(spark):
+    import math
+
+    from .test_round5b_ops import _daily_cents
+
+    rows = _daily_cents(spark)
+    xs = [float(r["cents"]) for r in rows]
+    m = 7
+    l = sum(xs[:m]) / m
+    b = (sum(xs[m : 2 * m]) / m - sum(xs[:m]) / m) / m
+    seas = [x - l for x in xs[:m]]
+    sse = 0.0
+    for x in xs[m:]:
+        fc = l + b + seas[0]
+        sse += (x - fc) ** 2
+        l_new = 0.3 * (x - seas[0]) + 0.7 * (l + b)
+        b = 0.1 * (l_new - l) + 0.9 * b
+        seas = seas[1:] + [0.2 * (x - l_new) + 0.8 * seas[0]]
+        l = l_new
+    got = registry.QUERIES["holt_winters_weekly_daily_revenue"](
+        spark, SF
+    ).collect()[0]
+    assert got["n_days"] == len(xs)
+    assert abs(got["level"] - l / 100) < 1e-3
+    assert abs(got["trend"] - b / 100) < 1e-3
+    assert abs(got["next_seasonal"] - seas[0] / 100) < 1e-3
+    assert abs(got["forecast_next"] - (l + b + seas[0]) / 100) < 1e-3
+    assert (
+        abs(got["rmse_1step"] - math.sqrt(sse / (len(xs) - m)) / 100) < 1e-3
+    )
+    # the seasonal model must beat no worse than... sanity: rmse finite, >0
+    assert got["rmse_1step"] > 0
