@@ -298,6 +298,25 @@ HEADLINE: list[str] = [
     "standardized_urgent_rate_by_segment",
     "mean_excess_over_thresholds",
     "seasonal_naive_backtest",
+    # round-6 additions: ANN adaptive gates, the streaming replay family,
+    # graph traversal/structure, skyline, attribution, retrieval fusion,
+    # corpus importance weighting, seasonal smoothing
+    "srp_knn_join_adaptive_gate",
+    "ivf_knn_join_adaptive_gate",
+    "streaming_dedup_hourly_replay",
+    "streaming_sessionization_replay",
+    "streaming_attribution_replay",
+    "streaming_stateful_totals_replay",
+    "streaming_sliding_rollup_replay",
+    "copurchase_kcore_peel_trace",
+    "copurchase_bfs_hop_histogram",
+    "copurchase_clustering_coeff_hist",
+    "part_skyline_pareto",
+    "position_weighted_attribution",
+    "ann_knn_label_vote",
+    "dsir_importance_weights",
+    "rrf_fused_retrieval_top10",
+    "holt_winters_weekly_daily_revenue",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -52,8 +52,11 @@ PRIORITY: tuple[str, ...] = (
     # applyInPandasWithState custom stateful totals), and the k-core
     # peel trace. All locally hash-green at sf0.001/0.01
     # (tests/test_oracle_queries.py); this window takes cumulative
-    # oracle-checked from 220/289 (76%) to 270/293 (92%) — above the
-    # round-5 ask's 85% bar. The three ADVICE-fixed queries
+    # oracle-checked from 241 to 291 distinct queries — 270 of the 304
+    # currently-oracle-backed (89%), above the round-5 ask's 85% bar;
+    # the 34 not yet checked (23 r5-backlog + 11 new-this-round) ALL sit
+    # in positions 51-100, so the round-7 window clears the backlog
+    # completely. The three ADVICE-fixed queries
     # (chow/diff-in-diff midpoint, randomization-test decimal) are all
     # inside this window so the fixes get the hard check.
     "srp_knn_join_adaptive_gate",
