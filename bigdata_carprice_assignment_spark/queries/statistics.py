@@ -3507,3 +3507,150 @@ def standardized_urgent_rate_by_segment(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("seg")
     )
+
+
+@query(
+    "nn_matching_att_urgent_lag",
+    oracle="""
+WITH lag_out AS (
+  SELECT o.o_orderkey,
+         avg(datediff('day', o.o_orderdate, l.l_shipdate)) AS ship_lag
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey
+),
+f AS (
+  SELECT date_trunc('month', o.o_orderdate) AS mon,
+         o.o_totalprice AS price,
+         o.o_orderkey AS k,
+         o.o_orderpriority = '1-URGENT' AS treated,
+         g.ship_lag
+  FROM orders o JOIN lag_out g ON o.o_orderkey = g.o_orderkey
+  WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+w AS (
+  SELECT *,
+         last_value(CASE WHEN NOT treated THEN price END IGNORE NULLS)
+           OVER (PARTITION BY mon ORDER BY price, k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp,
+         last_value(CASE WHEN NOT treated THEN ship_lag END IGNORE NULLS)
+           OVER (PARTITION BY mon ORDER BY price, k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS po,
+         first_value(CASE WHEN NOT treated THEN price END IGNORE NULLS)
+           OVER (PARTITION BY mon ORDER BY price, k
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np,
+         first_value(CASE WHEN NOT treated THEN ship_lag END IGNORE NULLS)
+           OVER (PARTITION BY mon ORDER BY price, k
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS no_
+  FROM f
+),
+m AS (
+  SELECT treated, ship_lag,
+         CASE WHEN pp IS NULL AND np IS NULL THEN NULL
+              WHEN np IS NULL THEN price - pp
+              WHEN pp IS NULL THEN np - price
+              WHEN price - pp <= np - price THEN price - pp
+              ELSE np - price END AS gap,
+         CASE WHEN pp IS NULL AND np IS NULL THEN NULL
+              WHEN np IS NULL THEN po
+              WHEN pp IS NULL THEN no_
+              WHEN price - pp <= np - price THEN po
+              ELSE no_ END AS m_out
+  FROM w WHERE treated
+)
+SELECT count(*) AS n_treated,
+       count(*) FILTER (gap IS NOT NULL AND gap <= 500.0) AS n_matched,
+       round(avg(ship_lag - m_out)
+             FILTER (gap IS NOT NULL AND gap <= 500.0), 6) AS att_ship_lag_days,
+       round(avg(gap) FILTER (gap IS NOT NULL AND gap <= 500.0), 4)
+         AS avg_price_gap
+FROM m
+""",
+)
+def nn_matching_att_urgent_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-NEIGHBOR MATCHING estimator (the propensity-matching
+    primitive, with the order's total price as the scalar matching
+    score): every URGENT order is matched, within its order-month block,
+    to the nearest 5-LOW order by total price (with replacement, caliper
+    500), and the ATT on the order's mean ship lag is the matched-pair
+    mean difference. Completes the causal family next to
+    diff_in_diff_building_vs_auto, cuped_variance_reduction, and
+    standardized_urgent_rate_by_segment.
+
+    The matching join is NOT all-pairs: within each month block the rows
+    are sorted once by (price, orderkey) and each treated row's nearest
+    control is provably one of (last control before, first control
+    after) — two IGNORE-NULLS window lookups, the sorted-merge shape of
+    asof_join_backward. At 100 TB the month block is the partition key;
+    no task ever sees more than a month.
+
+    Exactness: prices are the same parquet doubles, so gap arithmetic
+    and the <= tie-break (prefer the earlier neighbor) are
+    bit-deterministic; ship lags are integer day averages; one rounded
+    mean per output."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lag_out = (
+        orders.select("o_orderkey", "o_orderdate")
+        .join(li.select("l_orderkey", "l_shipdate"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.avg(F.datediff("l_shipdate", "o_orderdate")).alias("ship_lag"))
+    )
+    f = (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(lag_out, "o_orderkey")
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_orderpriority") == "1-URGENT").alias("treated"),
+            "ship_lag",
+        )
+    )
+    wb = Window.partitionBy("mon").orderBy("price", "k")
+    before = wb.rowsBetween(Window.unboundedPreceding, -1)
+    after = wb.rowsBetween(1, Window.unboundedFollowing)
+    ctrl = ~F.col("treated")
+    w = f.select(
+        "treated",
+        "price",
+        "ship_lag",
+        F.last(F.when(ctrl, F.col("price")), ignorenulls=True)
+        .over(before)
+        .alias("pp"),
+        F.last(F.when(ctrl, F.col("ship_lag")), ignorenulls=True)
+        .over(before)
+        .alias("po"),
+        F.first(F.when(ctrl, F.col("price")), ignorenulls=True)
+        .over(after)
+        .alias("np"),
+        F.first(F.when(ctrl, F.col("ship_lag")), ignorenulls=True)
+        .over(after)
+        .alias("no"),
+    ).filter("treated")
+    take_prev = (F.col("np").isNull()) | (
+        F.col("pp").isNotNull()
+        & (F.col("price") - F.col("pp") <= F.col("np") - F.col("price"))
+    )
+    gap = (
+        F.when(F.col("pp").isNull() & F.col("np").isNull(), F.lit(None))
+        .when(take_prev, F.col("price") - F.col("pp"))
+        .otherwise(F.col("np") - F.col("price"))
+    )
+    m_out = (
+        F.when(F.col("pp").isNull() & F.col("np").isNull(), F.lit(None))
+        .when(take_prev, F.col("po"))
+        .otherwise(F.col("no"))
+    )
+    m = w.select("ship_lag", gap.alias("gap"), m_out.alias("m_out"))
+    ok = F.col("gap").isNotNull() & (F.col("gap") <= 500.0)
+    return m.agg(
+        F.count(F.lit(1)).alias("n_treated"),
+        F.sum(ok.cast("long")).alias("n_matched"),
+        F.round(
+            F.avg(F.when(ok, F.col("ship_lag") - F.col("m_out"))), 6
+        ).alias("att_ship_lag_days"),
+        F.round(F.avg(F.when(ok, F.col("gap"))), 4).alias("avg_price_gap"),
+    )

@@ -126,6 +126,7 @@ PRIORITY: tuple[str, ...] = (
     "carprice_body_profile_normalized",
     "carprice_standardized_stats",
     "holt_winters_weekly_daily_revenue",
+    "nn_matching_att_urgent_lag",
     "ams_f2_sketch_check",
     "minhash_estimate_calibration",
     "bm25_tfidf_rank_overlap",

@@ -456,3 +456,73 @@ def test_holt_winters_matches_python(spark):
     )
     # the seasonal model must beat no worse than... sanity: rmse finite, >0
     assert got["rmse_1step"] > 0
+
+
+def test_nn_matching_att_matches_python(spark):
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    orders = {
+        r["o_orderkey"]: r
+        for r in load_table(spark, SF, "orders").collect()
+    }
+    def _day(d):
+        return d.date() if hasattr(d, "hour") else d
+
+    lags = defaultdict(list)
+    for r in load_table(spark, SF, "lineitem").collect():
+        o = orders.get(r["l_orderkey"])
+        if o is not None:
+            lags[r["l_orderkey"]].append(
+                (_day(r["l_shipdate"]) - _day(o["o_orderdate"])).days
+            )
+    rows = []
+    for k, o in orders.items():
+        if o["o_orderpriority"] not in ("1-URGENT", "5-LOW") or k not in lags:
+            continue
+        mon = (o["o_orderdate"].year, o["o_orderdate"].month)
+        rows.append(
+            (
+                mon,
+                float(o["o_totalprice"]),
+                k,
+                o["o_orderpriority"] == "1-URGENT",
+                sum(lags[k]) / len(lags[k]),
+            )
+        )
+    by_mon = defaultdict(list)
+    for r in rows:
+        by_mon[r[0]].append(r)
+    n_treated = n_matched = 0
+    att, gaps = [], []
+    for mon, rs in by_mon.items():
+        rs.sort(key=lambda r: (r[1], r[2]))
+        for i, (mo, price, k, treated, out) in enumerate(rs):
+            if not treated:
+                continue
+            n_treated += 1
+            prev = next_ = None
+            for j in range(i - 1, -1, -1):
+                if not rs[j][3]:
+                    prev = rs[j]
+                    break
+            for j in range(i + 1, len(rs)):
+                if not rs[j][3]:
+                    next_ = rs[j]
+                    break
+            if prev is None and next_ is None:
+                continue
+            if next_ is None or (
+                prev is not None and price - prev[1] <= next_[1] - price
+            ):
+                gap, m_out = price - prev[1], prev[4]
+            else:
+                gap, m_out = next_[1] - price, next_[4]
+            if gap <= 500.0:
+                n_matched += 1
+                att.append(out - m_out)
+                gaps.append(gap)
+    got = registry.QUERIES["nn_matching_att_urgent_lag"](spark, SF).collect()[0]
+    assert got["n_treated"] == n_treated
+    assert got["n_matched"] == n_matched
+    assert abs(got["att_ship_lag_days"] - sum(att) / len(att)) < 1e-5
+    assert abs(got["avg_price_gap"] - sum(gaps) / len(gaps)) < 1e-3
