@@ -317,6 +317,7 @@ HEADLINE: list[str] = [
     "dsir_importance_weights",
     "rrf_fused_retrieval_top10",
     "holt_winters_weekly_daily_revenue",
+    "nn_matching_att_urgent_lag",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -1512,44 +1512,53 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reported per source: how strongly would importance resampling pull
     each slice toward the target domain.
 
-    Scale: one explode -> hash-agg to 256 bucket counts, the 256-row
-    log-ratio table broadcast back onto the token stream, one grouped
-    sum per doc, one rollup per source. No joins on anything larger
-    than the token stream; state is 256 doubles.
+    Scale: one explode -> hash-agg to the 256 bucket counts (map-side
+    combined), then the 256-entry log-ratio table ships back as an
+    ARRAY LITERAL (a bounded driver round-trip, like the IQR caps) and
+    every document folds its OWN token array against it JVM-side —
+    the per-doc weighting never shuffles the token stream and never
+    joins; the only exchange after the counts is the per-source rollup.
 
     Exactness: bucket counts are exact integers (engine-shared md5
-    hash), each log-ratio is IEEE-deterministic; per-doc/group sums
-    reorder only ~1e-13-noise terms under the 6dp rounding (same
-    argument as source_unigram_kl)."""
+    hash), each log-ratio is IEEE-deterministic and computed ONCE (both
+    engines then sum the same 256 distinct doubles, Spark in array
+    order, DuckDB in group order — ~1e-13 reorder noise under the 6dp
+    rounding, same argument as source_unigram_kl)."""
     from .llmdata import _doc_norm_tokens
 
-    feat = (
-        _doc_norm_tokens(spark, sf_dir)
-        .select("doc_id", "source", F.explode("toks").alias("t"))
-        .filter(F.col("t") != "")
-        .select(
-            "doc_id", "source", (TX.portable_hash60(F.col("t")) % 256).alias("b")
-        )
-    )
+    docs = _doc_norm_tokens(spark, sf_dir)
+    bucket = lambda c: TX.portable_hash60(c) % 256  # noqa: E731
+    feat = docs.select(
+        "source", F.explode("toks").alias("t")
+    ).filter(F.col("t") != "").select("source", bucket(F.col("t")).alias("b"))
     cb = feat.groupBy("b").agg(
         F.sum((F.col("source") == "src0").cast("long")).alias("ct"),
         F.count(F.lit(1)).alias("cr"),
     )
-    tot = cb.agg(
-        F.sum("ct").cast("long").alias("nt"), F.sum("cr").cast("long").alias("nr")
-    )
-    lr = cb.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.log(
-            ((F.col("ct") + 1).cast("double") / (F.col("nt") + 256))
-            / ((F.col("cr") + 1).cast("double") / (F.col("nr") + 256))
-        ).alias("logratio"),
-    )
-    w = (
-        feat.join(F.broadcast(lr), "b")
-        .groupBy("doc_id", "source")
-        .agg(F.sum("logratio").alias("w"), F.count(F.lit(1)).alias("n_toks"))
-    )
+    rows = cb.collect()  # bounded: <= 256 rows
+    nt = sum(r["ct"] for r in rows)
+    nr = sum(r["cr"] for r in rows)
+    import math
+
+    lr = [0.0] * 256
+    for r in rows:
+        lr[r["b"]] = math.log(
+            ((r["ct"] + 1) / (nt + 256)) / ((r["cr"] + 1) / (nr + 256))
+        )
+    lr_arr = F.array(*[F.lit(v) for v in lr])
+    toks_ne = F.filter(F.col("toks"), lambda t: t != "")
+    w = docs.select(
+        "source",
+        F.size(toks_ne).alias("n_toks"),
+        F.aggregate(
+            F.transform(
+                toks_ne,
+                lambda t: F.element_at(lr_arr, (bucket(t) + 1).cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("w"),
+    ).filter(F.col("n_toks") > 0)
     return (
         w.groupBy("source")
         .agg(
