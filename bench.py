@@ -318,6 +318,8 @@ HEADLINE: list[str] = [
     "rrf_fused_retrieval_top10",
     "holt_winters_weekly_daily_revenue",
     "nn_matching_att_urgent_lag",
+    "session_event_trigrams_top",
+    "order_value_qq_period_drift",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -2109,3 +2109,164 @@ def streaming_sliding_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFra
         rolled, f"stream_slide_{_STREAM_REPLAY_SEQ[0]}", output_mode="complete"
     )
     return out.orderBy("window_start")
+
+
+@query(
+    "session_event_trigrams_top",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+tri AS (
+  SELECT event_type
+           || '>' || lead(event_type, 1) OVER w
+           || '>' || lead(event_type, 2) OVER w AS trigram,
+         sid,
+         lead(sid, 2) OVER w AS sid2
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT trigram, count(*) AS n
+FROM tri WHERE sid2 = sid
+GROUP BY trigram ORDER BY n DESC, trigram LIMIT 10
+""",
+)
+def session_event_trigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL-PATTERN mining lite (the PrefixSpan use case at fixed
+    length): the 10 most frequent within-session event-type TRIGRAMS —
+    sessions are the standard 30-minute lag-gap cut, consecutive-triple
+    patterns taken only when all three events share a session. The
+    event-path primitive one level above the Markov transition matrix
+    (event_transition_counts): which three-step journeys dominate.
+
+    Scale: two window passes over the same (user_id, ts, event_id)
+    partitioning (sessionize, then lead-2) — one shuffle total; the
+    trigram rollup is a hash aggregate on a small key space; top-10 is
+    a TakeOrdered. Exact integer counts, total-order ties."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap_us = us(F.col("ts")) - us(F.lag("ts").over(w))
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(
+            F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    tri = sess.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("trigram"),
+        F.col("sid"),
+        F.lead("sid", 2).over(w).alias("sid2"),
+        F.lead("event_type", 2).over(w).alias("_e3"),
+    )
+    return (
+        tri.filter(F.col("sid2") == F.col("sid"))
+        .filter(F.col("_e3").isNotNull())
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(10)
+    )
+
+
+@query(
+    "order_value_qq_period_drift",
+    oracle="""
+WITH b AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderdate < (SELECT min(o_orderdate)
+                                  + to_days((datediff('day', min(o_orderdate),
+                                             max(o_orderdate)) // 2)::INTEGER)
+                                  FROM orders)
+              THEN 'early' ELSE 'late' END AS period
+  FROM orders
+),
+q AS (
+  SELECT period,
+         unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS p,
+         unnest(quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]))
+           AS qv
+  FROM b GROUP BY period
+)
+SELECT e.p AS decile,
+       round(e.qv, 4) AS q_early,
+       round(l.qv, 4) AS q_late,
+       round(l.qv - e.qv, 4) AS qq_gap,
+       round(l.qv / e.qv, 6) AS qq_ratio
+FROM q e JOIN q l ON e.p = l.p AND e.period = 'early' AND l.period = 'late'
+ORDER BY e.p
+""",
+)
+def order_value_qq_period_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile DRIFT table: the order-value distribution of the
+    late half of the date range against the early half, compared at the
+    nine interior deciles (type-7 exact quantiles on both engines) — the
+    distribution-shift diagnostic that localizes WHERE a drift lives
+    (tails vs body), complementing the scalar PSI readout
+    (order_value_psi_drift).
+
+    Scale: the period split is one broadcast scalar comparison; each
+    side's deciles come from the grouped exact percentile (day-agnostic
+    value column, single-buffer at bench SF — swap in the distributed
+    range-partition path of grouped_distributed_quantiles_check beyond);
+    the final join is 9x9 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    probs = [round(0.1 * i, 1) for i in range(1, 10)]
+    mid = orders.agg(
+        F.date_add(
+            F.min("o_orderdate"),
+            (F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) / 2).cast(
+                "int"
+            ),
+        ).alias("mid")
+    )
+    b = orders.crossJoin(F.broadcast(mid)).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderdate") < F.col("mid"), "early")
+        .otherwise("late")
+        .alias("period"),
+    )
+    q = b.groupBy("period").agg(
+        *[
+            F.expr(f"percentile(v, {p})").alias(f"q_{i}")
+            for i, p in enumerate(probs, 1)
+        ]
+    )
+    e = q.filter(F.col("period") == "early")
+    late = q.filter(F.col("period") == "late")
+    rows = None
+    for i, p in enumerate(probs, 1):
+        r = e.crossJoin(F.broadcast(late.select(F.col(f"q_{i}").alias("_ql")))).select(
+            F.lit(p).alias("decile"),
+            F.round(F.col(f"q_{i}"), 4).alias("q_early"),
+            F.round(F.col("_ql"), 4).alias("q_late"),
+            F.round(F.col("_ql") - F.col(f"q_{i}"), 4).alias("qq_gap"),
+            F.round(F.col("_ql") / F.col(f"q_{i}"), 6).alias("qq_ratio"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("decile")

@@ -127,6 +127,8 @@ PRIORITY: tuple[str, ...] = (
     "carprice_standardized_stats",
     "holt_winters_weekly_daily_revenue",
     "nn_matching_att_urgent_lag",
+    "session_event_trigrams_top",
+    "order_value_qq_period_drift",
     "ams_f2_sketch_check",
     "minhash_estimate_calibration",
     "bm25_tfidf_rank_overlap",

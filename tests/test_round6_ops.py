@@ -526,3 +526,62 @@ def test_nn_matching_att_matches_python(spark):
     assert got["n_matched"] == n_matched
     assert abs(got["att_ship_lag_days"] - sum(att) / len(att)) < 1e-5
     assert abs(got["avg_price_gap"] - sum(gaps) / len(gaps)) < 1e-3
+
+
+def test_session_trigrams_match_python(spark):
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    ev = sorted(
+        load_table(spark, SF, "events").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    tri = Counter()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    for rows in by_user.values():
+        sid = 0
+        sids = []
+        for i, r in enumerate(rows):
+            if i == 0 or (r["ts"] - rows[i - 1]["ts"]).total_seconds() > 1800:
+                sid += 1
+            sids.append(sid)
+        for i in range(len(rows) - 2):
+            if sids[i] == sids[i + 2]:
+                tri[
+                    ">".join(
+                        rows[i + j]["event_type"] for j in range(3)
+                    )
+                ] += 1
+    want = sorted(tri.items(), key=lambda t: (-t[1], t[0]))[:10]
+    got = [
+        (r["trigram"], r["n"])
+        for r in registry.QUERIES["session_event_trigrams_top"](
+            spark, SF
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_qq_period_drift_matches_numpy(spark):
+    from bigdata_carprice_assignment_spark.sources.readers import load_table
+
+    rows = load_table(spark, SF, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    days = [r["o_orderdate"] for r in rows]
+    mid_days = (max(days) - min(days)).days // 2
+    import datetime
+
+    mid = min(days) + datetime.timedelta(days=mid_days)
+    early = sorted(float(r["o_totalprice"]) for r in rows if r["o_orderdate"] < mid)
+    late = sorted(float(r["o_totalprice"]) for r in rows if r["o_orderdate"] >= mid)
+    got = registry.QUERIES["order_value_qq_period_drift"](spark, SF).collect()
+    assert len(got) == 9
+    for r in got:
+        p = r["decile"]
+        qe = float(np.quantile(np.array(early), p, method="linear"))
+        ql = float(np.quantile(np.array(late), p, method="linear"))
+        assert abs(r["q_early"] - qe) < 1e-2
+        assert abs(r["q_late"] - ql) < 1e-2
+        assert abs(r["qq_gap"] - (ql - qe)) < 2e-2
