@@ -235,6 +235,60 @@ def carprice_ml_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# F9 un-one-hot: flag-column → brand label mapping over the ML matrix's
+# 27 dummy columns (fullRank drops 'alfa-romero', which the reverse maps
+# to the 'Unknown' default — exactly associationRules.R:54-69's loop
+# semantics). The uppercase 'Nissan' factor level rides the
+# brand_Nissan_uc alias from carprice_ml_matrix on both sides.
+_UNONEHOT_FLAGS: dict[str, str] = {
+    **{
+        f"brand_{b}": b
+        for b in (
+            "audi", "bmw", "buick", "chevrolet", "dodge", "honda", "isuzu",
+            "jaguar", "maxda", "mazda", "mercury", "mitsubishi", "nissan",
+            "peugeot", "plymouth", "porcshce", "porsche", "renault", "saab",
+            "subaru", "toyota", "toyouta", "vokswagen", "volkswagen",
+            "volvo", "vw",
+        )
+    },
+    "brand_Nissan_uc": "Nissan",
+}
+
+_UNONEHOT_ORACLE = (
+    "WITH ml AS (\n"
+    + _ML_ORACLE
+    + "\n),\nr AS (\n  SELECT CASE\n"
+    + "\n".join(
+        f"    WHEN \"{flag}\" = 1.0 THEN '{label}'"
+        for flag, label in _UNONEHOT_FLAGS.items()
+    )
+    + "\n    ELSE 'Unknown' END AS brand_recovered, price\n  FROM ml\n)\n"
+    + "SELECT brand_recovered, count(*)::BIGINT AS n_cars,\n"
+    + "       round(avg(price), 4) AS avg_price\nFROM r GROUP BY 1"
+)
+
+
+@query("carprice_un_onehot_replay", oracle=_UNONEHOT_ORACLE)
+def carprice_un_onehot_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 exact-form check: reverse the one-hot ML matrix back to the
+    brand label with the single coalesce/when projection
+    (``functions.scalars.un_onehot``, associationRules.R:54-69 — the
+    reference does this with a per-row loop) and aggregate count +
+    winsorized mean price per recovered brand. The oracle replays the
+    same reverse over the same SQL one-hot replay, so the driver hash
+    pins the full one-hot → un-one-hot round trip cell-exactly.
+
+    Scale: one projection + one hash aggregate to |brands| rows."""
+    from ..functions.scalars import un_onehot
+
+    ml = carprice_ml_matrix(spark, sf_dir)
+    rec = ml.select(un_onehot(_UNONEHOT_FLAGS).alias("brand_recovered"), "price")
+    return rec.groupBy("brand_recovered").agg(
+        F.count(F.lit(1)).alias("n_cars"),
+        F.round(F.avg("price"), 4).alias("avg_price"),
+    )
+
+
 @query("carprice_model_metrics")
 def carprice_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3-M6 regression battery: lm/tree/rf on log_price, metrics on the

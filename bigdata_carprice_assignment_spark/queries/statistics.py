@@ -2546,6 +2546,252 @@ def ams_f2_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- HyperLogLog (Flajolet et al. 2007), mechanism-exact and
+# engine-portable: p=8 → m=256 registers over the shared 60-bit md5
+# hash. bucket = top 8 bits; rho = leading-zero count of the remaining
+# 52 bits + 1, computed EXACTLY via the minimal-width binary string
+# (Spark bin == DuckDB bin — no floating log2). The register fold keeps
+# the harmonic sum as an INTEGER: sum(2^(53-M_b)) + absent·2^53 (each
+# term ≤ 2^53, 256 terms < 2^62 — no float order-of-addition hazard);
+# only the final alpha·m²·2^53/S division and the small-range
+# m·ln(m/V) correction touch doubles, identically on both sides.
+_HLL_MASK = (1 << 52) - 1  # 4503599627370495
+_HLL_2_53 = 1 << 53  # 9007199254740992
+
+
+def _hll_oracle_block(i: int, expr: str, raw: str, label: str) -> str:
+    return f"""h_{i} AS (
+  SELECT ('0x' || substr(md5('hll:' || {expr}), 1, 15))::BIGINT AS h
+  FROM orders
+),
+r_{i} AS (
+  SELECT h >> 52 AS b,
+         max(CASE WHEN (h & {_HLL_MASK}) = 0 THEN 53
+                  ELSE 53 - length(bin(h & {_HLL_MASK})) END) AS m
+  FROM h_{i} GROUP BY 1
+),
+s_{i} AS (
+  SELECT (sum(1::BIGINT << (53 - m)) + (256 - count(*)) * {_HLL_2_53})::BIGINT AS s,
+         (256 - count(*))::BIGINT AS v
+  FROM r_{i}
+),
+x_{i} AS (SELECT count(DISTINCT {raw})::BIGINT AS exact FROM orders),
+e_{i} AS (
+  SELECT '{label}' AS key, x.exact AS exact_distinct,
+         (256 - s.v)::BIGINT AS registers_hit,
+         round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+                         * {_HLL_2_53}.0 / CAST(s.s AS DOUBLE) <= 640.0
+                         AND s.v > 0
+                    THEN 256.0 * ln(256.0 / CAST(s.v AS DOUBLE))
+                    ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+                         * {_HLL_2_53}.0 / CAST(s.s AS DOUBLE) END,
+               4) AS hll_estimate
+  FROM s_{i} s, x_{i} x
+)"""
+
+
+_HLL_KEYS = [
+    ("o_orderkey::VARCHAR", "o_orderkey", "orderkey"),
+    ("o_custkey::VARCHAR", "o_custkey", "custkey"),
+    ("o_orderpriority", "o_orderpriority", "orderpriority"),
+]
+
+_HLL_ORACLE = (
+    "WITH "
+    + ",\n".join(
+        _hll_oracle_block(i, expr, raw, label)
+        for i, (expr, raw, label) in enumerate(_HLL_KEYS)
+    )
+    + "\nSELECT key, exact_distinct, registers_hit, hll_estimate,\n"
+    + "       round(abs(hll_estimate - exact_distinct)"
+    + " / CAST(exact_distinct AS DOUBLE), 4) AS rel_error\n"
+    + "FROM (SELECT * FROM e_0 UNION ALL SELECT * FROM e_1"
+    + " UNION ALL SELECT * FROM e_2)"
+)
+
+
+@query("hll_distinct_calibration", oracle=_HLL_ORACLE)
+def hll_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog count-distinct sketch (Flajolet–Fuchs–Gandouet–Meunier
+    2007), mechanism-exact over three orders keys spanning both regimes:
+    orderkey (raw-estimate path), custkey (mid cardinality) and
+    orderpriority (5 distinct — exercises the V>0 small-range linear
+    counting correction). Registers fold to ONE integer harmonic sum so
+    the estimate is bit-identical across engines; reported against the
+    exact distinct count with relative error — the sketch-calibration
+    gate pattern of ``ams_f2_sketch_check``/``minhash_estimate_calibration``.
+
+    Scale: the whole sketch is a 256-row state per key — at 100 TB this
+    is the count-distinct that replaces a full-key shuffle (and unlike
+    ``approx_count_distinct`` it is engine-replayable, so the estimate
+    itself is auditable)."""
+    from ..llm.text import portable_hash60
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def one(expr: F.Column, raw: str, label: str) -> DataFrame:
+        h = portable_hash60(F.concat(F.lit("hll:"), expr))
+        rem = F.col("h").bitwiseAND(F.lit(_HLL_MASK))
+        regs = (
+            orders.select(h.alias("h"))
+            .select(
+                F.shiftright("h", 52).alias("b"),
+                F.when(rem == 0, F.lit(53))
+                .otherwise(F.lit(53) - F.length(F.bin(rem)))
+                .alias("rho"),
+            )
+            .groupBy("b")
+            .agg(F.max("rho").alias("m"))
+        )
+        s = regs.agg(
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m)"))
+                + (F.lit(256) - F.count(F.lit(1))) * F.lit(_HLL_2_53)
+            )
+            .cast("long")
+            .alias("s"),
+            (F.lit(256) - F.count(F.lit(1))).cast("long").alias("v"),
+        )
+        x = orders.agg(F.countDistinct(raw).cast("long").alias("exact"))
+        e = s.crossJoin(x)  # both sides are single rows
+        rawest = (
+            F.lit(0.7213)
+            / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+            * F.lit(65536.0)
+            * F.lit(float(_HLL_2_53))
+            / F.col("s").cast("double")
+        )
+        est = F.round(
+            F.when(
+                (rawest <= 640.0) & (F.col("v") > 0),
+                F.lit(256.0) * F.log(F.lit(256.0) / F.col("v").cast("double")),
+            ).otherwise(rawest),
+            4,
+        )
+        return e.select(
+            F.lit(label).alias("key"),
+            F.col("exact").alias("exact_distinct"),
+            (F.lit(256) - F.col("v")).cast("long").alias("registers_hit"),
+            est.alias("hll_estimate"),
+        )
+
+    parts = [
+        one(F.col(raw).cast("string"), raw, label)
+        for _expr, raw, label in _HLL_KEYS
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return u.select(
+        "key",
+        "exact_distinct",
+        "registers_hit",
+        "hll_estimate",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct").cast("double"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+# ---- Count-Min sketch (Cormode–Muthukrishnan 2005), mechanism-exact:
+# d=4 independent md5-salted hash rows × w=256 buckets; every cell is an
+# exact integer row count, the point estimate is the min over the 4
+# cells a key lands in (always ≥ the true count). Calibrated against
+# the exact top-10 heavy hitters from the same frequency table.
+_CM_D, _CM_W = 4, 256
+
+
+def _cm_bucket_sql(r: int, key: str) -> str:
+    return f"('0x' || substr(md5('cm{r}:' || {key}), 1, 15))::BIGINT & {_CM_W - 1}"
+
+
+_CM_ORACLE = (
+    "WITH cells AS (\n"
+    "  SELECT r, b, count(*)::BIGINT AS c FROM (\n"
+    f"    SELECT unnest([{', '.join(str(r) for r in range(_CM_D))}]) AS r,\n"
+    "           unnest(["
+    + ", ".join(_cm_bucket_sql(r, "l_partkey::VARCHAR") for r in range(_CM_D))
+    + "]) AS b\n    FROM lineitem\n  ) GROUP BY 1, 2\n"
+    "),\n"
+    "top AS (\n"
+    "  SELECT l_partkey AS k, count(*)::BIGINT AS exact FROM lineitem\n"
+    "  GROUP BY 1 ORDER BY exact DESC, k ASC LIMIT 10\n"
+    "),\n"
+    "tq AS (\n"
+    f"  SELECT k, exact, unnest([{', '.join(str(r) for r in range(_CM_D))}]) AS r,\n"
+    "         unnest(["
+    + ", ".join(_cm_bucket_sql(r, "k::VARCHAR") for r in range(_CM_D))
+    + "]) AS b\n  FROM top\n)\n"
+    "SELECT tq.k AS l_partkey, tq.exact AS exact_count,\n"
+    "       min(c.c)::BIGINT AS cm_estimate,\n"
+    "       (min(c.c) - tq.exact)::BIGINT AS overestimate\n"
+    "FROM tq JOIN cells c ON c.r = tq.r AND c.b = tq.b\n"
+    "GROUP BY 1, 2"
+)
+
+
+@query("countmin_heavy_hitters_check", oracle=_CM_ORACLE)
+def countmin_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode–Muthukrishnan 2005) frequency estimates
+    for the exact top-10 part keys: d=4 salted portable hashes × w=256
+    buckets, estimate = min over the key's 4 cells. All-integer, so the
+    driver hash pins the sketch mechanism bit-exactly (the overestimate
+    column shows the one-sided collision error the ε=e/w bound promises).
+
+    Scale: the sketch is a FIXED 1024-cell state built by one map-side
+    partial aggregate — at 100 TB this answers point-frequency /
+    heavy-hitter queries without materializing the full key frequency
+    table (the exact side here is only the calibration ground truth)."""
+    from ..llm.text import portable_hash60
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def buckets(key: F.Column) -> F.Column:
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        portable_hash60(
+                            F.concat(F.lit(f"cm{r}:"), key.cast("string"))
+                        )
+                        .bitwiseAND(F.lit(_CM_W - 1))
+                        .alias("b"),
+                    )
+                    for r in range(_CM_D)
+                ]
+            )
+        )
+
+    cells = (
+        li.select(buckets(F.col("l_partkey")).alias("rb"))
+        .select("rb.r", "rb.b")
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        li.groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("k"))
+        .limit(10)
+    )
+    tq = top.select("k", "exact", buckets(F.col("k")).alias("rb")).select(
+        "k", "exact", "rb.r", "rb.b"
+    )
+    # tq is 40 rows — broadcast it against the 1024-cell sketch
+    joined = F.broadcast(tq).join(cells, ["r", "b"])
+    return (
+        joined.groupBy("k", "exact")
+        .agg(F.min("c").alias("cm_estimate"))
+        .select(
+            F.col("k").alias("l_partkey"),
+            F.col("exact").alias("exact_count"),
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact")).alias("overestimate"),
+        )
+    )
+
+
 @query(
     "yuen_trimmed_t_components",
     oracle=r"""

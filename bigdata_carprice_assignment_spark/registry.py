@@ -42,85 +42,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # in r1-r3 (143 checked, all green at last check) are rotated BEHIND the
 # window so never-checked oracle queries get their first hard check.
 PRIORITY: tuple[str, ...] = (
-    # ---- round-6 window head (50): 43 of the 66 oracle-backed queries
-    # never driver-hash-checked in r1-r5 (CORRECTNESS_r01-r05 union) —
-    # the exact-ML family, the time-series/robust-stats diagnostics, and
-    # the round-5 session-2 additions — plus SEVEN new-this-round hard
-    # checks: the adaptive SRP/IVF production-path recall gates, FOUR
-    # Structured Streaming replays (dedup+rollup, session_window
-    # sessionization, stream-stream attribution join, and the
-    # applyInPandasWithState custom stateful totals), and the k-core
-    # peel trace. All locally hash-green at sf0.001/0.01
-    # (tests/test_oracle_queries.py); this window takes cumulative
-    # oracle-checked from 241 to 291 distinct queries — 270 of the 304
-    # currently-oracle-backed (89%), above the round-5 ask's 85% bar;
-    # the 34 not yet checked (23 r5-backlog + 11 new-this-round) ALL sit
-    # in positions 51-100, so the round-7 window clears the backlog
-    # completely. The three ADVICE-fixed queries
-    # (chow/diff-in-diff midpoint, randomization-test decimal) are all
-    # inside this window so the fixes get the hard check.
-    "srp_knn_join_adaptive_gate",
-    "ivf_knn_join_adaptive_gate",
-    "streaming_dedup_hourly_replay",
-    "streaming_sessionization_replay",
-    "streaming_attribution_replay",
-    "streaming_stateful_totals_replay",
-    "copurchase_kcore_peel_trace",
-    "carprice_logit_irls_exact",
-    "carprice_ridge_coefficients_exact",
-    "carprice_top_pca_eigen_exact",
-    "carprice_lda_fisher_exact",
-    "carprice_isotonic_price_by_hp",
-    "carprice_conformal_interval",
-    "carprice_logit_calibration_ece",
-    "carprice_logit_auc_brier",
-    "gaussian_mixture_em_order_values",
-    "poisson_glm_daily_orders",
-    "holt_linear_daily_revenue",
-    "weekly_seasonal_decomposition",
-    "revenue_changepoint_binseg",
-    "revenue_periodicity_folding",
-    "ljung_box_daily_revenue",
-    "jarque_bera_order_values",
-    "yule_walker_ar2_daily_revenue",
-    "chow_break_test_daily_revenue",
-    "diff_in_diff_building_vs_auto",
-    "randomization_test_priority_diff",
-    "daily_orders_overdispersion",
-    "cooks_distance_top_days",
-    "mad_anomaly_days",
-    "huber_regression_daily_revenue",
-    "newey_west_trend_se",
-    "hill_tail_index_order_values",
-    "winsorized_correlation_qty_price",
-    "mean_excess_over_thresholds",
-    "durbin_watson_daily_revenue",
-    "friedman_test_components",
-    "urgent_highvalue_kappa",
-    "priority_status_cramers_v",
-    "yuen_trimmed_t_components",
-    "cohens_d_priority_extremes",
-    "ab_srm_check",
-    "cuped_variance_reduction",
-    "nelson_aalen_cumulative_hazard",
-    "bootstrap_mean_se_order_value",
-    "lineitem_ols_diagnostics",
-    "copurchase_degree_powerlaw",
-    "copurchase_component_sizes",
-    "orc_roundtrip_lineitem_stats",
-    "bpe_first_merges",
-    # ---- positions 51+: the round-7 queue — the 21 backlog queries that
-    # didn't fit this window (all locally hash-green), the four
-    # new-this-session ops (skyline, BFS hop histogram, position-weighted
-    # attribution, kNN label vote), then the three sentinel re-checks of
-    # long-green queries whose shared operators (agg core, broadcast
-    # join, FPGrowth) would carry any systemic regression.
+    # ---- round-7 window head (50): clears the oracle backlog to ZERO.
+    # Positions 1-37: every oracle-backed query never driver-hash-checked
+    # in r1-r6 (CORRECTNESS_r01-r06 union — the staged round-7 queue).
+    # Positions 38-42: the five rows-only queries never driver-run even
+    # for rows>0. Positions 43-45: the three NEW-this-round oracle
+    # queries (F9 un-one-hot exact replay, HyperLogLog calibration,
+    # Count-Min heavy hitters) — registered inside the window so
+    # cumulative oracle-checked stays 100% after this round.
+    # Positions 46-50: five rotated long-green sentinels covering the
+    # shared operator cores (flagship clean pipeline + exact quantiles,
+    # group-count, broadcast join, FPGrowth, exact dedup) so a systemic
+    # regression cannot hide behind a backlog-only window. All 45
+    # oracle-backed entries are locally hash-green at sf0.001 AND sf0.01
+    # (tests/test_oracle_queries.py + tests/driver_mirror.py preflight).
+    "dsir_importance_weights",
+    "rrf_fused_retrieval_top10",
     "part_skyline_pareto",
     "copurchase_bfs_hop_histogram",
     "position_weighted_attribution",
     "ann_knn_label_vote",
-    "dsir_importance_weights",
-    "rrf_fused_retrieval_top10",
     "copurchase_clustering_coeff_hist",
     "streaming_sliding_rollup_replay",
     "carprice_body_profile_normalized",
@@ -152,9 +93,22 @@ PRIORITY: tuple[str, ...] = (
     "standardized_urgent_rate_by_segment",
     "kfold_slope_stability",
     "seasonal_naive_backtest",
-    "pricing_summary_report",
+    # rows-only, never driver-run (rows>0 check + pytest pins):
+    "approx_vs_exact_stats",
+    "carprice_kde_nb_confusion",
+    "carprice_loess_smooth",
+    "hypothesis_suite",
+    "tukey_hsd_priority",
+    # new this round (oracle-backed, inside the window by construction):
+    "carprice_un_onehot_replay",
+    "hll_distinct_calibration",
+    "countmin_heavy_hitters_check",
+    # rotated sentinels (long-green since r1-r2):
+    "carprice_cleaned",
+    "top10_part_brands",
     "region_revenue",
     "fpgrowth_rules",
+    "exact_dedup_documents",
     # ---- everything else: previously driver-hash-green (r1-r5) and
     # rows-only queries keep module registration order (handled by
     # load_all: any registered query not named here follows after).
