@@ -144,11 +144,13 @@ def minhash_band_pairs(
     # pinned (pooled persist), not localCheckpoint: repeated builds on a
     # long-lived session must free the previous generation's blocks.
     banded = pinned(banded, "minhash_banded")
-    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
-    banded = banded.join(
-        sizes.filter(F.col("sz") <= max_bucket).select("band", "bucket"),
-        ["band", "bucket"],
-    )
+    # bucket-size cap via a window count over the SAME (band, bucket)
+    # partitioning the self-join below shuffles on anyway — one exchange
+    # and one plan fewer than the previous groupBy-sizes + join-back form
+    from pyspark.sql import Window
+
+    sz = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    banded = banded.withColumn("_sz", sz).filter(F.col("_sz") <= max_bucket).drop("_sz")
     a = banded.select("band", "bucket", F.col("doc").alias("a"))
     b = banded.select("band", "bucket", F.col("doc").alias("b"))
     return (
@@ -214,10 +216,20 @@ def minhash_dedup(
     bands: int = 8,
     shingle_n: int = 3,
     shingled: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded candidate
-    pairs → exact-Jaccard verify → connected components → canonical id."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingled)
+    pairs → exact-Jaccard verify → connected components → canonical id.
+
+    ``signatures``: an optional precomputed [id_col, signature:array<long>]
+    table of length ``num_hashes`` (e.g. a prefix slice of a pooled wider
+    signature table — the seed scheme is 0..k, so min over seeds i<k is
+    the identical value the k-hash pipeline computes)."""
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingled)
+    )
     pairs = minhash_band_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     verified = jaccard_verify(
         df, pairs, text_col, id_col, threshold, shingle_n, shingled

@@ -267,16 +267,41 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("minhash_near_dup_documents")
 def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup summary over the documents corpus."""
+    """MinHash+LSH near-dup summary over the documents corpus.
+
+    Same pipeline as ``D.minhash_dedup`` (signatures → banded candidates
+    → exact-Jaccard verify → connected components) but the SUMMARY is
+    folded from the component label table directly: labels only exist
+    for docs inside a verified near-dup cluster (≪ corpus by
+    construction — they survived banding AND verification), so joining
+    them back over the full corpus just to count flags re-scans the
+    corpus for nothing. n_near_duplicates = labeled nodes that are not
+    their own component root; n_canonical = n_docs − that."""
+    from ..plans.materialize import pinned, pool_get
+
     docs = load_table(spark, sf_dir, "documents")
-    flagged = D.minhash_dedup(
-        docs, "text", "doc_id", threshold=0.6,
-        shingled=_doc_shingles(spark, sf_dir),
-    )
-    return flagged.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("is_duplicate").cast("long")).alias("n_near_duplicates"),
-        F.countDistinct("canonical_id").alias("n_canonical"),
+    # opportunistic signature reuse: slice the pooled 64-hash table when a
+    # t=0.8-family query already built it (value-identical prefix seeds);
+    # otherwise build the 32-hash signatures directly — forcing the 64
+    # build here would double THIS query's signature cost to subsidize
+    # queries that may never run
+    sh = _doc_shingles(spark, sf_dir)
+    if pool_get(f"doc_sigs64:{sf_dir}", spark) is not None:
+        sigs = _doc_sigs_prefix(spark, sf_dir, 32)
+    else:
+        sigs = D.minhash_signatures(docs, "text", "doc_id", 32, shingled=sh)
+    pairs = D.minhash_band_pairs(sigs, "doc_id", bands=8, num_hashes=32)
+    verified = D.jaccard_verify(docs, pairs, "text", "doc_id", 0.6, shingled=sh)
+    verified = pinned(verified.select("a", "b"), "minhash_near_dup_verified")
+    comp = D.connected_components(verified)
+    n_docs = docs.count()
+    dup = comp.agg(
+        F.sum((F.col("node") != F.col("component")).cast("long")).alias("d")
+    ).first()
+    n_dup = int(dup["d"] or 0)
+    return spark.createDataFrame(
+        [(n_docs, n_dup, n_docs - n_dup)],
+        "n_docs long, n_near_duplicates long, n_canonical long",
     )
 
 
@@ -298,7 +323,7 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over MinHash candidates (candidate→verify)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(spark, sf_dir)
-    sigs = D.minhash_signatures(docs, "text", "doc_id", shingled=sh)
+    sigs = _doc_sigs_prefix(spark, sf_dir, 32)
     pairs = D.minhash_band_pairs(sigs, "doc_id", num_hashes=32)
     verified = D.jaccard_verify(
         docs, pairs, "text", "doc_id", threshold=0.5, shingled=sh
@@ -543,6 +568,36 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_sigs64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-hash MinHash signature table per (session, sf_dir), shared by
+    EVERY MinHash variant over the corpus: the seed scheme is 0..63, so a
+    k<64-hash pipeline's signature is exactly ``slice(signature, 1, k)``
+    — one shingle-explode + min-aggregate (the dominant signature cost)
+    serves the t=0.6 dedup (32 hashes), the candidate→verify family (32)
+    and the t=0.8 recall/canonicalization family (64). Immutable parquet
+    ⇒ the pool can't go stale."""
+    from ..plans.materialize import pinned, pool_get
+
+    pool = f"doc_sigs64:{sf_dir}"
+    cached = pool_get(pool, spark)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(spark, sf_dir)
+    return pinned(
+        D.minhash_signatures(docs, "text", "doc_id", num_hashes=64, shingled=sh),
+        pool,
+    )
+
+
+def _doc_sigs_prefix(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """First-k-seed slice of the pooled 64-hash signature table (value-
+    identical to building k signatures directly — see _doc_sigs64)."""
+    return _doc_sigs64(spark, sf_dir).select(
+        "doc_id", F.slice("signature", 1, k).alias("signature")
+    )
+
+
 def _verified_minhash_pairs_08(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-Jaccard-verified MinHash pairs at t=0.8 (64 hashes, 16
     bands), built once per (session, sf_dir) and shared by the recall
@@ -557,7 +612,7 @@ def _verified_minhash_pairs_08(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(spark, sf_dir)
-    sigs = D.minhash_signatures(docs, "text", "doc_id", num_hashes=64, shingled=sh)
+    sigs = _doc_sigs64(spark, sf_dir)
     pairs = D.minhash_band_pairs(sigs, "doc_id", bands=16, num_hashes=64)
     verified = D.jaccard_verify(
         docs, pairs, "text", "doc_id", threshold=0.8, shingled=sh
