@@ -320,6 +320,14 @@ HEADLINE: list[str] = [
     "nn_matching_att_urgent_lag",
     "session_event_trigrams_top",
     "order_value_qq_period_drift",
+    # round-7 additions: the sketch-calibration pair (fixed-state
+    # count-distinct / heavy-hitter primitives), the runtime-filter
+    # audit, the windowed funnel, and the F9 round-trip replay
+    "hll_distinct_calibration",
+    "countmin_heavy_hitters_check",
+    "bloom_join_pruning_audit",
+    "event_funnel_conversion",
+    "carprice_un_onehot_replay",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

@@ -2270,3 +2270,90 @@ def order_value_qq_period_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("decile")
+
+
+@query(
+    "event_funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+    AND e.ts <= v.t1 + INTERVAL 24 HOUR
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    AND e.ts <= c.t2 + INTERVAL 24 HOUR
+  GROUP BY 1
+)
+SELECT (SELECT count(*) FROM v)::BIGINT AS n_viewed,
+       (SELECT count(*) FROM c)::BIGINT AS n_clicked_after,
+       (SELECT count(*) FROM p)::BIGINT AS n_purchased_after,
+       round((SELECT count(*) FROM c)::DOUBLE
+             / (SELECT count(*) FROM v), 6) AS view_to_click,
+       round((SELECT count(*) FROM p)::DOUBLE
+             / nullif((SELECT count(*) FROM c), 0), 6) AS click_to_purchase
+""",
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED ordered funnel conversion (view → first click within
+    24h AFTER the first view → first purchase within 24h AFTER that
+    click), per user: the sequencing + window constraints are what
+    separate a funnel from three independent counts — a user who
+    purchased before ever viewing, or a week later, does not convert.
+    The standard product-analytics primitive, expressed as three
+    chained min-aggregates (stage k+1 = min event time inside the
+    window strictly after the user's stage-k time).
+
+    Scale: three groupBy(user_id) passes, each joined back on user_id —
+    every shuffle is on the SAME key, so after the first exchange the
+    subsequent joins/aggregates are co-partitioned (AQE keeps the
+    partitioning); no per-user event arrays are ever collected."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    day = F.expr("INTERVAL 24 HOURS")
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_clicked_after"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased_after"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_viewed",
+            "n_clicked_after",
+            "n_purchased_after",
+            F.round(
+                F.col("n_clicked_after").cast("double") / F.col("n_viewed"), 6
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchased_after").cast("double")
+                / F.nullif(F.col("n_clicked_after"), F.lit(0)),
+                6,
+            ).alias("click_to_purchase"),
+        )
+    )

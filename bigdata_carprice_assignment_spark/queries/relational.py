@@ -1236,3 +1236,142 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_retailprice", "p_size"
     )
     return skyline_2d_min(part, "p_retailprice", "p_size").orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join pruning, mechanism-exact: the build side (BUILDING-
+# segment customer keys) sets k=3 portable-md5 bit positions in an
+# m=4096-bit filter; every probe key (distinct order custkeys) passes
+# iff all 3 of its positions are set. The filter is represented as the
+# distinct set-bit table (≤ m rows, broadcast) so BOTH engines compute
+# the identical pass set; the exact semi-join alongside yields the
+# false-positive count the ε ≈ (1-e^{-kn/m})^k bound promises. At
+# 100 TB this is the runtime-filter primitive: build once on the dim,
+# broadcast ≤ m longs, prune the fact scan before the shuffle.
+# --------------------------------------------------------------------------
+
+_BF_K, _BF_M = 3, 4096
+
+
+def _bf_hash_sql(j: int, key: str) -> str:
+    return f"('0x' || substr(md5('bf{j}:' || {key}), 1, 15))::BIGINT % {_BF_M}"
+
+
+_BLOOM_ORACLE = (
+    "WITH build AS (\n"
+    "  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'\n"
+    "),\n"
+    "bits AS (\n"
+    "  SELECT DISTINCT b FROM (\n"
+    "    SELECT unnest(["
+    + ", ".join(_bf_hash_sql(j, "k::VARCHAR") for j in range(_BF_K))
+    + "]) AS b FROM build)\n"
+    "),\n"
+    "probe AS (SELECT DISTINCT o_custkey AS k FROM orders),\n"
+    "pb AS (\n"
+    "  SELECT k, unnest(["
+    + ", ".join(_bf_hash_sql(j, "k::VARCHAR") for j in range(_BF_K))
+    + "]) AS b FROM probe\n"
+    "),\n"
+    f"pass AS (\n"
+    f"  SELECT pb.k, count(*) = {_BF_K} AS bloom_pass\n"
+    "  FROM pb JOIN bits USING (b) GROUP BY pb.k\n"
+    "),\n"
+    "flags AS (\n"
+    "  SELECT p.k, coalesce(pass.bloom_pass, FALSE) AS bloom_pass,\n"
+    "         p.k IN (SELECT k FROM build) AS is_member\n"
+    "  FROM probe p LEFT JOIN pass ON p.k = pass.k\n"
+    ")\n"
+    "SELECT (SELECT count(*) FROM build)::BIGINT AS n_build_keys,\n"
+    "       (SELECT count(*) FROM bits)::BIGINT AS n_bits_set,\n"
+    "       count(*)::BIGINT AS n_probe_keys,\n"
+    "       sum(bloom_pass::INT)::BIGINT AS n_bloom_pass,\n"
+    "       sum(is_member::INT)::BIGINT AS n_true_members,\n"
+    "       sum((bloom_pass AND NOT is_member)::INT)::BIGINT AS n_false_positives,\n"
+    "       round(sum((bloom_pass AND NOT is_member)::INT)::DOUBLE\n"
+    "             / nullif(count(*) - sum(is_member::INT), 0), 6) AS fp_rate\n"
+    "FROM flags"
+)
+
+
+@query("bloom_join_pruning_audit", oracle=_BLOOM_ORACLE)
+def bloom_join_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning audit (k=3, m=4096, portable md5
+    bit positions): build on BUILDING-segment customer keys, probe every
+    distinct order custkey, and report the bloom pass set against the
+    exact semi-join — membership is never missed (zero false negatives
+    by construction; the driver hash pins that along with the exact
+    false-positive count).
+
+    Scale: the filter is ≤ m rows broadcast to the probe side — the
+    runtime-filter pattern that prunes a 100 TB fact scan down to
+    ~selectivity × corpus before any shuffle. The probe-side explode is
+    map-side; one hash aggregate to |probe keys| rows closes it."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    from ..llm.text import portable_hash60
+
+    def positions(key: F.Column) -> F.Column:
+        return F.explode(
+            F.array(
+                *[
+                    portable_hash60(
+                        F.concat(F.lit(f"bf{j}:"), key.cast("string"))
+                    )
+                    % F.lit(_BF_M)
+                    for j in range(_BF_K)
+                ]
+            )
+        )
+
+    bits = build.select(positions(F.col("k")).alias("b")).distinct()
+    probe = orders.select(F.col("o_custkey").alias("k")).distinct()
+    pb = probe.select("k", positions(F.col("k")).alias("b"))
+    passed = (
+        pb.join(F.broadcast(bits), "b")
+        .groupBy("k")
+        .agg((F.count(F.lit(1)) == _BF_K).alias("bloom_pass"))
+    )
+    flags = (
+        probe.join(passed, "k", "left")
+        .join(build.withColumn("_mem", F.lit(1)), "k", "left")
+        .select(
+            F.coalesce("bloom_pass", F.lit(False)).alias("bloom_pass"),
+            F.col("_mem").isNotNull().alias("is_member"),
+        )
+    )
+    counts = build.agg(F.count(F.lit(1)).alias("n_build_keys")).crossJoin(
+        bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    )
+    fp = (F.col("bloom_pass") & ~F.col("is_member")).cast("int")
+    return (
+        flags.agg(
+            F.count(F.lit(1)).alias("n_probe_keys"),
+            F.sum(F.col("bloom_pass").cast("int")).alias("n_bloom_pass"),
+            F.sum(F.col("is_member").cast("int")).alias("n_true_members"),
+            F.sum(fp).alias("n_false_positives"),
+            F.round(
+                F.sum(fp).cast("double")
+                / F.nullif(
+                    F.count(F.lit(1)) - F.sum(F.col("is_member").cast("int")),
+                    F.lit(0),
+                ),
+                6,
+            ).alias("fp_rate"),
+        )
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "n_build_keys",
+            "n_bits_set",
+            "n_probe_keys",
+            "n_bloom_pass",
+            "n_true_members",
+            "n_false_positives",
+            "fp_rate",
+        )
+    )

@@ -3823,11 +3823,21 @@ def nn_matching_att_urgent_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     standardized_urgent_rate_by_segment.
 
     The matching join is NOT all-pairs: within each month block the rows
-    are sorted once by (price, orderkey) and each treated row's nearest
+    are sorted by (price, orderkey) and each treated row's nearest
     control is provably one of (last control before, first control
     after) — two IGNORE-NULLS window lookups, the sorted-merge shape of
     asof_join_backward. At 100 TB the month block is the partition key;
     no task ever sees more than a month.
+
+    Both lookups run as O(n) RUNNING frames: "first control after" is
+    expressed as "last control before" under the REVERSED (price, k)
+    sort — bit-identical by total-order complement (k is unique) — NOT
+    as a ``1 FOLLOWING → UNBOUNDED FOLLOWING`` frame, whose moving
+    frame-start makes Spark's first(ignorenulls) processor rescan
+    forward per row: O(n²) per partition, measured 11.6s vs 0.93s for
+    the running frame on a 10x month block (BENCH_SCALE_r07 probe, the
+    4.8x-at-10x defect this rewrite fixes). Cost: a second sort of the
+    (already tiny) urgent+low frame instead of a quadratic scan.
 
     Exactness: prices are the same parquet doubles, so gap arithmetic
     and the <= tie-break (prefer the earlier neighbor) are
@@ -3857,7 +3867,13 @@ def nn_matching_att_urgent_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wb = Window.partitionBy("mon").orderBy("price", "k")
     before = wb.rowsBetween(Window.unboundedPreceding, -1)
-    after = wb.rowsBetween(1, Window.unboundedFollowing)
+    # reversed total order: "strictly after me in ASC (price, k)" ==
+    # "strictly before me in DESC (price, k)" — a running frame again
+    before_rev = (
+        Window.partitionBy("mon")
+        .orderBy(F.desc("price"), F.desc("k"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     ctrl = ~F.col("treated")
     w = f.select(
         "treated",
@@ -3869,11 +3885,11 @@ def nn_matching_att_urgent_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(F.when(ctrl, F.col("ship_lag")), ignorenulls=True)
         .over(before)
         .alias("po"),
-        F.first(F.when(ctrl, F.col("price")), ignorenulls=True)
-        .over(after)
+        F.last(F.when(ctrl, F.col("price")), ignorenulls=True)
+        .over(before_rev)
         .alias("np"),
-        F.first(F.when(ctrl, F.col("ship_lag")), ignorenulls=True)
-        .over(after)
+        F.last(F.when(ctrl, F.col("ship_lag")), ignorenulls=True)
+        .over(before_rev)
         .alias("no"),
     ).filter("treated")
     take_prev = (F.col("np").isNull()) | (

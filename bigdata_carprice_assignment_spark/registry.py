@@ -46,15 +46,16 @@ PRIORITY: tuple[str, ...] = (
     # Positions 1-37: every oracle-backed query never driver-hash-checked
     # in r1-r6 (CORRECTNESS_r01-r06 union — the staged round-7 queue).
     # Positions 38-42: the five rows-only queries never driver-run even
-    # for rows>0. Positions 43-45: the three NEW-this-round oracle
+    # for rows>0. Positions 43-47: the five NEW-this-round oracle
     # queries (F9 un-one-hot exact replay, HyperLogLog calibration,
-    # Count-Min heavy hitters) — registered inside the window so
-    # cumulative oracle-checked stays 100% after this round.
-    # Positions 46-50: five rotated long-green sentinels covering the
-    # shared operator cores (flagship clean pipeline + exact quantiles,
-    # group-count, broadcast join, FPGrowth, exact dedup) so a systemic
-    # regression cannot hide behind a backlog-only window. All 45
-    # oracle-backed entries are locally hash-green at sf0.001 AND sf0.01
+    # Count-Min heavy hitters, Bloom-filter join-pruning audit, windowed
+    # funnel conversion) — registered inside the window so cumulative
+    # oracle-checked stays 100% after this round.
+    # Positions 48-50: three rotated long-green sentinels covering the
+    # shared operator cores the round-6 verdict names (group-count agg,
+    # broadcast join, FPGrowth) so a systemic regression cannot hide
+    # behind a backlog-only window. All 47 oracle-backed entries are
+    # locally hash-green at sf0.001 AND sf0.01
     # (tests/test_oracle_queries.py + tests/driver_mirror.py preflight).
     "dsir_importance_weights",
     "rrf_fused_retrieval_top10",
@@ -103,12 +104,13 @@ PRIORITY: tuple[str, ...] = (
     "carprice_un_onehot_replay",
     "hll_distinct_calibration",
     "countmin_heavy_hitters_check",
-    # rotated sentinels (long-green since r1-r2):
-    "carprice_cleaned",
+    "bloom_join_pruning_audit",
+    "event_funnel_conversion",
+    # rotated sentinels (long-green since r1-r2; the three operator
+    # cores the round-6 verdict names: agg, broadcast join, FPGrowth):
     "top10_part_brands",
     "region_revenue",
     "fpgrowth_rules",
-    "exact_dedup_documents",
     # ---- everything else: previously driver-hash-green (r1-r5) and
     # rows-only queries keep module registration order (handled by
     # load_all: any registered query not named here follows after).
