@@ -79,17 +79,18 @@ def minhash_signatures(
     exploded = base.select(F.col(id_col), F.explode("_sh").alias("_s")).select(
         F.col(id_col), F.xxhash64("_s").alias("_h")
     )
+    # the num_hashes-wide repetitive tree is built as JVM-parsed SQL
+    # strings (F.expr / selectExpr): the composed-Column form cost ~2s
+    # of py4j round-trips per plan BUILD at 128 hashes (round-7 phase
+    # timing) — identical plan and values, two orders fewer JVM calls
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}")
-        for i in range(num_hashes)
+        F.expr(f"min(xxhash64({i}, _h)) AS _m{i}") for i in range(num_hashes)
     ]
+    sig_array = "array(" + ", ".join(f"_m{i}" for i in range(num_hashes)) + ")"
     return (
         exploded.groupBy(id_col)
         .agg(*mins)
-        .select(
-            id_col,
-            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature"),
-        )
+        .selectExpr(id_col, f"{sig_array} AS signature")
     )
 
 
@@ -116,27 +117,17 @@ def minhash_band_pairs(
             return signatures.sparkSession.createDataFrame([], "a long, b long")
         num_hashes = first["n"]
     width = num_hashes // bands
-    banded = signatures.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice("signature", b * width + 1, width),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+    # band structs as one JVM-parsed expression (see minhash_signatures:
+    # the composed-Column form pays py4j per node); the SQL lambda
+    # `x -> CAST(x AS STRING)` is the same cast F.transform applied
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', "
+        f"transform(slice(signature, {b * width + 1}, {width}), "
+        f"x -> CAST(x AS STRING)))))"
+        for b in range(bands)
+    )
+    banded = signatures.selectExpr(
+        f"{id_col} AS doc", f"explode(array({structs})) AS bb"
     ).select("doc", "bb.band", "bb.bucket")
     # materialize once: the self-join below would otherwise recompute the
     # full signature expression tree on both branches (2× the dominant
