@@ -403,6 +403,26 @@ def srp_adaptive_band_bits(n: int, floor_bits: int = 10, cap_bits: int = 20) -> 
     return max(floor_bits, min(cap_bits, math.ceil(math.log2(max(n, 2)))))
 
 
+def srp_adaptive_bands(
+    band_bits: int, design_cos: float = 0.94, miss: float = 1e-4
+) -> int:
+    """Band COUNT that holds the recall contract as band_bits grows:
+    a pair at angle θ collides per band with p1 = (1 − θ/π)^bits, which
+    DECAYS exponentially in bits — so a fixed band count silently sheds
+    recall exactly when the adaptive bits kick in (round-7 sf0.1 sweep:
+    6 bands at 13 bits missed 4 true pairs in the 0.94–0.98 cosine
+    band). bands = ceil(ln(miss) / ln(1 − p1)) pins the per-pair miss
+    probability at ``miss`` for pairs at ``design_cos`` or tighter —
+    the standard multi-table LSH sizing (total tables grow ~n^ρ;
+    ρ ≈ 0.15 at 0.94, so candidate volume stays ~n^1.15, near-linear).
+    """
+    import math
+
+    theta = math.acos(design_cos)
+    p1 = (1.0 - theta / math.pi) ** band_bits
+    return max(6, math.ceil(math.log(miss) / math.log(1.0 - p1)))
+
+
 def srp_knn_join(
     df: DataFrame,
     vec_col: str,
@@ -421,23 +441,26 @@ def srp_knn_join(
     with more bands / fewer bits per band).
 
     ``band_bits=None`` selects :func:`srp_adaptive_band_bits` from the
-    corpus size and widens the signature to keep ~6 bands — the
-    scale-default; the fixed 60-bit/10-bit setting remains for the
-    mechanism-exact oracle gate.
+    corpus size AND :func:`srp_adaptive_bands` from the chosen width —
+    bits keep random collisions linear, bands keep the per-pair miss
+    probability pinned (≤1e-4 at cosine ≥0.94) as bits grow. The fixed
+    60-bit/10-bit setting remains for the mechanism-exact oracle gate.
 
     Returns (id, nn_id, cosine, rank) for vectors with ≥1 candidate."""
     from pyspark.sql import Window
 
-    if band_bits is None:
+    adaptive = band_bits is None
+    if adaptive:
         band_bits = srp_adaptive_band_bits(df.count())
-    if n_bits <= 60 and band_bits <= 10 and 60 // band_bits >= 6:
+    n_bands = srp_adaptive_bands(band_bits) if adaptive else 6
+    if n_bits <= 60 and band_bits <= 10 and 60 // band_bits >= n_bands:
         sigs = srp_signatures(df, vec_col, id_col, n_bits)
         pairs = srp_band_pairs(sigs, id_col, n_bits, band_bits, max_bucket)
     else:
-        # keep ~6 bands at the chosen width; bands never span words, so
-        # round the per-word layout up to whole words
+        # bands never span words, so round the per-word layout up to
+        # whole 60-bit words covering the recall-derived band count
         per_word = max(1, 60 // band_bits)
-        n_words = max(1, -(-6 // per_word))
+        n_words = max(1, -(-n_bands // per_word))
         wide_bits = n_words * 60
         sigs = srp_signatures_wide(df, vec_col, id_col, wide_bits)
         pairs = srp_band_pairs_wide(sigs, id_col, wide_bits, band_bits, max_bucket)

@@ -166,3 +166,21 @@ def test_unonehot_recovers_brands(spark):
     rows = registry.QUERIES["carprice_un_onehot_replay"](spark, SF).collect()
     got = {r["brand_recovered"]: r["n_cars"] for r in rows}
     assert got == want
+
+
+def test_srp_adaptive_bands_hold_recall_contract():
+    """Band count must GROW with band bits (fixed bands shed recall
+    exponentially as bits grow — the sf0.1 sweep leak), and the implied
+    per-pair miss at the design cosine stays at or under the target."""
+    import math as m
+
+    from bigdata_carprice_assignment_spark.llm import similarity as S
+
+    theta = m.acos(0.94)
+    prev = 0
+    for bits in (10, 13, 16, 20):
+        bands = S.srp_adaptive_bands(bits)
+        assert bands > prev
+        prev = bands
+        p1 = (1.0 - theta / m.pi) ** bits
+        assert (1.0 - p1) ** bands <= 1e-4 * (1 + 1e-9)
