@@ -2002,7 +2002,8 @@ credited AS (
 )
 SELECT position,
        count(*) AS n_touches,
-       round(sum(credit), 2) AS credit_sum
+       round(CAST(sum(CAST(credit AS DECIMAL(28,10))) AS DOUBLE), 2)
+         AS credit_sum
 FROM credited GROUP BY position ORDER BY position
 """,
 )
@@ -2017,7 +2018,12 @@ def position_weighted_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Determinism: click order within a purchase is (click_ts, click_id) —
     a total order — on both engines; credit weights are exact rationals
-    applied per row, summed and rounded once.
+    applied per row. The per-position sum runs over DECIMAL(28,10)
+    (each per-row double credit cast once, identically on both engines):
+    decimal addition is exact and ASSOCIATIVE, so the sum is invariant
+    to Spark's run-to-run partial-aggregation order — a plain double
+    sum flipped the 2dp rounding at sf0.1 in one of three oracle-sweep
+    runs (65.64 vs 65.63; the round-3 reassociation-noise class).
 
     Scale: the pair join shuffles on user_id with the time range as a
     residual (add a day-grain equi-key at 100 TB); the ranking window
@@ -2069,7 +2075,9 @@ def position_weighted_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("position")
         .agg(
             F.count(F.lit(1)).alias("n_touches"),
-            F.round(F.sum("credit"), 2).alias("credit_sum"),
+            F.round(
+                F.sum(F.col("credit").cast("decimal(28,10)")).cast("double"), 2
+            ).alias("credit_sum"),
         )
         .orderBy("position")
     )
