@@ -338,12 +338,21 @@ def srp_band_pairs_wide(
     n_bits: int,
     band_bits: int,
     max_bucket: int = 2000,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """Banding over multi-word signatures: each 60-bit word is split
     into ``60 // band_bits`` chunks independently (bands never span a
     word boundary — layout simplicity; the hyperplanes are i.i.d., so
     which bits form a band is immaterial). Hamming distance folds
-    bit_count(xor) across the word arrays natively."""
+    bit_count(xor) across the word arrays natively.
+
+    Hamming is computed (and the signature arrays DROPPED) before the
+    dedup exchange, so the distinct shuffles 3 longs per candidate
+    instead of two n_bits/60-long arrays — at 50k docs × 56 bands the
+    array-carrying distinct was the memory cliff. ``max_hamming``
+    additionally screens candidates before they ever reach the caller's
+    exact rerank: hamming/n_bits estimates θ/π, so random pairs
+    (θ≈π/2) sit tens of σ above any near-duplicate threshold."""
     from ..plans.materialize import pinned
 
     per_word = max(1, 60 // band_bits)
@@ -382,14 +391,23 @@ def srp_band_pairs_wide(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    return (
+    # hamming + screen run BEFORE the dedup exchange, and the distinct
+    # carries (a, b, hamming) — three longs — never the signature
+    # arrays. The original shape distinct-ed rows holding two
+    # n_bits/60-long arrays: at 50k docs × 56 bands that exchange
+    # OOMed the sf1.0 probe after 433s. (An alternative that bands
+    # WITHOUT the arrays and rejoins signatures after the distinct
+    # measured 2× slower: the distinct then dedups the unfiltered
+    # candidate set, and the rejoin adds two more shuffles.)
+    out = (
         a.join(b, ["band", "key"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sh_a", "sh_b")
-        .distinct()
         .withColumn("hamming", ham)
-        .drop("sh_a", "sh_b")
+        .select("a", "b", "hamming")
     )
+    if max_hamming is not None:
+        out = out.filter(F.col("hamming") <= max_hamming)
+    return out.distinct()
 
 
 def srp_adaptive_band_bits(n: int, floor_bits: int = 10, cap_bits: int = 20) -> int:
@@ -463,7 +481,27 @@ def srp_knn_join(
         n_words = max(1, -(-n_bands // per_word))
         wide_bits = n_words * 60
         sigs = srp_signatures_wide(df, vec_col, id_col, wide_bits)
-        pairs = srp_band_pairs_wide(sigs, id_col, wide_bits, band_bits, max_bucket)
+        # ADAPTIVE path only: hamming screen ahead of the exact rerank.
+        # hamming/wide_bits estimates θ/π, so keep pairs within +6σ of
+        # the design angle (cos 0.9; the near-dup gates filter at ≥0.85
+        # — a true 0.85 pair sits ~3σ inside this bound, miss ~1e-9)
+        # and the random bulk at θ≈π/2 (E[ham]=wide_bits/2, >20σ away)
+        # never reaches the vector join — the rerank cost cliff the
+        # sf1.0 probe hit (433s + executor OOM from joining dim-sized
+        # vectors onto 43n candidate pairs). Explicit-band callers keep
+        # the unfiltered any-similarity contract.
+        thr = None
+        if adaptive:
+            import math
+
+            p_design = math.acos(0.90) / math.pi
+            thr = math.ceil(
+                wide_bits * p_design
+                + 6.0 * math.sqrt(wide_bits * p_design * (1.0 - p_design))
+            )
+        pairs = srp_band_pairs_wide(
+            sigs, id_col, wide_bits, band_bits, max_bucket, max_hamming=thr
+        )
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     scored = (
