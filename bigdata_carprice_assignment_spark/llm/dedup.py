@@ -90,7 +90,7 @@ def minhash_signatures(
     return (
         exploded.groupBy(id_col)
         .agg(*mins)
-        .selectExpr(id_col, f"{sig_array} AS signature")
+        .selectExpr(f"`{id_col}`", f"{sig_array} AS signature")
     )
 
 
@@ -127,7 +127,7 @@ def minhash_band_pairs(
         for b in range(bands)
     )
     banded = signatures.selectExpr(
-        f"{id_col} AS doc", f"explode(array({structs})) AS bb"
+        f"`{id_col}` AS doc", f"explode(array({structs})) AS bb"
     ).select("doc", "bb.band", "bb.bucket")
     # materialize once: the self-join below would otherwise recompute the
     # full signature expression tree on both branches (2× the dominant

@@ -399,6 +399,13 @@ def srp_band_pairs_wide(
     # WITHOUT the arrays and rejoins signatures after the distinct
     # measured 2× slower: the distinct then dedups the unfiltered
     # candidate set, and the rejoin adds two more shuffles.)
+    # Known CPU tradeoff of fold-before-distinct: a true near-dup pair
+    # collides in most of the 56–92 adaptive bands, so the hot pairs
+    # pay the 19–31-word bit_count fold once PER COLLIDING BAND instead
+    # of once per unique pair (~bands× redundant compute on exactly the
+    # pairs that survive). The shuffle-size win dominates at current
+    # shapes; if rerank-stage CPU ever shows in profiles, dedup (a, b)
+    # per band-block (min_by over (band, key) groups) before the fold.
     out = (
         a.join(b, ["band", "key"])
         .filter(F.col("a") < F.col("b"))
@@ -449,6 +456,9 @@ def srp_knn_join(
     n_bits: int = 60,
     band_bits: int | None = 10,
     max_bucket: int = 2000,
+    design_cos: float = 0.94,
+    miss: float = 1e-4,
+    screen_cos: float = 0.85,
 ) -> DataFrame:
     """Approximate kNN-join via SRP banding: candidates from the band
     join, exact double-precision cosine rerank, per-vector top-k window.
@@ -461,8 +471,17 @@ def srp_knn_join(
     ``band_bits=None`` selects :func:`srp_adaptive_band_bits` from the
     corpus size AND :func:`srp_adaptive_bands` from the chosen width —
     bits keep random collisions linear, bands keep the per-pair miss
-    probability pinned (≤1e-4 at cosine ≥0.94) as bits grow. The fixed
-    60-bit/10-bit setting remains for the mechanism-exact oracle gate.
+    probability pinned (≤``miss`` at cosine ≥``design_cos``) as bits
+    grow. The (design_cos, miss) pair IS the recall/cost frontier: the
+    default (0.94, 1e-4) is the tight contract the exactness gates pin;
+    (0.90, 1e-2) is the documented cheap production profile (~half the
+    bands → ~half the candidate exchange). ``screen_cos`` is the
+    minimum cosine downstream callers gate on — the hamming pre-screen
+    is sized so a true pair AT that cosine survives with ~6σ margin
+    (deriving it from design_cos instead silently sheds 0.85-pairs as
+    signatures widen: one-sided miss ~4.5e-3 at 1140 bits, ~3.6e-2 at
+    1860 bits). The fixed 60-bit/10-bit setting remains for the
+    mechanism-exact oracle gate.
 
     Returns (id, nn_id, cosine, rank) for vectors with ≥1 candidate."""
     from pyspark.sql import Window
@@ -470,7 +489,11 @@ def srp_knn_join(
     adaptive = band_bits is None
     if adaptive:
         band_bits = srp_adaptive_band_bits(df.count())
-    n_bands = srp_adaptive_bands(band_bits) if adaptive else 6
+    n_bands = (
+        srp_adaptive_bands(band_bits, design_cos=design_cos, miss=miss)
+        if adaptive
+        else 6
+    )
     if n_bits <= 60 and band_bits <= 10 and 60 // band_bits >= n_bands:
         sigs = srp_signatures(df, vec_col, id_col, n_bits)
         pairs = srp_band_pairs(sigs, id_col, n_bits, band_bits, max_bucket)
@@ -482,22 +505,27 @@ def srp_knn_join(
         wide_bits = n_words * 60
         sigs = srp_signatures_wide(df, vec_col, id_col, wide_bits)
         # ADAPTIVE path only: hamming screen ahead of the exact rerank.
-        # hamming/wide_bits estimates θ/π, so keep pairs within +6σ of
-        # the design angle (cos 0.9; the near-dup gates filter at ≥0.85
-        # — a true 0.85 pair sits ~3σ inside this bound, miss ~1e-9)
-        # and the random bulk at θ≈π/2 (E[ham]=wide_bits/2, >20σ away)
-        # never reaches the vector join — the rerank cost cliff the
-        # sf1.0 probe hit (433s + executor OOM from joining dim-sized
-        # vectors onto 43n candidate pairs). Explicit-band callers keep
-        # the unfiltered any-similarity contract.
+        # hamming/wide_bits estimates θ/π, so size the threshold from
+        # the MINIMUM cosine callers gate on (screen_cos, default 0.85
+        # — NOT design_cos: a screen derived from the 0.90 design angle
+        # one-sidedly misses true 0.85-pairs with probability ~3e-4 at
+        # 600 bits, ~4.5e-3 at 1140, ~3.6e-2 at 1860 — it decays recall
+        # exactly as adaptive widths grow, undoing srp_adaptive_bands).
+        # A true screen_cos pair sits 6σ inside thr (miss ≲1e-9 at any
+        # adaptive width), while the random bulk at θ≈π/2
+        # (E[ham]=wide_bits/2, >15σ above thr even at 0.85) never
+        # reaches the vector join — the rerank cost cliff the sf1.0
+        # probe hit (433s + executor OOM from joining dim-sized vectors
+        # onto 43n candidate pairs). Explicit-band callers keep the
+        # unfiltered any-similarity contract.
         thr = None
         if adaptive:
             import math
 
-            p_design = math.acos(0.90) / math.pi
+            p_screen = math.acos(screen_cos) / math.pi
             thr = math.ceil(
-                wide_bits * p_design
-                + 6.0 * math.sqrt(wide_bits * p_design * (1.0 - p_design))
+                wide_bits * p_screen
+                + 6.0 * math.sqrt(wide_bits * p_screen * (1.0 - p_screen))
             )
         pairs = srp_band_pairs_wide(
             sigs, id_col, wide_bits, band_bits, max_bucket, max_hamming=thr
