@@ -504,43 +504,124 @@ def carprice_rules_top_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("carprice_loess_smooth")
+_LOESS_ORACLE = f"""
+WITH c AS ({{cleaned}}
+),
+pts AS (
+  SELECT horsepower AS x, price AS yv FROM c
+  WHERE horsepower IS NOT NULL AND price IS NOT NULL
+),
+mm AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM pts),
+grid AS (
+  SELECT i.range AS i, mm.lo + (mm.hi - mm.lo) * i.range / 39 AS g
+  FROM range(0, 40) i, mm
+),
+d AS (SELECT i, g, x, yv, abs(x - g) AS dist FROM grid, pts),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY i ORDER BY dist) AS rn FROM d
+),
+h AS (
+  SELECT i, CASE WHEN dist = 0 THEN 1.0 ELSE dist END AS h
+  FROM r, mm WHERE rn = greatest(2, ceil(0.75 * mm.n))
+),
+wt AS (
+  SELECT d.i, d.g, d.x, d.yv,
+         pow(greatest(1 - pow(d.dist / h.h, 3), 0), 3) AS w
+  FROM d JOIN h USING (i)
+),
+ag AS (
+  SELECT i, g, sum(w) AS sw, sum(w * x) AS swx, sum(w * yv) AS swy,
+         sum(w * x * x) AS swxx, sum(w * x * yv) AS swxy
+  FROM wt GROUP BY i, g
+)
+SELECT round(g, 4) AS horsepower,
+       round(swy / sw + (CASE WHEN swxx - swx * swx / sw = 0 THEN 0
+                              ELSE (swxy - swx * swy / sw)
+                                   / (swxx - swx * swx / sw) END)
+                        * (g - swx / sw), 2) AS smoothed_price
+FROM ag ORDER BY horsepower
+"""
+
+
+@query("carprice_loess_smooth", oracle=_LOESS_ORACLE.format(cleaned=_CLEANED_ORACLE))
 def carprice_loess_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loess curve for the price~horsepower scatter — the data behind
     geom_smooth(method="loess") (BigDataProject.R:140-144), the one
     reference output previously declared viz-out-of-scope. Tricube-
     weighted local LINEAR fits (degree 1; R's default is degree 2 —
     documented fidelity delta) at 40 evaluation points, span 0.75.
+    Hash-checked: the DuckDB oracle replays the same grid, k-th-nearest
+    bandwidth, tricube weights and raw-moment weighted-least-squares
+    closed form (slope = Sxy_w/Sxx_w from five weighted sums), so both
+    engines evaluate identical expressions; engine-ulp summation noise
+    sits ~6 orders under the 2dp round.
 
-    Report-sized by construction (205 points, like write_csv_single):
-    the fit runs driver-side numpy on the collected pairs; a data-sized
-    smoother would bin x and fit per-bin partial sums distributed."""
-    import numpy as np
+    Scale: grid (40 rows) broadcast against the points, bandwidth via a
+    per-gridpoint k-th-smallest window, one hash aggregate of five
+    weighted sums per grid point — no driver-side data collect, no
+    quadratic blowup (points × grid, grid is O(1))."""
+    import math
 
-    pdf = (
-        _cleaned(spark)
-        .select("horsepower", "price")
-        .dropna()
-        .toPandas()
-        .sort_values("horsepower")
+    pts = _cleaned(spark).select("horsepower", "price").dropna()
+    mm = pts.agg(
+        F.min("horsepower").alias("lo"),
+        F.max("horsepower").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    lo, hi, n = float(mm["lo"]), float(mm["hi"]), int(mm["n"])
+    k = max(2, math.ceil(0.75 * n))
+    grid = spark.createDataFrame(
+        [(i, lo + (hi - lo) * i / 39) for i in range(40)], "i int, g double"
     )
-    x = pdf["horsepower"].to_numpy(dtype=float)
-    y = pdf["price"].to_numpy(dtype=float)
-    n = len(x)
-    k = max(2, int(np.ceil(0.75 * n)))  # span window size
-    grid = np.linspace(x.min(), x.max(), 40)
-    rows = []
-    for g in grid:
-        d = np.abs(x - g)
-        h = np.partition(d, k - 1)[k - 1] or 1.0
-        w = np.clip(1 - (d / h) ** 3, 0, None) ** 3  # tricube
-        W = w.sum()
-        xm = (w * x).sum() / W
-        ym = (w * y).sum() / W
-        sxx = (w * (x - xm) ** 2).sum()
-        slope = 0.0 if sxx == 0 else (w * (x - xm) * (y - ym)).sum() / sxx
-        rows.append((float(g), float(round(ym + slope * (g - xm), 2))))
-    return spark.createDataFrame(rows, "horsepower double, smoothed_price double")
+    from pyspark.sql import Window
+
+    d = pts.crossJoin(F.broadcast(grid)).withColumn(
+        "dist", F.abs(F.col("horsepower") - F.col("g"))
+    )
+    w = Window.partitionBy("i").orderBy("dist")
+    h = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select(
+            "i",
+            F.when(F.col("dist") == 0, F.lit(1.0))
+            .otherwise(F.col("dist"))
+            .alias("h"),
+        )
+    )
+    wt = d.join(F.broadcast(h), "i").withColumn(
+        "w",
+        F.pow(
+            F.greatest(
+                F.lit(1.0) - F.pow(F.col("dist") / F.col("h"), F.lit(3.0)),
+                F.lit(0.0),
+            ),
+            F.lit(3.0),
+        ),
+    )
+    ag = wt.groupBy("i", "g").agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("horsepower")).alias("swx"),
+        F.sum(F.col("w") * F.col("price")).alias("swy"),
+        F.sum(F.col("w") * F.col("horsepower") * F.col("horsepower")).alias(
+            "swxx"
+        ),
+        F.sum(F.col("w") * F.col("horsepower") * F.col("price")).alias("swxy"),
+    )
+    sxx = F.col("swxx") - F.col("swx") * F.col("swx") / F.col("sw")
+    sxy = F.col("swxy") - F.col("swx") * F.col("swy") / F.col("sw")
+    slope = F.when(sxx == 0, F.lit(0.0)).otherwise(sxy / sxx)
+    return (
+        ag.select(
+            F.round("g", 4).alias("horsepower"),
+            F.round(
+                F.col("swy") / F.col("sw")
+                + slope * (F.col("g") - F.col("swx") / F.col("sw")),
+                2,
+            ).alias("smoothed_price"),
+        )
+        .orderBy("horsepower")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -580,19 +661,17 @@ _LM_PREDS: list[str] = [
 ]
 
 
-def _lm_exact_oracle(lam: float = 0.0) -> str:
-    """Generate the DuckDB oracle: the ml-matrix CTE + sufficient-stat
-    aggregate + an UNROLLED correlation-form Cholesky solve (one CTE
-    layer per elimination column, one per back-substitution step). The
-    recurrences are emitted in the same term order as
+def _cholesky_cte_parts(lam: float = 0.0) -> list[str]:
+    """Shared CTE chain st→cv→cr→ch*→bk*→bt0→bt solving the
+    correlation-form normal equations of lm(y ~ x0..x{p-1}) from a CTE
+    named ``mlx`` — used by the coefficient oracles (mlx = full matrix)
+    and the train/test metrics oracle (mlx = deterministic train
+    split). Recurrences are emitted in the same term order as
     :func:`_lm_solve`, so both engines evaluate the same expression
     tree."""
     p = len(_LM_PREDS)
     x = [f"x{i}" for i in range(p)]
     parts: list[str] = []
-    parts.append(f"WITH ml AS ({_ML_ORACLE}\n),")
-    sel = ", ".join(f'"{c}" AS {x[i]}' for i, c in enumerate(_LM_PREDS))
-    parts.append(f"mlx AS (SELECT {sel}, ln(1 + price) AS y FROM ml),")
     st = ["count(*)::DOUBLE AS n"]
     st += [f"sum({x[i]}) AS s{i}" for i in range(p)]
     st += [
@@ -647,6 +726,20 @@ def _lm_exact_oracle(lam: float = 0.0) -> str:
     parts.append(f"bt0 AS (SELECT *, {', '.join(bt)} FROM {prev}),")
     icept = " + ".join(f"beta{i}*(s{i}/n)" for i in range(p))
     parts.append(f"bt AS (SELECT *, sy/n - ({icept}) AS icept FROM bt0)")
+    return parts
+
+
+def _lm_exact_oracle(lam: float = 0.0) -> str:
+    """Generate the DuckDB oracle: the ml-matrix CTE + sufficient-stat
+    aggregate + an UNROLLED correlation-form Cholesky solve (one CTE
+    layer per elimination column, one per back-substitution step)."""
+    p = len(_LM_PREDS)
+    x = [f"x{i}" for i in range(p)]
+    parts: list[str] = []
+    parts.append(f"WITH ml AS ({_ML_ORACLE}\n),")
+    sel = ", ".join(f'"{c}" AS {x[i]}' for i, c in enumerate(_LM_PREDS))
+    parts.append(f"mlx AS (SELECT {sel}, ln(1 + price) AS y FROM ml),")
+    parts += _cholesky_cte_parts(lam)
     finals = [
         "SELECT '(intercept)' AS feature, round(icept, 6) AS coefficient FROM bt"
     ]
@@ -655,6 +748,67 @@ def _lm_exact_oracle(lam: float = 0.0) -> str:
         for i, c in enumerate(_LM_PREDS)
     ]
     return "\n".join(parts) + "\n" + "\nUNION ALL ".join(finals)
+
+
+# Deterministic 80/20 split for the exact train/test metrics query:
+# portable md5 hash of the (winsorized, floored) car id, salted so ALL
+# 28 brand levels land in the train side — a salt where a singleton
+# brand (mercury, toyouta, porcshce, Nissan, vokswagen) fell into test
+# would zero its dummy column on train and make the normal equations
+# singular. Salt 2 is the first that covers every level (167/38 split;
+# verified over the fixed 205-row reference CSV, which carprice queries
+# read regardless of sf_dir).
+_LM_SPLIT_SALT = 2
+
+
+def _lm_metrics_oracle() -> str:
+    """DuckDB oracle for carprice_lm_metrics_exact: ml matrix with the
+    split key, portable-hash 80/20 split, the SAME unrolled Cholesky
+    solve on the train side, then $-scale RMSE/MAE/R²/cor² on the
+    exp(pred)−1 back-transformed test predictions — all from one
+    sufficient-sums aggregate so both engines evaluate the identical
+    closed forms."""
+    p = len(_LM_PREDS)
+    x = [f"x{i}" for i in range(p)]
+    ml_with_key = _ML_ORACLE.replace(
+        "SELECT w.horsepower,",
+        "SELECT floor(w.car_id)::BIGINT AS car_key, w.horsepower,",
+        1,
+    )
+    parts = [f"WITH ml AS ({ml_with_key}\n),"]
+    sel = ", ".join(f'"{c}" AS {x[i]}' for i, c in enumerate(_LM_PREDS))
+    parts.append(
+        "mlx0 AS (SELECT "
+        + sel
+        + ", ln(1 + price) AS y, price, "
+        + f"('0x' || substr(md5('lmsplit{_LM_SPLIT_SALT}:' || car_key::VARCHAR), 1, 15))::BIGINT"
+        + " % 10000 < 8000 AS train FROM ml),"
+    )
+    parts.append("mlx AS (SELECT * FROM mlx0 WHERE train),")
+    parts += _cholesky_cte_parts()
+    parts[-1] += ","
+    pred = "bt.icept + " + " + ".join(f"bt.beta{i}*t.x{i}" for i in range(p))
+    parts.append(
+        f"pr AS (SELECT t.price, exp({pred}) - 1 AS ph"
+        " FROM mlx0 t, bt WHERE NOT t.train),"
+    )
+    parts.append(
+        "ag AS (SELECT count(*)::DOUBLE AS n, sum(price) AS sy,"
+        " sum(price*price) AS syy, sum((ph - price)*(ph - price)) AS se,"
+        " sum(abs(ph - price)) AS sae, sum(ph) AS sh, sum(ph*ph) AS shh,"
+        " sum(ph*price) AS shy FROM pr)"
+    )
+    final = (
+        "SELECT (SELECT count(*) FROM mlx)::BIGINT AS n_train,"
+        " n::BIGINT AS n_test,"
+        " round(sqrt(se/n), 2) AS rmse_usd,"
+        " round(sae/n, 2) AS mae_usd,"
+        " round(1 - se/(syy - sy*sy/n), 6) AS r2,"
+        " round(((shy - sh*sy/n)/sqrt((shh - sh*sh/n)*(syy - sy*sy/n)))"
+        "*((shy - sh*sy/n)/sqrt((shh - sh*sh/n)*(syy - sy*sy/n))), 6)"
+        " AS r2_cor FROM ag"
+    )
+    return "\n".join(parts) + "\n" + final
 
 
 def _lm_solve(row: dict, lam: float = 0.0) -> list[tuple[str, float]]:
@@ -760,6 +914,127 @@ def carprice_ridge_coefficients_exact(
     coefs = _lm_solve(_lm_suffstats(spark, sf_dir), lam=0.1)
     out = spark.createDataFrame(coefs, "feature string, coefficient double")
     return out.select("feature", F.round("coefficient", 6).alias("coefficient"))
+
+
+def _ml_matrix_with_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-hot ML matrix of :func:`carprice_ml_matrix` plus the
+    deterministic split key (floored winsorized car id) — the same
+    single projection as ``ml_ready``, just keeping the id the split
+    hashes on."""
+    df = _cleaned(spark)
+    features = [c for c in cp.ML_VARS if c not in ("log_price", "brand")]
+    base = df.select("car_id", *features, "brand", "price").dropna()
+    levels = cp.brand_levels(base)
+    dummies = [
+        F.when(F.col("brand") == lv, 1.0)
+        .otherwise(0.0)
+        .alias("brand_Nissan_uc" if lv == "Nissan" else f"brand_{lv}")
+        for lv in levels[1:]
+    ]
+    return base.select(
+        F.floor("car_id").cast("long").alias("car_key"),
+        *[F.col(c) for c in features],
+        *dummies,
+        F.col("price"),
+    )
+
+
+@query("carprice_lm_metrics_exact", oracle=_lm_metrics_oracle())
+def carprice_lm_metrics_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M3+M4 as ONE exact, hash-checked query: deterministic
+    portable-hash 80/20 train/test split (createDataPartition,
+    BigDataProject.R:291 — the caret y-stratification stays a
+    documented delta, but the split DECISION is now engine-replayable,
+    unlike randomSplit), closed-form OLS fit of lm(log_price ~ .) on
+    the train side (BigDataProject.R:305), and the $-scale
+    RMSE/MAE/R² test metrics on exp(pred)−1 back-transformed
+    predictions (postResample, BigDataProject.R:309-324; r2 is the
+    coefficient of determination Spark's RegressionEvaluator reports,
+    r2_cor the squared Pearson correlation caret reports — both
+    emitted). The split is salted (``_LM_SPLIT_SALT``) so every brand
+    level keeps ≥1 train row: a singleton brand in test would zero its
+    train dummy column and make the normal equations singular.
+
+    Scale: one pass over the fact table for the p(p+3)/2+3 train
+    sufficient statistics (map-side combine), an O(p³) driver solve on
+    ~700 doubles, one pass for the 8 test error sums — the exact-OLS
+    train/test evaluation shape that needs no iterative shuffles at
+    100 TB."""
+    import math
+    from functools import reduce
+
+    from ..llm.text import keep_fraction
+
+    ml = _ml_matrix_with_key(spark, sf_dir).coalesce(1)
+    key = F.concat(
+        F.lit(f"lmsplit{_LM_SPLIT_SALT}:"), F.col("car_key").cast("string")
+    )
+    ml = ml.withColumn("train", keep_fraction(key, 0.8))
+    train = ml.filter(F.col("train"))
+    p = len(_LM_PREDS)
+    xs = [F.col(f"`{c}`") for c in _LM_PREDS]
+    y = F.log1p(F.col("price"))
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [F.sum(xs[i]).alias(f"s{i}") for i in range(p)]
+    aggs += [
+        F.sum(xs[i] * xs[j]).alias(f"s{i}_{j}")
+        for i in range(p)
+        for j in range(i, p)
+    ]
+    aggs += [F.sum(xs[i] * y).alias(f"sy{i}") for i in range(p)]
+    aggs += [F.sum(y).alias("sy"), F.sum(y * y).alias("syy")]
+    row = train.agg(*aggs).collect()[0].asDict()
+    coefs = dict(_lm_solve(row))
+    pred = reduce(
+        lambda acc, c: acc + F.lit(coefs[c]) * F.col(f"`{c}`"),
+        _LM_PREDS,
+        F.lit(coefs["(intercept)"]),
+    )
+    test = ml.filter(~F.col("train")).withColumn(
+        "ph", F.exp(pred) - F.lit(1.0)
+    )
+    err = F.col("ph") - F.col("price")
+    ag = (
+        test.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("price").alias("sy"),
+            F.sum(F.col("price") * F.col("price")).alias("syy"),
+            F.sum(err * err).alias("se"),
+            F.sum(F.abs(err)).alias("sae"),
+            F.sum("ph").alias("sh"),
+            F.sum(F.col("ph") * F.col("ph")).alias("shh"),
+            F.sum(F.col("ph") * F.col("price")).alias("shy"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    n, sy, syy = ag["n"], ag["sy"], ag["syy"]
+    se, sae, sh, shh, shy = ag["se"], ag["sae"], ag["sh"], ag["shh"], ag["shy"]
+    cor = (shy - sh * sy / n) / math.sqrt(
+        (shh - sh * sh / n) * (syy - sy * sy / n)
+    )
+    out = spark.createDataFrame(
+        [
+            (
+                int(row["n"]),
+                int(n),
+                math.sqrt(se / n),
+                sae / n,
+                1 - se / (syy - sy * sy / n),
+                cor * cor,
+            )
+        ],
+        "n_train bigint, n_test bigint, rmse_usd double, mae_usd double,"
+        " r2 double, r2_cor double",
+    )
+    return out.select(
+        "n_train",
+        "n_test",
+        F.round("rmse_usd", 2).alias("rmse_usd"),
+        F.round("mae_usd", 2).alias("mae_usd"),
+        F.round("r2", 6).alias("r2"),
+        F.round("r2_cor", 6).alias("r2_cor"),
+    )
 
 
 # --------------------------------------------------------------------------

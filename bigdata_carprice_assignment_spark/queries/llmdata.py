@@ -808,6 +808,38 @@ def srp_knn_join_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("srp_knn_join_production_gate", oracle=_KNN_TOP1_ORACLE)
+def srp_knn_join_production_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the CHEAP production SRP profile: (design_cos
+    0.94, miss 1e-2) instead of the tight (0.94, 1e-4) contract the
+    adaptive gate pins. Because bands = ceil(ln miss / ln(1−p1)), the
+    looser miss buys EXACTLY half the bands at every adaptive width
+    (ln 1e-2 / ln 1e-4 = 1/2; at 13 bits: 19 tables vs 38, at 16: 28
+    vs 56) — so ~half the banding exchange and candidate volume. (The
+    superficially-cheaper-looking knob of lowering design_cos to 0.90
+    at 1e-2 is NOT cheap: holding a miss bound on more-distant pairs
+    costs almost all the savings back — 33 tables at 13 bits.) The
+    round-7 scale probe priced the tight contract at 7.07× per 10×
+    data; this gate demonstrates the recall/cost frontier is a KNOB —
+    the cheap profile must still reproduce DuckDB's brute-force top-1
+    at the planted-dup threshold on this corpus. Deterministic end to
+    end (md5 hyperplanes), so the hash check is stable at every SF.
+
+    Scale: same banded shape as the adaptive gate with half the
+    tables; candidate volume stays ~n^1.15 with a ~2× smaller
+    constant (probed at 10× in BENCH_SCALE_r08)."""
+    feats = _hashed_doc_features(spark, sf_dir)
+    top1 = S.srp_knn_join(
+        feats, "feat", "doc_id", k=1, band_bits=None,
+        design_cos=0.94, miss=1e-2,
+    )
+    return (
+        top1.filter(F.col("cosine") >= 0.85)
+        .select("doc_id", "nn_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("doc_id")
+    )
+
+
 @query("ivf_knn_join_adaptive_gate", oracle=_KNN_TOP1_ORACLE)
 def ivf_knn_join_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard correctness gate for the ADAPTIVE production IVF path
