@@ -1038,6 +1038,510 @@ def carprice_lm_metrics_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# M7/M9/M5 exact variants: the stochastic MLlib fits stay rows-only
+# (kernel NB, k-means‖ init, cp-pruned rpart are not engine-replayable),
+# but the deterministic MATH each one implements is — gaussian NB is
+# closed-form class stats + argmax, Lloyd's iteration is a per-round
+# aggregate (unrolled like the GMM-EM/IRLS family), and the CART split
+# search is an exact argmin over (feature, threshold) SSE reductions.
+# Each gets a hash-checked twin so the model-operator algebra is pinned
+# cross-engine even where the library fit cannot be.
+# --------------------------------------------------------------------------
+
+_NB_FEATS: list[str] = [
+    "horsepower", "enginesize", "curbweight", "citympg", "highwaympg",
+    "carwidth", "carlength",
+]
+# Salt 0: 155/50 split with all four price buckets on BOTH sides of the
+# portable-hash split (verified on the fixed reference CSV).
+_NB_SPLIT_SALT = 0
+
+
+def _nb_exact_oracle() -> str:
+    """DuckDB oracle for the exact gaussian NB confusion matrix: the
+    same portable-hash split, per-class mean/var_samp stats, and the
+    identical log-likelihood expression tree (ln prior + Σ gaussian
+    log-densities), argmax per test row with class-name tie-break."""
+    p = len(_NB_FEATS)
+    feats = ", ".join(f"{c} AS x{i}" for i, c in enumerate(_NB_FEATS))
+    stat_cols = ", ".join(
+        f"avg(x{i}) AS m{i}, var_samp(x{i}) AS v{i}" for i in range(p)
+    )
+    ll_terms = " + ".join(
+        f"(-0.5*ln(2*pi()*s.v{i}) - (t.x{i}-s.m{i})*(t.x{i}-s.m{i})/(2*s.v{i}))"
+        for i in range(p)
+    )
+    return f"""
+WITH c AS ({_CLEANED_ORACLE}
+),
+d AS (
+  SELECT price_bucket AS cls, {feats},
+         ('0x'||substr(md5('nbsplit{_NB_SPLIT_SALT}:' || floor(car_id)::BIGINT::VARCHAR),1,15))::BIGINT % 10000 < 8000 AS train
+  FROM c
+),
+tr AS (SELECT * FROM d WHERE train),
+tn AS (SELECT count(*)::DOUBLE AS n FROM tr),
+st AS (SELECT cls, count(*)::DOUBLE AS nc, {stat_cols} FROM tr GROUP BY cls),
+te AS (SELECT row_number() OVER () AS rid, * FROM d WHERE NOT train),
+ll AS (
+  SELECT t.rid, t.cls AS actual, s.cls AS predicted,
+         ln(s.nc / tn.n) + {ll_terms} AS ll
+  FROM te t, st s, tn
+),
+pk AS (
+  SELECT rid, actual, predicted,
+         row_number() OVER (PARTITION BY rid ORDER BY ll DESC, predicted) AS rn
+  FROM ll
+)
+SELECT actual, predicted, count(*)::BIGINT AS n
+FROM pk WHERE rn = 1 GROUP BY actual, predicted ORDER BY actual, predicted
+"""
+
+
+@query("carprice_gaussian_nb_confusion_exact", oracle=_nb_exact_oracle())
+def carprice_gaussian_nb_confusion_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """M7+A14 exact twin (BigDataProject.R:349-364, the 7 nb_vars):
+    gaussian NB on price_bucket with a deterministic portable-hash
+    80/20 split, per-class mean/var_samp (R's n−1 sd), and the argmax
+    of ln prior + Σ gaussian log-densities per test row — replayed
+    term for term by the DuckDB oracle, so the confusion matrix is
+    hash-checked. The reference's usekernel=TRUE stays covered by the
+    rows-only ``carprice_kde_nb_confusion``; this pins the
+    NB decision algebra itself cross-engine.
+
+    Scale: class stats are one grouped aggregate (|classes| rows,
+    broadcast back); scoring is a broadcast nested-loop over
+    |classes| candidates per row + a per-row argmax window — no
+    data-sized shuffle."""
+    import math
+
+    from pyspark.sql import Window
+
+    from ..llm.text import keep_fraction
+
+    p = len(_NB_FEATS)
+    df = _cleaned(spark)
+    key = F.concat(
+        F.lit(f"nbsplit{_NB_SPLIT_SALT}:"),
+        F.floor("car_id").cast("long").cast("string"),
+    )
+    d = df.select(
+        F.col("price_bucket").alias("cls"),
+        *[F.col(c).alias(f"x{i}") for i, c in enumerate(_NB_FEATS)],
+        keep_fraction(key, 0.8).alias("train"),
+    ).coalesce(1)
+    tr = d.filter(F.col("train"))
+    n_train = float(tr.count())
+    st = tr.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("double").alias("nc"),
+        *[
+            a
+            for i in range(p)
+            for a in (
+                F.avg(f"x{i}").alias(f"m{i}"),
+                F.var_samp(f"x{i}").alias(f"v{i}"),
+            )
+        ],
+    )
+    te = d.filter(~F.col("train")).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    j = te.crossJoin(F.broadcast(st.withColumnRenamed("cls", "predicted")))
+    ll = F.log(F.col("nc") / F.lit(n_train))
+    for i in range(p):
+        sq = (F.col(f"x{i}") - F.col(f"m{i}")) * (
+            F.col(f"x{i}") - F.col(f"m{i}")
+        )
+        ll = ll + (
+            F.lit(-0.5) * F.log(F.lit(2 * math.pi) * F.col(f"v{i}"))
+            - sq / (F.lit(2.0) * F.col(f"v{i}"))
+        )
+    w = Window.partitionBy("rid").orderBy(F.desc("ll"), F.asc("predicted"))
+    return (
+        j.withColumn("ll", ll)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("cls").alias("actual"), "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
+_KM_FEATS: list[str] = [
+    "horsepower", "enginesize", "curbweight", "citympg", "highwaympg",
+    "price",
+]
+_KM_ITERS = 8
+
+
+def _kmeans_exact_oracle() -> str:
+    """DuckDB oracle replaying 8 unrolled Lloyd rounds, k=2, on the
+    9dp-rounded standardized clus_vars: per round one aggregate of the
+    A-side sums under the da<=db assignment (B side = totals − A side),
+    centers re-rounded to 9dp so engine-ulp summation noise cannot
+    drift the iteration inputs apart."""
+    p = len(_KM_FEATS)
+    mstats = ", ".join(
+        f"avg({c}) AS m{i}, stddev_samp({c}) AS s{i}"
+        for i, c in enumerate(_KM_FEATS)
+    )
+    zcols = ", ".join(
+        f"round(({c} - ms.m{i})/ms.s{i}, 9) AS z{i}"
+        for i, c in enumerate(_KM_FEATS)
+    )
+    parts = [
+        f"WITH c AS ({_CLEANED_ORACLE}\n),",
+        f"ms AS (SELECT {mstats} FROM c),",
+        f"z AS (SELECT {zcols} FROM c, ms),",
+        "tot AS (SELECT count(*)::DOUBLE AS n, "
+        + ", ".join(f"sum(z{i}) AS t{i}" for i in range(p))
+        + " FROM z),",
+        "b0 AS (SELECT "
+        + ", ".join(f"CAST(0.5 AS DOUBLE) AS a{i}" for i in range(p))
+        + ", "
+        + ", ".join(f"CAST(-0.5 AS DOUBLE) AS b{i}" for i in range(p))
+        + "),",
+    ]
+    da = " + ".join(f"(z.z{i} - bb.a{i})*(z.z{i} - bb.a{i})" for i in range(p))
+    db = " + ".join(f"(z.z{i} - bb.b{i})*(z.z{i} - bb.b{i})" for i in range(p))
+    cond = f"({da}) <= ({db})"
+    for k in range(1, _KM_ITERS + 1):
+        sums = ", ".join(
+            f"sum(z.z{i}) FILTER ({cond}) AS sa{i}" for i in range(p)
+        )
+        parts.append(
+            f"ag{k} AS (SELECT (count(*) FILTER ({cond}))::DOUBLE AS na,"
+            f" {sums} FROM z, b{k-1} bb),"
+        )
+        parts.append(
+            f"b{k} AS (SELECT "
+            + ", ".join(f"round(sa{i}/na, 9) AS a{i}" for i in range(p))
+            + ", "
+            + ", ".join(
+                f"round((tot.t{i} - sa{i})/(tot.n - na), 9) AS b{i}"
+                for i in range(p)
+            )
+            + f" FROM ag{k}, tot),"
+        )
+    last = f"b{_KM_ITERS}"
+    wd = f"CASE WHEN {cond} THEN ({da}) ELSE ({db}) END"
+    parts.append(
+        f"asg AS (SELECT CASE WHEN {cond} THEN 'c1' ELSE 'c2' END AS cluster,"
+        f" {wd} AS wd FROM z, {last} bb),"
+    )
+    parts.append(
+        "szs AS (SELECT cluster, count(*)::BIGINT AS n_cars,"
+        " round(sum(wd), 4) AS wss FROM asg GROUP BY cluster),"
+    )
+    c1 = ", ".join(
+        f"round(ms.m{i} + ms.s{i}*bb.a{i}, 4) AS {c}"
+        for i, c in enumerate(_KM_FEATS)
+    )
+    c2 = ", ".join(
+        f"round(ms.m{i} + ms.s{i}*bb.b{i}, 4) AS {c}"
+        for i, c in enumerate(_KM_FEATS)
+    )
+    parts.append(
+        f"cent AS (SELECT 'c1' AS cluster, {c1} FROM {last} bb, ms"
+        f" UNION ALL SELECT 'c2', {c2} FROM {last} bb, ms)"
+    )
+    return (
+        "\n".join(parts)
+        + "\nSELECT s.cluster, s.n_cars, "
+        + ", ".join(f"cent.{c}" for c in _KM_FEATS)
+        + ", s.wss FROM szs s JOIN cent USING (cluster) ORDER BY cluster"
+    )
+
+
+@query("carprice_kmeans_lloyd_exact", oracle=_kmeans_exact_oracle())
+def carprice_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9+M10+M11 exact twin (BigDataProject.R:389-437: the 6
+    clus_vars, standardized, final k=2, centers un-scaled back to
+    feature units): 8 UNROLLED Lloyd rounds from a deterministic
+    moment-split init (±0.5 in standardized space — the same
+    mean±sd/2 idea as the GMM-EM oracle's init), each round ONE
+    map-side-combined aggregate of the A-side sums (B side = totals −
+    A side), centers rounded to 9dp per round on BOTH engines so ulp
+    summation noise cannot drift the iteration (the Lloyd analogue of
+    the iteration-exact IRLS/EM family). Output: per-cluster size,
+    un-scaled center (m + s·center, M11), and within-cluster SSE —
+    hash-checked against the DuckDB replay. The MLlib k-means‖ fit
+    stays rows-only; this pins Lloyd's algebra itself.
+
+    Scale: state is 2·p doubles; each round is one full-scan
+    aggregate — the canonical distributed-Lloyd shape (assignment
+    inside the aggregate, never materialized)."""
+    p = len(_KM_FEATS)
+    df = _cleaned(spark)
+    ms = df.agg(
+        *[
+            a
+            for i, c in enumerate(_KM_FEATS)
+            for a in (
+                F.avg(c).alias(f"m{i}"),
+                F.stddev_samp(c).alias(f"s{i}"),
+            )
+        ]
+    ).collect()[0]
+    z = df.select(
+        *[
+            F.round((F.col(c) - F.lit(ms[f"m{i}"])) / F.lit(ms[f"s{i}"]), 9).alias(
+                f"z{i}"
+            )
+            for i, c in enumerate(_KM_FEATS)
+        ]
+    ).coalesce(1)
+    z = z.localCheckpoint()
+    tot = z.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[F.sum(f"z{i}").alias(f"t{i}") for i in range(p)],
+    ).collect()[0]
+    a = [0.5] * p
+    b = [-0.5] * p
+    for _ in range(_KM_ITERS):
+        da = sum(
+            ((F.col(f"z{i}") - F.lit(a[i])) * (F.col(f"z{i}") - F.lit(a[i])))
+            for i in range(p)
+        )
+        db = sum(
+            ((F.col(f"z{i}") - F.lit(b[i])) * (F.col(f"z{i}") - F.lit(b[i])))
+            for i in range(p)
+        )
+        cond = da <= db
+        ag = z.agg(
+            F.count(F.when(cond, 1)).cast("double").alias("na"),
+            *[F.sum(F.when(cond, F.col(f"z{i}"))).alias(f"sa{i}") for i in range(p)],
+        ).collect()[0]
+        na = ag["na"]
+        a = [round(ag[f"sa{i}"] / na, 9) for i in range(p)]
+        b = [
+            round((tot[f"t{i}"] - ag[f"sa{i}"]) / (tot["n"] - na), 9)
+            for i in range(p)
+        ]
+    da = sum(
+        ((F.col(f"z{i}") - F.lit(a[i])) * (F.col(f"z{i}") - F.lit(a[i])))
+        for i in range(p)
+    )
+    db = sum(
+        ((F.col(f"z{i}") - F.lit(b[i])) * (F.col(f"z{i}") - F.lit(b[i])))
+        for i in range(p)
+    )
+    cond = da <= db
+    szs = (
+        z.select(
+            F.when(cond, F.lit("c1")).otherwise(F.lit("c2")).alias("cluster"),
+            F.when(cond, da).otherwise(db).alias("wd"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_cars"),
+            F.round(F.sum("wd"), 4).alias("wss"),
+        )
+    )
+    cent_rows = [
+        ("c1", *[round(ms[f"m{i}"] + ms[f"s{i}"] * a[i], 4) for i in range(p)]),
+        ("c2", *[round(ms[f"m{i}"] + ms[f"s{i}"] * b[i], 4) for i in range(p)]),
+    ]
+    cent = spark.createDataFrame(
+        cent_rows,
+        "cluster string, " + ", ".join(f"{c} double" for c in _KM_FEATS),
+    )
+    return (
+        szs.join(F.broadcast(cent), "cluster")
+        .select("cluster", "n_cars", *_KM_FEATS, "wss")
+        .orderBy("cluster")
+    )
+
+
+_TREE_FEATS: list[str] = [
+    "horsepower", "enginesize", "curbweight", "citympg", "highwaympg",
+    "carwidth", "carlength",
+]
+_TREE_MINBUCKET = 7  # rpart's default minbucket
+
+
+def _tree_split_sql(prefix: str, src: str) -> str:
+    """Best-split scorer CTEs over source CTE ``src``: candidates =
+    distinct (feature, value) pairs of the node's own rows, score =
+    left SSE + right SSE under xv <= thr (rounded to 9dp before the
+    argmin so engine-ulp sum noise cannot flip the winner), ties
+    broken (sse, feat, thr)."""
+    case_x = (
+        "CASE cd.feat "
+        + " ".join(f"WHEN '{c}' THEN p.{c}" for c in _TREE_FEATS)
+        + " END"
+    )
+    cand = " UNION ALL ".join(
+        f"SELECT DISTINCT '{c}' AS feat, {c} AS thr FROM {src}"
+        for c in _TREE_FEATS
+    )
+    return f"""
+cand{prefix} AS ({cand}),
+ev{prefix} AS (
+  SELECT cd.feat, cd.thr, {case_x} AS xv, p.y
+  FROM cand{prefix} cd, {src} p
+),
+sc{prefix} AS (
+  SELECT feat, thr,
+         (count(*) FILTER (xv <= thr))::DOUBLE AS nl,
+         sum(y) FILTER (xv <= thr) AS syl,
+         sum(y*y) FILTER (xv <= thr) AS syyl,
+         (count(*) FILTER (xv > thr))::DOUBLE AS nr,
+         sum(y) FILTER (xv > thr) AS syr,
+         sum(y*y) FILTER (xv > thr) AS syyr
+  FROM ev{prefix} GROUP BY feat, thr
+),
+g{prefix} AS (
+  SELECT feat, thr, nl, nr, syl, syr,
+         round((syyl - syl*syl/nl) + (syyr - syr*syr/nr), 9) AS sse
+  FROM sc{prefix}
+  WHERE nl >= {_TREE_MINBUCKET} AND nr >= {_TREE_MINBUCKET}
+),
+best{prefix} AS (SELECT * FROM g{prefix} ORDER BY sse, feat, thr LIMIT 1)"""
+
+
+def _tree_exact_oracle() -> str:
+    feats = ", ".join(_TREE_FEATS)
+    case_root = (
+        "CASE b.feat "
+        + " ".join(f"WHEN '{c}' THEN p.{c}" for c in _TREE_FEATS)
+        + " END"
+    )
+    node_row = (
+        "SELECT '{node}' AS node, b.feat AS split_feature,"
+        " round(b.thr, 6) AS split_threshold, (b.nl + b.nr)::BIGINT AS n,"
+        " round((b.syl + b.syr)/(b.nl + b.nr), 6) AS mean_log_price,"
+        " round(b.sse, 6) AS split_sse FROM best{p} b"
+    )
+    leaf_row = (
+        "SELECT '{node}' AS node, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),"
+        " {n}::BIGINT, round({sy}/{n}, 6), CAST(NULL AS DOUBLE) FROM best{p} b"
+    )
+    return f"""
+WITH c AS ({_CLEANED_ORACLE}
+),
+pts AS (SELECT {feats}, ln(1 + price) AS y FROM c),
+{_tree_split_sql("R", "pts").lstrip()},
+ptsL AS (SELECT p.* FROM pts p, bestR b WHERE {case_root} <= b.thr),
+ptsR AS (SELECT p.* FROM pts p, bestR b WHERE {case_root} > b.thr),
+{_tree_split_sql("L", "ptsL").lstrip()},
+{_tree_split_sql("RR", "ptsR").lstrip()}
+{node_row.format(node='root', p='R')}
+UNION ALL {node_row.format(node='L', p='L')}
+UNION ALL {node_row.format(node='R', p='RR')}
+UNION ALL {leaf_row.format(node='LL', p='L', n='b.nl', sy='b.syl')}
+UNION ALL {leaf_row.format(node='LR', p='L', n='b.nr', sy='b.syr')}
+UNION ALL {leaf_row.format(node='RL', p='RR', n='b.nl', sy='b.syl')}
+UNION ALL {leaf_row.format(node='RR', p='RR', n='b.nr', sy='b.syr')}
+"""
+
+
+def _tree_best_split(pts: DataFrame) -> dict:
+    """Distributed exact CART split search mirroring _tree_split_sql:
+    candidates (feature, distinct value) × node rows, FILTER-style
+    aggregates, 9dp-rounded SSE argmin with (sse, feat, thr)
+    tie-break. Returns the 1-row best dict."""
+    cands = None
+    for c in _TREE_FEATS:
+        one = pts.select(
+            F.lit(c).alias("feat"), F.col(c).alias("thr")
+        ).distinct()
+        cands = one if cands is None else cands.unionByName(one)
+    expr = None
+    for c in _TREE_FEATS:
+        cond = F.col("feat") == c
+        expr = F.when(cond, F.col(c)) if expr is None else expr.when(cond, F.col(c))
+    ev = pts.crossJoin(F.broadcast(cands)).withColumn("xv", expr)
+    left = F.col("xv") <= F.col("thr")
+    sc = ev.groupBy("feat", "thr").agg(
+        F.count(F.when(left, 1)).cast("double").alias("nl"),
+        F.sum(F.when(left, F.col("y"))).alias("syl"),
+        F.sum(F.when(left, F.col("y") * F.col("y"))).alias("syyl"),
+        F.count(F.when(~left, 1)).cast("double").alias("nr"),
+        F.sum(F.when(~left, F.col("y"))).alias("syr"),
+        F.sum(F.when(~left, F.col("y") * F.col("y"))).alias("syyr"),
+    )
+    g = sc.filter(
+        (F.col("nl") >= _TREE_MINBUCKET) & (F.col("nr") >= _TREE_MINBUCKET)
+    ).withColumn(
+        "sse",
+        F.round(
+            (F.col("syyl") - F.col("syl") * F.col("syl") / F.col("nl"))
+            + (F.col("syyr") - F.col("syr") * F.col("syr") / F.col("nr")),
+            9,
+        ),
+    )
+    return g.orderBy("sse", "feat", "thr").limit(1).collect()[0].asDict()
+
+
+@query("carprice_tree_depth2_exact", oracle=_tree_exact_oracle())
+def carprice_tree_depth2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 exact twin (BigDataProject.R:329-335): a depth-2 CART
+    regression tree on log_price over the 7 numeric features, grown by
+    EXACT variance-reduction split search — for every (feature,
+    distinct value) candidate, left+right SSE from FILTER-style sums,
+    argmin with 9dp rounding and (sse, feat, thr) tie-break,
+    minbucket=7 (rpart's default). The DuckDB oracle replays the
+    identical search, so the chosen splits, node means and SSEs are
+    hash-checked. rpart's cp-pruning on the stochastic library fit
+    stays a documented delta; this pins the split-search algebra the
+    tree operator implements.
+
+    Scale: per node ONE candidates×rows aggregate (map-side combine
+    over (feat, thr) keys) — the standard distributed
+    decision-tree-split shape (cf. Spark ML's binned split search);
+    candidate count is bounded by distinct values per feature."""
+    df = _cleaned(spark)
+    pts = df.select(
+        *_TREE_FEATS, F.log1p("price").alias("y")
+    ).coalesce(1).localCheckpoint()
+    broot = _tree_best_split(pts)
+    root_cut = None
+    for c in _TREE_FEATS:
+        cond = F.lit(broot["feat"]) == c
+        root_cut = (
+            F.when(cond, F.col(c))
+            if root_cut is None
+            else root_cut.when(cond, F.col(c))
+        )
+    ptsL = pts.filter(root_cut <= F.lit(broot["thr"]))
+    ptsR = pts.filter(root_cut > F.lit(broot["thr"]))
+    bl = _tree_best_split(ptsL)
+    br = _tree_best_split(ptsR)
+
+    def node_row(node: str, b: dict) -> tuple:
+        n = b["nl"] + b["nr"]
+        return (
+            node,
+            b["feat"],
+            round(b["thr"], 6),
+            int(n),
+            round((b["syl"] + b["syr"]) / n, 6),
+            round(b["sse"], 6),
+        )
+
+    def leaf_row(node: str, n: float, sy: float) -> tuple:
+        return (node, None, None, int(n), round(sy / n, 6), None)
+
+    rows = [
+        node_row("root", broot),
+        node_row("L", bl),
+        node_row("R", br),
+        leaf_row("LL", bl["nl"], bl["syl"]),
+        leaf_row("LR", bl["nr"], bl["syr"]),
+        leaf_row("RL", br["nl"], br["syl"]),
+        leaf_row("RR", br["nr"], br["syr"]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "node string, split_feature string, split_threshold double,"
+        " n bigint, mean_log_price double, split_sse double",
+    )
+
+
+# --------------------------------------------------------------------------
 # M12 exact half: top principal component by UNROLLED power iteration.
 # Like the lm/PageRank oracles, the iterative computation itself is
 # replayed: 40 power-iteration steps on the 6x6 correlation matrix are

@@ -320,6 +320,63 @@ def fpgrowth_rules_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fpgrowth_rules_ranked_top20",
+    oracle=_FPG_RULES_SQL
+    + """
+, f AS (
+  SELECT antecedent, consequent,
+         round(support, 6) AS support,
+         round(confidence, 6) AS confidence,
+         round(lift, 6) AS lift
+  FROM rules WHERE support >= 0.02 AND confidence >= 0.1
+)
+SELECT row_number() OVER (
+         ORDER BY lift DESC, antecedent, consequent
+       )::BIGINT AS rank,
+       antecedent, consequent, support, confidence, lift
+FROM f
+ORDER BY rank LIMIT 20
+""",
+)
+def fpgrowth_rules_ranked_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+T3 pinned under the hash: sort-rules-by-metric
+    (associationRules.R:126-131) and head/limit
+    (associationRules.R:133-139) emit an EXPLICIT ``rank`` column
+    (row_number over lift DESC with full name tie-breaks, computed
+    over 6dp-ROUNDED lift so engine-ulp noise cannot flip adjacent
+    ranks), so the driver's order-insensitive value hash now pins the
+    sort order and the limit boundary themselves — the two ops the
+    round-7 verdict listed as un-pinnable.
+
+    Scale: rank of a top-k result is a k-row single-partition window
+    AFTER the limit-pushdown-friendly filter; the heavy lifting stays
+    in the FPGrowth aggregate."""
+    from pyspark.sql import Window
+
+    tx = part_transactions(spark, sf_dir)
+    _, rules = R.mine_rules(tx, min_support=0.02, min_confidence=0.1)
+    f = rules.select(
+        F.concat_ws(",", F.sort_array("antecedent")).alias("antecedent"),
+        F.concat_ws(",", "consequent").alias("consequent"),
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    )
+    # deliberate bounded single-partition window (report-sized rule set
+    # after the support/confidence filter) — lit(0) marks it for the
+    # partitionless-window plan gate
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("lift"), "antecedent", "consequent"
+    )
+    return (
+        f.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "antecedent", "consequent", "support", "confidence", "lift")
+        .orderBy("rank")
+        .limit(20)
+    )
+
+
+@query(
     "rules_subset_size_rhs",
     oracle=_FPG_RULES_SQL
     + """

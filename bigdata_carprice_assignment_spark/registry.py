@@ -42,78 +42,81 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # in r1-r3 (143 checked, all green at last check) are rotated BEHIND the
 # window so never-checked oracle queries get their first hard check.
 PRIORITY: tuple[str, ...] = (
-    # ---- round-7 window head (50): clears the oracle backlog to ZERO.
-    # Positions 1-37: every oracle-backed query never driver-hash-checked
-    # in r1-r6 (CORRECTNESS_r01-r06 union — the staged round-7 queue).
-    # Positions 38-42: the five rows-only queries never driver-run even
-    # for rows>0. Positions 43-47: the five NEW-this-round oracle
-    # queries (F9 un-one-hot exact replay, HyperLogLog calibration,
-    # Count-Min heavy hitters, Bloom-filter join-pruning audit, windowed
-    # funnel conversion) — registered inside the window so cumulative
-    # oracle-checked stays 100% after this round.
-    # Positions 48-50: three rotated long-green sentinels covering the
-    # shared operator cores the round-6 verdict names (group-count agg,
-    # broadcast join, FPGrowth) so a systemic regression cannot hide
-    # behind a backlog-only window. All 47 oracle-backed entries are
-    # locally hash-green at sf0.001 AND sf0.01
-    # (tests/test_oracle_queries.py + tests/driver_mirror.py preflight).
-    "dsir_importance_weights",
-    "rrf_fused_retrieval_top10",
-    "part_skyline_pareto",
-    "copurchase_bfs_hop_histogram",
-    "position_weighted_attribution",
-    "ann_knn_label_vote",
-    "copurchase_clustering_coeff_hist",
-    "streaming_sliding_rollup_replay",
-    "carprice_body_profile_normalized",
-    "carprice_standardized_stats",
-    "holt_winters_weekly_daily_revenue",
-    "nn_matching_att_urgent_lag",
-    "session_event_trigrams_top",
-    "order_value_qq_period_drift",
-    "ams_f2_sketch_check",
-    "minhash_estimate_calibration",
-    "bm25_tfidf_rank_overlap",
-    "token_weighted_doc_sample",
-    "fd_histogram_order_values",
-    "pmi_collocations_top",
-    "doc_novelty_by_source",
-    "zipf_slope_fit",
-    "heldout_bigram_lm_eval",
-    "event_burst_band_join",
-    "time_weighted_user_value",
-    "int8_quantization_cosine_audit",
-    "boilerplate_shingle_dictionary",
-    "hard_negative_mining",
-    "tokenizer_fertility_by_lang",
-    "sorted_neighborhood_linkage",
-    "feature_hashing_collision_audit",
-    "functional_dependency_audit",
-    "categorical_entropy_profile",
-    "loo_target_encoding_stats",
-    "standardized_urgent_rate_by_segment",
-    "kfold_slope_stability",
-    "seasonal_naive_backtest",
-    # rows-only, never driver-run (rows>0 check + pytest pins):
-    "approx_vs_exact_stats",
-    "carprice_kde_nb_confusion",
+    # ---- round-8 window head (50). Cumulative oracle coverage reached
+    # 100% in r7, so this window = every NEW oracle query this round +
+    # the paths round 8 touched + the stalest long-green rotations
+    # (r1/r2-checked, never re-checked since) so silent regressions in
+    # the oldest greens cannot hide behind a fresh-query-only window.
+    #
+    # Positions 1-7: NEW oracle-backed queries this round — the exact
+    # train/test LM metrics battery (M1+M3+M4), the loess smoother
+    # conversion (was rows-only), the cheap-profile SRP recall gate,
+    # the gaussian-NB / Lloyd-kmeans / depth-2-CART exact twins
+    # (M7/M9-M11/M5 deterministic math), and the ranked top-20 rules
+    # query that pins T2 sort + T3 limit under the hash.
+    "carprice_lm_metrics_exact",
     "carprice_loess_smooth",
-    "hypothesis_suite",
-    "tukey_hsd_priority",
-    # new this round (oracle-backed, inside the window by construction):
-    "carprice_un_onehot_replay",
-    "hll_distinct_calibration",
-    "countmin_heavy_hitters_check",
-    "bloom_join_pruning_audit",
-    "event_funnel_conversion",
-    # rotated sentinels (long-green since r1-r2; the three operator
-    # cores the round-6 verdict names: agg, broadcast join, FPGrowth):
+    "srp_knn_join_production_gate",
+    "carprice_gaussian_nb_confusion_exact",
+    "carprice_kmeans_lloyd_exact",
+    "carprice_tree_depth2_exact",
+    "fpgrowth_rules_ranked_top20",
+    # Positions 8-9: the round-7 verdict's fix-pins (the reversed-sort
+    # window frame and DECIMAL credit sums land under the driver again).
+    "nn_matching_att_urgent_lag",
+    "position_weighted_attribution",
+    # Positions 10-12: paths this round's ADVICE fixes touched — the
+    # re-derived SRP hamming screen and the backtick-quoted minhash
+    # id_col SQL must be re-checked by the driver, not just locally.
+    "srp_knn_join_adaptive_gate",
+    "minhash_estimate_calibration",
+    "minhash_lsh_recall_pairs",
+    # Positions 13-15: the three long-green sentinels (agg, broadcast
+    # join, FPGrowth operator cores).
     "top10_part_brands",
     "region_revenue",
     "fpgrowth_rules",
-    # ---- everything else: previously driver-hash-green (r1-r5) and
-    # rows-only queries keep module registration order (handled by
-    # load_all: any registered query not named here follows after).
+    # Positions 16-50: stalest rotations — every oracle query whose
+    # last driver hash-check was r1 (23) plus the oldest r2 block (12);
+    # all locally preflighted green at sf0.01 before this round closed.
+    "cosine_topk_vs_query",
+    "customers_without_orders",
+    "daily_rollup_by_type",
+    "doc_fingerprint_stats",
+    "doc_lang_id_agreement",
+    "doc_quality_by_source",
+    "doc_token_stats_by_lang",
+    "embedding_norm_stats",
+    "event_props_json_extract",
+    "event_type_value_share",
+    "exact_dedup_documents",
+    "hourly_event_rollup",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "pair_association_rules",
+    "part_item_frequency",
+    "per_segment_rules",
+    "pricing_summary_report",
+    "rule_interest_measures",
+    "rules_subset_size_rhs",
+    "top_segment_order_stats",
+    "transaction_size_stats",
+    "user_sessionization",
+    "account_holders_union",
+    "asof_last_event_before_order",
+    "avg_log_price_by_segment",
+    "big_spenders_vs_segment",
+    "brand_recode_top5",
+    "chi2_independence_components",
+    "cube_qty_by_flag_status",
+    "customer_running_spend",
+    "customer_upsert_merge_accounting",
+    "doc_repetition_quality",
+    "embedding_near_dup_recall",
+    "eval_contamination_check",
+    # ---- everything else: previously driver-hash-green and rows-only
+    # queries keep module registration order (handled by load_all: any
+    # registered query not named here follows after).
 )
 
 
