@@ -302,7 +302,9 @@ HEADLINE: list[str] = [
     # graph traversal/structure, skyline, attribution, retrieval fusion,
     # corpus importance weighting, seasonal smoothing
     "srp_knn_join_adaptive_gate",
+    "srp_knn_join_production_gate",
     "ivf_knn_join_adaptive_gate",
+    "fpgrowth_rules_ranked_top20",
     "streaming_dedup_hourly_replay",
     "streaming_sessionization_replay",
     "streaming_attribution_replay",

@@ -1541,6 +1541,120 @@ def carprice_tree_depth2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GBT_ROUNDS = 3
+_GBT_SHRINK = 0.5
+
+
+def _gbt_exact_oracle() -> str:
+    """DuckDB oracle replaying 3 unrolled boosting rounds of depth-1
+    stumps with shrinkage 0.5 on log_price: per round the SAME
+    generated split search as the CART oracle runs on the CURRENT
+    residuals, leaf values (residual means) are rounded to 9dp before
+    the residual update on both engines (the boosting member of the
+    iteration-exact family), and the final row is the train RMSE of
+    the residuals."""
+    feats = ", ".join(_TREE_FEATS)
+
+    def case_x(alias: str, row: str) -> str:
+        return (
+            f"CASE {alias}.feat "
+            + " ".join(f"WHEN '{c}' THEN {row}.{c}" for c in _TREE_FEATS)
+            + " END"
+        )
+
+    parts = [
+        f"WITH c AS ({_CLEANED_ORACLE}\n),",
+        f"pts AS (SELECT {feats}, ln(1 + price) AS y0 FROM c),",
+        "f0 AS (SELECT avg(y0) AS f FROM pts),",
+        f"rs1 AS (SELECT {feats}, pts.y0 - f0.f AS y FROM pts, f0),",
+    ]
+    for t in range(1, _GBT_ROUNDS + 1):
+        parts.append(_tree_split_sql(f"B{t}", f"rs{t}").lstrip() + ",")
+        parts.append(
+            f"lv{t} AS (SELECT feat, thr, round(syl/nl, 9) AS lv,"
+            f" round(syr/nr, 9) AS rv FROM bestB{t}),"
+        )
+        parts.append(
+            f"rs{t + 1} AS (SELECT {', '.join('r.' + c for c in _TREE_FEATS)},"
+            f" r.y - {_GBT_SHRINK!r}*(CASE WHEN {case_x(f'lv{t}', 'r')}"
+            f" <= lv{t}.thr THEN lv{t}.lv ELSE lv{t}.rv END) AS y"
+            f" FROM rs{t} r, lv{t}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    finals = [
+        "SELECT 'f0' AS step, CAST(NULL AS VARCHAR) AS split_feature,"
+        " CAST(NULL AS DOUBLE) AS split_threshold,"
+        " round(f, 6) AS left_value, CAST(NULL AS DOUBLE) AS right_value"
+        " FROM f0"
+    ]
+    finals += [
+        f"SELECT 'round{t}', feat, round(thr, 6), round(lv, 6),"
+        f" round(rv, 6) FROM lv{t}"
+        for t in range(1, _GBT_ROUNDS + 1)
+    ]
+    finals.append(
+        "SELECT 'final_train_rmse_log', CAST(NULL AS VARCHAR),"
+        " CAST(NULL AS DOUBLE), round(sqrt(avg(y*y)), 6),"
+        f" CAST(NULL AS DOUBLE) FROM rs{_GBT_ROUNDS + 1}"
+    )
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(finals)
+
+
+@query("carprice_gbt_boost_exact", oracle=_gbt_exact_oracle())
+def carprice_gbt_boost_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8's slot (BigDataProject.R:366-382: the tuned nonlinear
+    regressor; Spark ML has no SVR so the engine ships CV+GBT there)
+    with its BOOSTING math made exact: 3 unrolled gradient-boosting
+    rounds of depth-1 stumps on log_price, squared loss (leaf value =
+    residual mean), shrinkage 0.5 — each round runs the same exact
+    CART split search as ``carprice_tree_depth2_exact`` on the current
+    residuals, leaf values are 9dp-rounded before the residual update
+    on BOTH engines so ulp noise cannot drift the iteration, and the
+    DuckDB oracle replays all three rounds plus the final train RMSE.
+    The stochastic CV+GBT library fit stays rows-only; this pins the
+    boosting recurrence itself cross-engine.
+
+    Scale: per round ONE candidates×rows aggregate + one narrow
+    residual projection — distributed boosting with driver state of
+    one (feat, thr, lv, rv) tuple per round."""
+    import math
+
+    df = _cleaned(spark)
+    pts = df.select(
+        *_TREE_FEATS, F.log1p("price").alias("y0")
+    ).coalesce(1).localCheckpoint()
+    f0 = pts.agg(F.avg("y0").alias("f")).collect()[0]["f"]
+    cur = pts.withColumn("y", F.col("y0") - F.lit(f0))
+    rows = [("f0", None, None, round(f0, 6), None)]
+    for t in range(1, _GBT_ROUNDS + 1):
+        b = _tree_best_split(cur)
+        lv = round(b["syl"] / b["nl"], 9)
+        rv = round(b["syr"] / b["nr"], 9)
+        rows.append(
+            (f"round{t}", b["feat"], round(b["thr"], 6), round(lv, 6),
+             round(rv, 6))
+        )
+        xv = None
+        for c in _TREE_FEATS:
+            cond = F.lit(b["feat"]) == c
+            xv = F.when(cond, F.col(c)) if xv is None else xv.when(cond, F.col(c))
+        cur = cur.withColumn(
+            "y",
+            F.col("y")
+            - F.lit(_GBT_SHRINK)
+            * F.when(xv <= F.lit(b["thr"]), F.lit(lv)).otherwise(F.lit(rv)),
+        )
+    mse = cur.agg(F.avg(F.col("y") * F.col("y")).alias("m")).collect()[0]["m"]
+    rows.append(
+        ("final_train_rmse_log", None, None, round(math.sqrt(mse), 6), None)
+    )
+    return spark.createDataFrame(
+        rows,
+        "step string, split_feature string, split_threshold double,"
+        " left_value double, right_value double",
+    )
+
+
 # --------------------------------------------------------------------------
 # M12 exact half: top principal component by UNROLLED power iteration.
 # Like the lm/PageRank oracles, the iterative computation itself is

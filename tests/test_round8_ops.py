@@ -279,3 +279,69 @@ def test_hamming_screen_sized_from_gate_threshold():
         mu_b = wide_bits / 2
         sd_b = math.sqrt(wide_bits * 0.25)
         assert (mu_b - thr) / sd_b > 10.0
+
+
+def test_gbt_boost_matches_numpy(spark):
+    """3 boosting rounds of depth-1 stumps (squared loss, shrinkage
+    0.5, 9dp-rounded leaf values) re-derived in numpy."""
+    from bigdata_carprice_assignment_spark.queries.carprice import (
+        _GBT_ROUNDS,
+        _GBT_SHRINK,
+    )
+
+    pdf = _cleaned_pdf()
+    y0 = np.log1p(pdf["price"].to_numpy(float))
+    feats = {f: pdf[f].to_numpy(float) for f in _TREE_FEATS}
+    f0 = float(y0.mean())
+    r = y0 - f0
+    want = [("f0", None, None, round(f0, 6), None)]
+    for t in range(1, _GBT_ROUNDS + 1):
+        cands = []
+        for f in sorted(_TREE_FEATS):
+            xv = feats[f]
+            for thr in np.unique(xv):
+                lm = xv <= thr
+                nl, nr = int(lm.sum()), int((~lm).sum())
+                if nl < _TREE_MINBUCKET or nr < _TREE_MINBUCKET:
+                    continue
+                rl, rr = r[lm], r[~lm]
+                sse = round(
+                    float((rl**2).sum() - rl.sum() ** 2 / nl)
+                    + float((rr**2).sum() - rr.sum() ** 2 / nr),
+                    9,
+                )
+                cands.append((sse, f, float(thr), nl, nr))
+        sse, f, thr, nl, nr = min(cands)
+        lm = feats[f] <= thr
+        lv = round(float(r[lm].mean()), 9)
+        rv = round(float(r[~lm].mean()), 9)
+        want.append((f"round{t}", f, round(thr, 6), round(lv, 6), round(rv, 6)))
+        r = r - _GBT_SHRINK * np.where(lm, lv, rv)
+    want.append(
+        (
+            "final_train_rmse_log",
+            None,
+            None,
+            round(math.sqrt(float((r**2).mean())), 6),
+            None,
+        )
+    )
+    got = [
+        (
+            x["step"],
+            x["split_feature"],
+            x["split_threshold"],
+            x["left_value"],
+            x["right_value"],
+        )
+        for x in _run("carprice_gbt_boost_exact").collect()
+    ]
+    for w, g in zip(want, got):
+        assert w[0] == g[0] and w[1] == g[1]
+        for wi, gi in zip(w[2:], g[2:]):
+            if wi is None:
+                assert gi is None
+            else:
+                assert gi == pytest.approx(wi, abs=2e-6)
+    # boosting must reduce training RMSE vs the constant model
+    assert want[-1][3] < math.sqrt(float(((y0 - f0) ** 2).mean()))
