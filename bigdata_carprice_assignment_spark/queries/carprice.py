@@ -1422,10 +1422,10 @@ def _tree_exact_oracle() -> str:
     return f"""
 WITH c AS ({_CLEANED_ORACLE}
 ),
-pts AS (SELECT {feats}, ln(1 + price) AS y FROM c),
+pts AS MATERIALIZED (SELECT {feats}, ln(1 + price) AS y FROM c),
 {_tree_split_sql("R", "pts").lstrip()},
-ptsL AS (SELECT p.* FROM pts p, bestR b WHERE {case_root} <= b.thr),
-ptsR AS (SELECT p.* FROM pts p, bestR b WHERE {case_root} > b.thr),
+ptsL AS MATERIALIZED (SELECT p.* FROM pts p, bestR b WHERE {case_root} <= b.thr),
+ptsR AS MATERIALIZED (SELECT p.* FROM pts p, bestR b WHERE {case_root} > b.thr),
 {_tree_split_sql("L", "ptsL").lstrip()},
 {_tree_split_sql("RR", "ptsR").lstrip()}
 {node_row.format(node='root', p='R')}
@@ -1564,9 +1564,10 @@ def _gbt_exact_oracle() -> str:
 
     parts = [
         f"WITH c AS ({_CLEANED_ORACLE}\n),",
-        f"pts AS (SELECT {feats}, ln(1 + price) AS y0 FROM c),",
+        f"pts AS MATERIALIZED (SELECT {feats}, ln(1 + price) AS y0 FROM c),",
         "f0 AS (SELECT avg(y0) AS f FROM pts),",
-        f"rs1 AS (SELECT {feats}, pts.y0 - f0.f AS y FROM pts, f0),",
+        f"rs1 AS MATERIALIZED (SELECT {feats}, pts.y0 - f0.f AS y"
+        " FROM pts, f0),",
     ]
     for t in range(1, _GBT_ROUNDS + 1):
         parts.append(_tree_split_sql(f"B{t}", f"rs{t}").lstrip() + ",")
@@ -1575,7 +1576,8 @@ def _gbt_exact_oracle() -> str:
             f" round(syr/nr, 9) AS rv FROM bestB{t}),"
         )
         parts.append(
-            f"rs{t + 1} AS (SELECT {', '.join('r.' + c for c in _TREE_FEATS)},"
+            f"rs{t + 1} AS MATERIALIZED"
+            f" (SELECT {', '.join('r.' + c for c in _TREE_FEATS)},"
             f" r.y - {_GBT_SHRINK!r}*(CASE WHEN {case_x(f'lv{t}', 'r')}"
             f" <= lv{t}.thr THEN lv{t}.lv ELSE lv{t}.rv END) AS y"
             f" FROM rs{t} r, lv{t}),"
