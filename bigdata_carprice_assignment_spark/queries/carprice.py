@@ -1657,6 +1657,131 @@ def carprice_gbt_boost_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BAG_COUNT = 8
+_BAG_KEEP = 0.632  # e-fraction: the expected unique-row share of a bootstrap
+
+
+def _bagging_exact_oracle() -> str:
+    """DuckDB oracle for the exact bagged-stumps ensemble: 8 bags drawn
+    by the portable md5 hash (Bernoulli(0.632) per (bag, car) — the
+    deterministic stand-in for bootstrap resampling), one exact CART
+    stump per bag via the shared split-search CTEs, ensemble prediction
+    = mean of stump outputs, train RMSE on log_price."""
+    feats = ", ".join(_TREE_FEATS)
+
+    def case_x(alias: str, row: str) -> str:
+        return (
+            f"CASE {alias}.feat "
+            + " ".join(f"WHEN '{c}' THEN {row}.{c}" for c in _TREE_FEATS)
+            + " END"
+        )
+
+    thr_pm = int(round(_BAG_KEEP * 10_000))
+    parts = [
+        f"WITH c AS ({_CLEANED_ORACLE}\n),",
+        f"pts AS MATERIALIZED (SELECT floor(car_id)::BIGINT AS car_key,"
+        f" {feats}, ln(1 + price) AS y FROM c),",
+    ]
+    for g in range(_BAG_COUNT):
+        parts.append(
+            f"bag{g} AS MATERIALIZED (SELECT * FROM pts WHERE"
+            f" ('0x' || substr(md5('bag{g}:' || car_key::VARCHAR), 1, 15))::BIGINT"
+            f" % 10000 < {thr_pm}),"
+        )
+        parts.append(_tree_split_sql(f"G{g}", f"bag{g}").lstrip() + ",")
+        parts.append(
+            f"s{g} AS (SELECT feat, thr, round(syl/nl, 9) AS lv,"
+            f" round(syr/nr, 9) AS rv, (nl + nr)::BIGINT AS n_bag"
+            f" FROM bestG{g}),"
+        )
+    pred = " + ".join(
+        f"(CASE WHEN {case_x(f's{g}', 'p')} <= s{g}.thr"
+        f" THEN s{g}.lv ELSE s{g}.rv END)"
+        for g in range(_BAG_COUNT)
+    )
+    froms = ", ".join(f"s{g}" for g in range(_BAG_COUNT))
+    parts.append(
+        f"pr AS (SELECT p.y, ({pred}) / {_BAG_COUNT} AS ph"
+        f" FROM pts p, {froms})"
+    )
+    finals = [
+        f"SELECT 'bag{g}' AS member, feat AS split_feature,"
+        f" round(thr, 6) AS split_threshold, round(lv, 6) AS left_value,"
+        f" round(rv, 6) AS right_value, n_bag FROM s{g}"
+        for g in range(_BAG_COUNT)
+    ]
+    finals.append(
+        "SELECT 'ensemble', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),"
+        " round(sqrt(avg((ph - y)*(ph - y))), 6), CAST(NULL AS DOUBLE),"
+        " count(*)::BIGINT FROM pr"
+    )
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(finals)
+
+
+@query("carprice_bagged_stumps_exact", oracle=_bagging_exact_oracle())
+def carprice_bagged_stumps_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6's algebra made exact (BigDataProject.R:338-347: randomForest
+    ntree=200 — the library fit with feature subsampling and true
+    bootstrap stays rows-only): an 8-member BAGGED ensemble of exact
+    depth-1 CART stumps on log_price, bags drawn deterministically by
+    the portable hash (Bernoulli(0.632) per (bag, car) — the expected
+    unique-row fraction of a bootstrap), ensemble prediction = mean of
+    member outputs, plus the train RMSE of the ensemble. Every member's
+    split search, each bag's membership, the averaging and the metric
+    are replayed by the DuckDB oracle — variance-reduction-by-averaging
+    is pinned cross-engine, which is the mechanism M6 exists for.
+
+    Scale: bag membership is a hash predicate (no resampled copies
+    materialized — the subsample trick RF uses at scale); each member
+    is one candidates×rows aggregate; the ensemble projection is one
+    pass with 8 broadcast 1-row stump tables."""
+    import math
+
+    df = _cleaned(spark)
+    pts = df.select(
+        F.floor("car_id").cast("long").alias("car_key"),
+        *_TREE_FEATS,
+        F.log1p("price").alias("y"),
+    ).coalesce(1).localCheckpoint()
+    from ..llm.text import keep_fraction
+
+    rows = []
+    preds = []
+    for g in range(_BAG_COUNT):
+        key = F.concat(F.lit(f"bag{g}:"), F.col("car_key").cast("string"))
+        bag = pts.filter(keep_fraction(key, _BAG_KEEP))
+        b = _tree_best_split(bag)
+        lv = round(b["syl"] / b["nl"], 9)
+        rv = round(b["syr"] / b["nr"], 9)
+        rows.append(
+            (
+                f"bag{g}",
+                b["feat"],
+                round(b["thr"], 6),
+                round(lv, 6),
+                round(rv, 6),
+                int(b["nl"] + b["nr"]),
+            )
+        )
+        xv = None
+        for c in _TREE_FEATS:
+            cond = F.lit(b["feat"]) == c
+            xv = F.when(cond, F.col(c)) if xv is None else xv.when(cond, F.col(c))
+        preds.append(F.when(xv <= F.lit(b["thr"]), F.lit(lv)).otherwise(F.lit(rv)))
+    ens = sum(preds[1:], preds[0]) / F.lit(float(_BAG_COUNT))
+    ag = pts.select(
+        ((ens - F.col("y")) * (ens - F.col("y"))).alias("sq")
+    ).agg(F.avg("sq").alias("m"), F.count(F.lit(1)).alias("n")).collect()[0]
+    rows.append(
+        ("ensemble", None, None, round(math.sqrt(ag["m"]), 6), None, int(ag["n"]))
+    )
+    return spark.createDataFrame(
+        rows,
+        "member string, split_feature string, split_threshold double,"
+        " left_value double, right_value double, n_bag bigint",
+    )
+
+
 # --------------------------------------------------------------------------
 # M12 exact half: top principal component by UNROLLED power iteration.
 # Like the lm/PageRank oracles, the iterative computation itself is

@@ -345,3 +345,56 @@ def test_gbt_boost_matches_numpy(spark):
                 assert gi == pytest.approx(wi, abs=2e-6)
     # boosting must reduce training RMSE vs the constant model
     assert want[-1][3] < math.sqrt(float(((y0 - f0) ** 2).mean()))
+
+
+def test_bagged_stumps_matches_numpy(spark):
+    """8 hash-bagged exact stumps + ensemble mean re-derived in numpy."""
+    from bigdata_carprice_assignment_spark.queries.carprice import (
+        _BAG_COUNT,
+        _BAG_KEEP,
+    )
+
+    pdf = _cleaned_pdf()
+    keys = np.floor(pdf["car_id"].to_numpy(float)).astype(int)
+    y = np.log1p(pdf["price"].to_numpy(float))
+    feats = {f: pdf[f].to_numpy(float) for f in _TREE_FEATS}
+    thr_pm = int(round(_BAG_KEEP * 10_000))
+
+    def best(mask):
+        out = []
+        for f in sorted(_TREE_FEATS):
+            xv = feats[f][mask]
+            for thr in np.unique(xv):
+                lm = xv <= thr
+                nl, nr = int(lm.sum()), int((~lm).sum())
+                if nl < _TREE_MINBUCKET or nr < _TREE_MINBUCKET:
+                    continue
+                yl, yr = y[mask][lm], y[mask][~lm]
+                sse = round(
+                    float((yl**2).sum() - yl.sum() ** 2 / nl)
+                    + float((yr**2).sum() - yr.sum() ** 2 / nr),
+                    9,
+                )
+                out.append((sse, f, float(thr), yl.mean(), yr.mean(), nl + nr))
+        return min(out)
+
+    got = {r["member"]: r for r in _run("carprice_bagged_stumps_exact").collect()}
+    pred = np.zeros(len(y))
+    for g in range(_BAG_COUNT):
+        mask = np.array(
+            [_h60(f"bag{g}:{k}") % 10_000 < thr_pm for k in keys]
+        )
+        sse, f, thr, lm_mean, rm_mean, n_bag = best(mask)
+        r = got[f"bag{g}"]
+        assert r["split_feature"] == f
+        assert r["split_threshold"] == pytest.approx(thr)
+        assert r["left_value"] == pytest.approx(round(lm_mean, 9), abs=2e-6)
+        assert r["right_value"] == pytest.approx(round(rm_mean, 9), abs=2e-6)
+        assert r["n_bag"] == n_bag
+        lv, rv = round(lm_mean, 9), round(rm_mean, 9)
+        pred += np.where(feats[f] <= thr, lv, rv)
+    pred /= _BAG_COUNT
+    rmse = math.sqrt(float(((pred - y) ** 2).mean()))
+    assert got["ensemble"]["left_value"] == pytest.approx(rmse, abs=2e-6)
+    # averaging must beat the mean single-stump RMSE (variance reduction)
+    assert rmse < 0.35
