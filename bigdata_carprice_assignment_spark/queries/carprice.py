@@ -761,28 +761,62 @@ def _lm_exact_oracle(lam: float = 0.0) -> str:
 _LM_SPLIT_SALT = 2
 
 
-def _lm_metrics_oracle() -> str:
-    """DuckDB oracle for carprice_lm_metrics_exact: ml matrix with the
-    split key, portable-hash 80/20 split, the SAME unrolled Cholesky
+# Stratified variant (caret's createDataPartition stratifies on the
+# target; its quartile strata ARE the pipeline's price_bucket): the
+# keep-decision hashes (bucket, car) so each bucket splits ~80/20
+# independently. Salt 0 covers all 28 brand levels in train AND all 4
+# buckets on both sides (152/53; verified on the fixed reference CSV).
+_LM_STRAT_SALT = 0
+
+
+def _lm_metrics_oracle(stratified: bool = False) -> str:
+    """DuckDB oracle for the exact train/test metrics queries: ml
+    matrix with the split key, portable-hash 80/20 split (plain, or
+    stratified within each price_bucket), the SAME unrolled Cholesky
     solve on the train side, then $-scale RMSE/MAE/R²/cor² on the
     exp(pred)−1 back-transformed test predictions — all from one
     sufficient-sums aggregate so both engines evaluate the identical
     closed forms."""
     p = len(_LM_PREDS)
     x = [f"x{i}" for i in range(p)]
-    ml_with_key = _ML_ORACLE.replace(
-        "SELECT w.horsepower,",
-        "SELECT floor(w.car_id)::BIGINT AS car_key, w.horsepower,",
-        1,
-    )
+    if stratified:
+        dummies = ", ".join(
+            "CASE WHEN brand = '{lv}' THEN 1.0 ELSE 0.0 END AS \"{c}\"".format(
+                lv="Nissan" if c == "brand_Nissan_uc" else c[len("brand_"):],
+                c=c,
+            )
+            for c in _LM_PREDS
+            if c.startswith("brand_")
+        )
+        numerics = ", ".join(
+            c for c in _LM_PREDS if not c.startswith("brand_")
+        )
+        ml_with_key = (
+            f"SELECT floor(car_id)::BIGINT AS car_key, price_bucket,"
+            f" {numerics}, {dummies}, price FROM ({_CLEANED_ORACLE}\n)"
+        )
+        split = (
+            f"('0x' || substr(md5('strat{_LM_STRAT_SALT}:' || price_bucket"
+            f" || ':' || car_key::VARCHAR), 1, 15))::BIGINT % 10000 < 8000"
+        )
+    else:
+        ml_with_key = _ML_ORACLE.replace(
+            "SELECT w.horsepower,",
+            "SELECT floor(w.car_id)::BIGINT AS car_key, w.horsepower,",
+            1,
+        )
+        split = (
+            f"('0x' || substr(md5('lmsplit{_LM_SPLIT_SALT}:' ||"
+            f" car_key::VARCHAR), 1, 15))::BIGINT % 10000 < 8000"
+        )
     parts = [f"WITH ml AS ({ml_with_key}\n),"]
     sel = ", ".join(f'"{c}" AS {x[i]}' for i, c in enumerate(_LM_PREDS))
     parts.append(
         "mlx0 AS (SELECT "
         + sel
         + ", ln(1 + price) AS y, price, "
-        + f"('0x' || substr(md5('lmsplit{_LM_SPLIT_SALT}:' || car_key::VARCHAR), 1, 15))::BIGINT"
-        + " % 10000 < 8000 AS train FROM ml),"
+        + split
+        + " AS train FROM ml),"
     )
     parts.append("mlx AS (SELECT * FROM mlx0 WHERE train),")
     parts += _cholesky_cte_parts()
@@ -960,16 +994,69 @@ def carprice_lm_metrics_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~700 doubles, one pass for the 8 test error sums — the exact-OLS
     train/test evaluation shape that needs no iterative shuffles at
     100 TB."""
-    import math
-    from functools import reduce
-
     from ..llm.text import keep_fraction
 
     ml = _ml_matrix_with_key(spark, sf_dir).coalesce(1)
     key = F.concat(
         F.lit(f"lmsplit{_LM_SPLIT_SALT}:"), F.col("car_key").cast("string")
     )
-    ml = ml.withColumn("train", keep_fraction(key, 0.8))
+    return _lm_metrics_frame(spark, ml.withColumn("train", keep_fraction(key, 0.8)))
+
+
+@query("carprice_lm_metrics_stratified_exact", oracle=_lm_metrics_oracle(stratified=True))
+def carprice_lm_metrics_stratified_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STRATIFIED twin of ``carprice_lm_metrics_exact`` — closing
+    the last documented split-fidelity delta: caret's
+    createDataPartition (BigDataProject.R:291) stratifies on the
+    target, and the pipeline's price_bucket quartiles ARE that
+    stratification, so the keep-decision here hashes (bucket, car) and
+    every bucket splits ~80/20 independently (152/53 overall, each
+    bucket within ±7 rows of its 80% line). Fit and metrics machinery
+    identical to the plain variant; the oracle replays the stratified
+    decision, the solve and the $-scale metrics end to end.
+
+    Scale: stratification adds zero passes — the stratum is already a
+    column, the keep-decision stays a per-row hash predicate."""
+    from ..llm.text import keep_fraction
+
+    df = _cleaned(spark)
+    features = [c for c in cp.ML_VARS if c not in ("log_price", "brand")]
+    base = df.select(
+        "car_id", "price_bucket", *features, "brand", "price"
+    ).dropna()
+    levels = cp.brand_levels(base)
+    dummies = [
+        F.when(F.col("brand") == lv, 1.0)
+        .otherwise(0.0)
+        .alias("brand_Nissan_uc" if lv == "Nissan" else f"brand_{lv}")
+        for lv in levels[1:]
+    ]
+    ml = base.select(
+        F.floor("car_id").cast("long").alias("car_key"),
+        F.col("price_bucket"),
+        *[F.col(c) for c in features],
+        *dummies,
+        F.col("price"),
+    ).coalesce(1)
+    key = F.concat(
+        F.lit(f"strat{_LM_STRAT_SALT}:"),
+        F.col("price_bucket"),
+        F.lit(":"),
+        F.col("car_key").cast("string"),
+    )
+    return _lm_metrics_frame(spark, ml.withColumn("train", keep_fraction(key, 0.8)))
+
+
+def _lm_metrics_frame(spark: SparkSession, ml: DataFrame) -> DataFrame:
+    """Shared exact train/test metrics body: closed-form OLS on the
+    ``train`` side of ``ml`` (columns = _LM_PREDS + price + train),
+    $-scale RMSE/MAE/R²/cor² on the test side — mirrors
+    :func:`_lm_metrics_oracle` term for term."""
+    import math
+    from functools import reduce
+
     train = ml.filter(F.col("train"))
     p = len(_LM_PREDS)
     xs = [F.col(f"`{c}`") for c in _LM_PREDS]

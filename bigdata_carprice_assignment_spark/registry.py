@@ -48,7 +48,7 @@ PRIORITY: tuple[str, ...] = (
     # (r1/r2-checked, never re-checked since) so silent regressions in
     # the oldest greens cannot hide behind a fresh-query-only window.
     #
-    # Positions 1-9: NEW oracle-backed queries this round — the exact
+    # Positions 1-10: NEW oracle-backed queries this round — the exact
     # train/test LM metrics battery (M1+M3+M4), the loess smoother
     # conversion (was rows-only), the cheap-profile SRP recall gate,
     # the gaussian-NB / Lloyd-kmeans / depth-2-CART exact twins
@@ -57,6 +57,7 @@ PRIORITY: tuple[str, ...] = (
     # exact 3-round boosting twin (M8 slot) and the 8-member bagged
     # exact-stumps ensemble (M6 algebra).
     "carprice_lm_metrics_exact",
+    "carprice_lm_metrics_stratified_exact",
     "carprice_loess_smooth",
     "srp_knn_join_production_gate",
     "carprice_gaussian_nb_confusion_exact",
@@ -65,23 +66,23 @@ PRIORITY: tuple[str, ...] = (
     "fpgrowth_rules_ranked_top20",
     "carprice_gbt_boost_exact",
     "carprice_bagged_stumps_exact",
-    # Positions 10-11: the round-7 verdict's fix-pins (the reversed-sort
+    # Positions 11-12: the round-7 verdict's fix-pins (the reversed-sort
     # window frame and DECIMAL credit sums land under the driver again).
     "nn_matching_att_urgent_lag",
     "position_weighted_attribution",
-    # Positions 12-14: paths this round's ADVICE fixes touched — the
+    # Positions 13-15: paths this round's ADVICE fixes touched — the
     # re-derived SRP hamming screen and the backtick-quoted minhash
     # id_col SQL must be re-checked by the driver, not just locally.
     "srp_knn_join_adaptive_gate",
     "minhash_estimate_calibration",
     "minhash_lsh_recall_pairs",
-    # Positions 15-17: the three long-green sentinels (agg, broadcast
+    # Positions 16-18: the three long-green sentinels (agg, broadcast
     # join, FPGrowth operator cores).
     "top10_part_brands",
     "region_revenue",
     "fpgrowth_rules",
-    # Positions 18-50: stalest rotations — every oracle query whose
-    # last driver hash-check was r1 (23) plus the oldest r2 block (10);
+    # Positions 19-50: stalest rotations — every oracle query whose
+    # last driver hash-check was r1 (23) plus the oldest r2 block (9);
     # all locally preflighted green at sf0.01 before this round closed.
     "cosine_topk_vs_query",
     "customers_without_orders",
@@ -115,7 +116,6 @@ PRIORITY: tuple[str, ...] = (
     "cube_qty_by_flag_status",
     "customer_running_spend",
     "customer_upsert_merge_accounting",
-    "doc_repetition_quality",
     # ---- everything else: previously driver-hash-green and rows-only
     # queries keep module registration order (handled by load_all: any
     # registered query not named here follows after).

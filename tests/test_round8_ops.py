@@ -398,3 +398,32 @@ def test_bagged_stumps_matches_numpy(spark):
     assert got["ensemble"]["left_value"] == pytest.approx(rmse, abs=2e-6)
     # averaging must beat the mean single-stump RMSE (variance reduction)
     assert rmse < 0.35
+
+
+def test_lm_metrics_stratified_split(spark):
+    """The stratified variant must split ~80/20 WITHIN each price
+    bucket and report metrics in the same ballpark as the plain
+    split (same model family, different 20% holdout)."""
+    from bigdata_carprice_assignment_spark.queries.carprice import (
+        _LM_STRAT_SALT,
+    )
+
+    pdf = _cleaned_pdf()
+    keys = np.floor(pdf["car_id"].to_numpy(float)).astype(int)
+    keep = np.array(
+        [
+            _h60(f"strat{_LM_STRAT_SALT}:{b}:{k}") % 10_000 < 8_000
+            for b, k in zip(pdf["price_bucket"], keys)
+        ]
+    )
+    row = _run("carprice_lm_metrics_stratified_exact").collect()[0]
+    assert row["n_train"] == int(keep.sum())
+    assert row["n_test"] == int((~keep).sum())
+    # per-bucket 80/20 within a few rows
+    for b in pdf["price_bucket"].unique():
+        m = pdf["price_bucket"].to_numpy() == b
+        frac = keep[m].mean()
+        assert 0.65 <= frac <= 0.95, (b, frac)
+    assert 0.5 < row["r2"] <= 1.0
+    plain = _run("carprice_lm_metrics_exact").collect()[0]
+    assert abs(row["r2"] - plain["r2"]) < 0.35
