@@ -1256,6 +1256,252 @@ def carprice_gaussian_nb_confusion_exact(
     )
 
 
+_KDE_FEATS: list[str] = [
+    "horsepower", "enginesize", "curbweight", "citympg", "carwidth",
+]
+_KDE_GRID = 512
+_KDE_CUT = 3.0
+_KDE_THRESHOLD = 0.001
+
+
+def _kde_nb_exact_oracle() -> str:
+    """DuckDB oracle replaying the WHOLE kernel-density NB pipeline:
+    portable-hash split, per-(class, feature) bw.nrd0 bandwidths
+    (0.9·min(sd, IQR/1.349)·n^(−1/5); quantile_cont IS type-7, the
+    same interpolation Spark's exact percentile uses), gaussian KDE on
+    the 512-point [min−3bw, max+3bw] grid, index-linear interpolation
+    at test values (0 outside the grid — np.interp's left/right
+    semantics), klaR's 0.001 density floor, ln-prior + Σ log-density
+    argmax, confusion counts."""
+    melt_tr = " UNION ALL ".join(
+        f"SELECT cls, {fi} AS fi, x{fi} AS v FROM tr"
+        for fi in range(len(_KDE_FEATS))
+    )
+    melt_te = " UNION ALL ".join(
+        f"SELECT rid, cls AS actual, {fi} AS fi, x{fi} AS v FROM te"
+        for fi in range(len(_KDE_FEATS))
+    )
+    feats = ", ".join(f"{c} AS x{i}" for i, c in enumerate(_KDE_FEATS))
+    g = _KDE_GRID - 1
+    cut = f"{_KDE_CUT!r}"
+    return f"""
+WITH c AS ({_CLEANED_ORACLE}
+),
+d AS (
+  SELECT price_bucket AS cls, {feats},
+         ('0x'||substr(md5('nbsplit{_NB_SPLIT_SALT}:' || floor(car_id)::BIGINT::VARCHAR),1,15))::BIGINT % 10000 < 8000 AS train
+  FROM c
+),
+tr AS MATERIALIZED (SELECT * FROM d WHERE train),
+tn AS (SELECT count(*)::DOUBLE AS n FROM tr),
+pri AS MATERIALIZED (SELECT cls, count(*)::DOUBLE AS nc FROM tr GROUP BY cls),
+m AS MATERIALIZED ({melt_tr}),
+st AS (
+  SELECT cls, fi, count(*)::DOUBLE AS n, stddev_samp(v) AS sd,
+         quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3,
+         min(v) AS mn, max(v) AS mx
+  FROM m GROUP BY cls, fi
+),
+bwt AS MATERIALIZED (
+  SELECT cls, fi, n, mn, mx,
+         0.9 * least(sd, (q3 - q1)/1.349) * pow(n, -0.2) AS bw
+  FROM st
+),
+bnd AS MATERIALIZED (
+  SELECT cls, fi, n, bw, mn - {cut}*bw AS lo, mx + {cut}*bw AS hi FROM bwt
+),
+grid AS MATERIALIZED (
+  SELECT b.cls, b.fi, b.n, b.bw, b.lo, b.hi, gg.range AS gi,
+         b.lo + (b.hi - b.lo) * gg.range / {g} AS gx
+  FROM bnd b, range(0, {_KDE_GRID}) gg
+),
+dens AS MATERIALIZED (
+  SELECT g.cls, g.fi, g.gi,
+         sum(exp(-0.5 * ((m.v - g.gx)/g.bw) * ((m.v - g.gx)/g.bw)))
+           / (g.n * g.bw * sqrt(2*pi())) AS gd
+  FROM grid g JOIN m ON m.cls = g.cls AND m.fi = g.fi
+  GROUP BY g.cls, g.fi, g.gi, g.n, g.bw
+),
+te AS MATERIALIZED (SELECT row_number() OVER () AS rid, * FROM d WHERE NOT train),
+tm AS MATERIALIZED ({melt_te}),
+ip AS MATERIALIZED (
+  SELECT t.rid, t.actual, b.cls AS cand, t.fi,
+         (t.v - b.lo) / (b.hi - b.lo) * {g} AS pos
+  FROM tm t JOIN bnd b ON b.fi = t.fi
+),
+iv AS (
+  SELECT ip.rid, ip.actual, ip.cand,
+         CASE WHEN ip.pos < 0 OR ip.pos > {g} THEN 0.0
+              ELSE d0.gd + (coalesce(d1.gd, d0.gd) - d0.gd)
+                   * (ip.pos - floor(ip.pos)) END AS dv
+  FROM ip
+  LEFT JOIN dens d0 ON d0.cls = ip.cand AND d0.fi = ip.fi
+                   AND d0.gi = floor(ip.pos)::BIGINT
+  LEFT JOIN dens d1 ON d1.cls = ip.cand AND d1.fi = ip.fi
+                   AND d1.gi = floor(ip.pos)::BIGINT + 1
+),
+lls AS (
+  SELECT rid, actual, cand,
+         sum(ln(greatest(dv, {_KDE_THRESHOLD!r}))) AS sld
+  FROM iv GROUP BY rid, actual, cand
+),
+llf AS (
+  SELECT l.rid, l.actual, l.cand,
+         ln(p.nc / tn.n) + l.sld AS ll
+  FROM lls l JOIN pri p ON p.cls = l.cand, tn
+),
+pk AS (
+  SELECT rid, actual, cand AS predicted,
+         row_number() OVER (PARTITION BY rid ORDER BY ll DESC, cand) AS rn
+  FROM llf
+)
+SELECT actual, predicted, count(*)::BIGINT AS n
+FROM pk WHERE rn = 1 GROUP BY actual, predicted ORDER BY actual, predicted
+"""
+
+
+@query("carprice_kde_nb_confusion_exact", oracle=_kde_nb_exact_oracle())
+def carprice_kde_nb_confusion_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """M7 at FULL fidelity, made exact: the kernel-density NB the
+    reference actually runs (naiveBayes(usekernel=TRUE),
+    BigDataProject.R:349-364 — klaR-style per-(class, feature)
+    gaussian KDE with bw.nrd0 bandwidths on 512-point grids, 0.001
+    density floor, ln-prior + Σ log-density argmax) on the
+    deterministic portable-hash split — and the DuckDB oracle replays
+    EVERY stage: bandwidths (quantile_cont is type-7, matching the
+    exact percentile), grid densities, index-linear interpolation with
+    np.interp's outside-the-grid zeros, the floor, the argmax, the
+    confusion counts. The randomSplit-based
+    ``carprice_kde_nb_confusion`` stays as the library-parity run;
+    this pins the whole KDE-NB computation cross-engine. Uses the same
+    split as ``carprice_gaussian_nb_confusion_exact`` so the kernel vs
+    gaussian confusion matrices are directly comparable on one test
+    set.
+
+    Scale: the fitted state is (classes × features × 512) scalars
+    built from ONE grouped stats pass + one values×grid aggregate
+    (work = distinct values × grid, never rows × grid); scoring is
+    two broadcast grid-row joins + a per-row argmax window."""
+    import math
+
+    from pyspark.sql import Window
+
+    from ..llm.text import keep_fraction
+
+    nf = len(_KDE_FEATS)
+    g = _KDE_GRID - 1
+    df = _cleaned(spark)
+    key = F.concat(
+        F.lit(f"nbsplit{_NB_SPLIT_SALT}:"),
+        F.floor("car_id").cast("long").cast("string"),
+    )
+    d = df.select(
+        F.col("price_bucket").alias("cls"),
+        *[F.col(c).alias(f"x{i}") for i, c in enumerate(_KDE_FEATS)],
+        keep_fraction(key, 0.8).alias("train"),
+    ).coalesce(1).localCheckpoint()
+    tr = d.filter(F.col("train"))
+    n_train = float(tr.count())
+    pri = tr.groupBy("cls").agg(F.count(F.lit(1)).cast("double").alias("nc"))
+    m = None
+    for fi in range(nf):
+        one = tr.select(
+            "cls", F.lit(fi).alias("fi"), F.col(f"x{fi}").alias("v")
+        )
+        m = one if m is None else m.unionByName(one)
+    st = m.groupBy("cls", "fi").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.stddev_samp("v").alias("sd"),
+        F.expr("percentile(v, 0.25)").alias("q1"),
+        F.expr("percentile(v, 0.75)").alias("q3"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    bw = F.lit(0.9) * F.least(
+        F.col("sd"), (F.col("q3") - F.col("q1")) / F.lit(1.349)
+    ) * F.pow(F.col("n"), F.lit(-0.2))
+    bnd = st.select(
+        "cls", "fi", "n",
+        bw.alias("bw"),
+        (F.col("mn") - F.lit(_KDE_CUT) * bw).alias("lo"),
+        (F.col("mx") + F.lit(_KDE_CUT) * bw).alias("hi"),
+    )
+    gi = spark.range(_KDE_GRID).select(F.col("id").cast("long").alias("gi"))
+    grid = F.broadcast(bnd).crossJoin(F.broadcast(gi)).withColumn(
+        "gx",
+        F.col("lo") + (F.col("hi") - F.col("lo")) * F.col("gi") / F.lit(g),
+    )
+    z = (F.col("v") - F.col("gx")) / F.col("bw")
+    dens = (
+        grid.join(m, ["cls", "fi"])
+        .groupBy("cls", "fi", "gi", "n", "bw")
+        .agg(F.sum(F.exp(F.lit(-0.5) * z * z)).alias("s"))
+        .select(
+            "cls", "fi", "gi",
+            (
+                F.col("s")
+                / (F.col("n") * F.col("bw") * F.lit(math.sqrt(2 * math.pi)))
+            ).alias("gd"),
+        )
+    )
+    te = d.filter(~F.col("train")).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    tm = None
+    for fi in range(nf):
+        one = te.select(
+            "rid", F.col("cls").alias("actual"),
+            F.lit(fi).alias("fi"), F.col(f"x{fi}").alias("v"),
+        )
+        tm = one if tm is None else tm.unionByName(one)
+    ip = tm.join(
+        F.broadcast(bnd.select(F.col("cls").alias("cand"), "fi", "lo", "hi")),
+        ["fi"],
+    ).withColumn(
+        "pos", (F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * F.lit(g)
+    )
+    d0 = dens.select(
+        F.col("cls").alias("cand"), "fi", F.col("gi").alias("gi0"),
+        F.col("gd").alias("gd0"),
+    )
+    d1 = dens.select(
+        F.col("cls").alias("cand"), "fi", F.col("gi").alias("gi1"),
+        F.col("gd").alias("gd1"),
+    )
+    iv = (
+        ip.withColumn("gi0", F.floor("pos").cast("long"))
+        .join(F.broadcast(d0), ["cand", "fi", "gi0"], "left")
+        .withColumn("gi1", F.col("gi0") + F.lit(1))
+        .join(F.broadcast(d1), ["cand", "fi", "gi1"], "left")
+        .withColumn(
+            "dv",
+            F.when(
+                (F.col("pos") < 0) | (F.col("pos") > g), F.lit(0.0)
+            ).otherwise(
+                F.col("gd0")
+                + (F.coalesce(F.col("gd1"), F.col("gd0")) - F.col("gd0"))
+                * (F.col("pos") - F.floor("pos"))
+            ),
+        )
+    )
+    lls = iv.groupBy("rid", "actual", "cand").agg(
+        F.sum(F.log(F.greatest(F.col("dv"), F.lit(_KDE_THRESHOLD)))).alias("sld")
+    )
+    llf = lls.join(
+        F.broadcast(pri.select(F.col("cls").alias("cand"), "nc")), ["cand"]
+    ).withColumn("ll", F.log(F.col("nc") / F.lit(n_train)) + F.col("sld"))
+    w = Window.partitionBy("rid").orderBy(F.desc("ll"), F.asc("cand"))
+    return (
+        llf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("actual", F.col("cand").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
 _KM_FEATS: list[str] = [
     "horsepower", "enginesize", "curbweight", "citympg", "highwaympg",
     "price",

@@ -427,3 +427,67 @@ def test_lm_metrics_stratified_split(spark):
     assert 0.5 < row["r2"] <= 1.0
     plain = _run("carprice_lm_metrics_exact").collect()[0]
     assert abs(row["r2"] - plain["r2"]) < 0.35
+
+
+def test_kde_nb_exact_matches_numpy(spark):
+    """The full kernel-density NB pipeline re-derived in numpy:
+    bw.nrd0 bandwidths (type-7 IQR), 512-point grids, index-linear
+    interpolation with zeros outside, 0.001 floor, argmax."""
+    from bigdata_carprice_assignment_spark.queries.carprice import (
+        _KDE_CUT,
+        _KDE_FEATS,
+        _KDE_GRID,
+        _KDE_THRESHOLD,
+    )
+
+    pdf = _cleaned_pdf()
+    keys = np.floor(pdf["car_id"].to_numpy(float)).astype(int)
+    keep = np.array(
+        [_h60(f"nbsplit{_NB_SPLIT_SALT}:{k}") % 10_000 < 8_000 for k in keys]
+    )
+    tr, te = pdf[keep], pdf[~keep]
+    classes = sorted(tr["price_bucket"].unique())
+    g = _KDE_GRID - 1
+    grids = {}
+    priors = {}
+    for c in classes:
+        sub = tr[tr["price_bucket"] == c]
+        priors[c] = len(sub) / len(tr)
+        for fi, f in enumerate(_KDE_FEATS):
+            v = sub[f].to_numpy(float)
+            n = len(v)
+            sd = v.std(ddof=1)
+            q1, q3 = np.quantile(v, [0.25, 0.75])  # type 7 = linear
+            bw = 0.9 * min(sd, (q3 - q1) / 1.349) * n ** (-0.2)
+            lo, hi = v.min() - _KDE_CUT * bw, v.max() + _KDE_CUT * bw
+            gx = lo + (hi - lo) * np.arange(_KDE_GRID) / g
+            gd = np.exp(
+                -0.5 * ((v[None, :] - gx[:, None]) / bw) ** 2
+            ).sum(axis=1) / (n * bw * math.sqrt(2 * math.pi))
+            grids[(c, fi)] = (lo, hi, gd)
+    want: dict[tuple, int] = {}
+    for _, r in te.iterrows():
+        best, bll = None, None
+        for c in classes:
+            ll = math.log(priors[c])
+            for fi, f in enumerate(_KDE_FEATS):
+                lo, hi, gd = grids[(c, fi)]
+                pos = (r[f] - lo) / (hi - lo) * g
+                if pos < 0 or pos > g:
+                    dv = 0.0
+                else:
+                    i0 = int(math.floor(pos))
+                    d1 = gd[i0 + 1] if i0 + 1 <= g else gd[i0]
+                    dv = gd[i0] + (d1 - gd[i0]) * (pos - i0)
+                ll += math.log(max(dv, _KDE_THRESHOLD))
+            if bll is None or ll > bll or (ll == bll and c < best):
+                best, bll = c, ll
+        key = (r["price_bucket"], best)
+        want[key] = want.get(key, 0) + 1
+    got = {
+        (r["actual"], r["predicted"]): r["n"]
+        for r in _run("carprice_kde_nb_confusion_exact").collect()
+    }
+    assert got == want
+    acc = sum(n for (a, p), n in got.items() if a == p) / sum(got.values())
+    assert acc > 0.5  # kernel NB beats the 25% random baseline soundly
