@@ -708,6 +708,21 @@ def ivf_index(
     return _CoarseQuantizer(centroids), assigned
 
 
+def ivf_write_partitioned(assigned: DataFrame, path: str) -> None:
+    """Persist the IVF assignment partitioned by home cell — the layout
+    step that makes probing CHEAP at rest: a query touching ``nprobe``
+    cells reads only nprobe/n_cells of the corpus via partition pruning
+    (``PartitionFilters`` on the scan — gated in
+    tests/test_layout.py::test_ivf_partitioned_probe_prunes), instead
+    of full-scanning and post-filtering. The ``_cells`` ranking array
+    is dropped at write time (it is probe-time state, recomputable from
+    the broadcast centroids; persisting n_cells ints per row would
+    multiply the at-rest footprint for no read-side benefit)."""
+    assigned.drop("_cells").write.mode("overwrite").partitionBy(
+        "_cell"
+    ).parquet(path)
+
+
 def ivf_knn_join(
     model,
     assigned: DataFrame,

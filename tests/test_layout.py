@@ -72,3 +72,25 @@ def test_zorder_key_is_deterministic_and_bounded(spark, sf_smoke):
     ).first()
     assert row["n"] == li.count()
     assert 0 <= row["lo"] <= row["hi"] < (1 << 16)
+
+
+def test_ivf_partitioned_probe_prunes(spark, sf_smoke, tmp_path):
+    """SCALE.md's IVF at-rest claim, plan-gated: writing the assignment
+    partitionBy(_cell) must let an nprobe-cell read prune the other
+    cells at the SCAN (PartitionFilters), not post-filter a full scan."""
+    from pyspark.sql import functions as F
+
+    from bigdata_carprice_assignment_spark.llm import similarity as S
+    from bigdata_carprice_assignment_spark.plans import explain as X
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    _, assigned = S.ivf_index(emb, "embedding", n_cells=8, id_col="vec_id")
+    path = str(tmp_path / "ivf_cells")
+    S.ivf_write_partitioned(assigned, path)
+    probe = spark.read.parquet(path).filter(F.col("_cell").isin([0, 1]))
+    plan = X.formatted_plan(probe)
+    assert "PartitionFilters" in plan and "_cell" in plan, plan
+    # the probe must actually read fewer rows than the corpus
+    total = spark.read.parquet(path).count()
+    got = probe.count()
+    assert 0 < got < total
