@@ -1569,3 +1569,80 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "training_shard_manifest",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+         ('0x' || substr(md5('epoch0:' || doc_id), 1, 15))::BIGINT AS okey
+  FROM documents
+),
+s AS (SELECT doc_id, n_tokens, okey, okey % 32 AS shard FROM d),
+per AS (
+  SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+         min(okey)::BIGINT AS first_key, max(okey)::BIGINT AS last_key
+  FROM s GROUP BY shard
+),
+bal AS (
+  SELECT max(n_docs) AS mx, min(n_docs) AS mn, avg(n_docs) AS av FROM per
+)
+SELECT per.shard, per.n_docs, per.n_tokens, per.first_key, per.last_key,
+       round(bal.mx / bal.av, 4) AS max_over_avg_docs
+FROM per, bal ORDER BY per.shard
+""",
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-deterministic global shuffle + shard manifest — the step a
+    100 TB training run needs between the curated corpus and the data
+    loader: every doc gets a portable 60-bit order key md5('epoch0:' ||
+    id) (reshuffling an epoch = changing the salt, NO data movement to
+    decide), shard = key % 32, and the manifest reports per-shard doc
+    and token counts plus first/last order keys (the determinism
+    witness: any engine can re-derive the exact read order) and the
+    max/avg doc-count balance factor — hash sharding's balance is the
+    thing a loader must verify before assuming uniform shards.
+
+    Scale: one projection + one 32-group aggregate; the shuffle itself
+    is never materialized — order is a sort key derivable at read time,
+    the classic seed-shuffled-shards design."""
+    from ..llm.text import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        portable_hash60(
+            F.concat(F.lit("epoch0:"), F.col("doc_id"))
+        ).alias("okey"),
+        F.size(
+            F.split(F.trim(F.col("text")), r"\s+")
+        ).cast("long").alias("n_tokens"),
+    )
+    per = (
+        d.withColumn("shard", F.pmod(F.col("okey"), F.lit(32)))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("okey").alias("first_key"),
+            F.max("okey").alias("last_key"),
+        )
+    )
+    bal = per.agg(
+        F.max("n_docs").alias("mx"),
+        F.min("n_docs").alias("mn"),
+        F.avg("n_docs").alias("av"),
+    )
+    return (
+        per.crossJoin(F.broadcast(bal))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "first_key",
+            "last_key",
+            F.round(F.col("mx") / F.col("av"), 4).alias("max_over_avg_docs"),
+        )
+        .orderBy("shard")
+    )

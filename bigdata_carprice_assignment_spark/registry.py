@@ -48,7 +48,7 @@ PRIORITY: tuple[str, ...] = (
     # (r1/r2-checked, never re-checked since) so silent regressions in
     # the oldest greens cannot hide behind a fresh-query-only window.
     #
-    # Positions 1-11: NEW oracle-backed queries this round — the exact
+    # Positions 1-12: NEW oracle-backed queries this round — the exact
     # train/test LM metrics battery (M1+M3+M4), the loess smoother
     # conversion (was rows-only), the cheap-profile SRP recall gate,
     # the gaussian-NB / Lloyd-kmeans / depth-2-CART exact twins
@@ -65,25 +65,26 @@ PRIORITY: tuple[str, ...] = (
     "carprice_kmeans_lloyd_exact",
     "carprice_tree_depth2_exact",
     "fpgrowth_rules_ranked_top20",
+    "training_shard_manifest",
     "carprice_gbt_boost_exact",
     "carprice_bagged_stumps_exact",
-    # Positions 12-13: the round-7 verdict's fix-pins (the reversed-sort
+    # Positions 13-14: the round-7 verdict's fix-pins (the reversed-sort
     # window frame and DECIMAL credit sums land under the driver again).
     "nn_matching_att_urgent_lag",
     "position_weighted_attribution",
-    # Positions 14-16: paths this round's ADVICE fixes touched — the
+    # Positions 15-17: paths this round's ADVICE fixes touched — the
     # re-derived SRP hamming screen and the backtick-quoted minhash
     # id_col SQL must be re-checked by the driver, not just locally.
     "srp_knn_join_adaptive_gate",
     "minhash_estimate_calibration",
     "minhash_lsh_recall_pairs",
-    # Positions 17-19: the three long-green sentinels (agg, broadcast
+    # Positions 18-20: the three long-green sentinels (agg, broadcast
     # join, FPGrowth operator cores).
     "top10_part_brands",
     "region_revenue",
     "fpgrowth_rules",
-    # Positions 20-50: stalest rotations — every oracle query whose
-    # last driver hash-check was r1 (23) plus the oldest r2 block (8);
+    # Positions 21-50: stalest rotations — every oracle query whose
+    # last driver hash-check was r1 (23) plus the oldest r2 block (7);
     # all locally preflighted green at sf0.01 before this round closed.
     "cosine_topk_vs_query",
     "customers_without_orders",
@@ -115,7 +116,6 @@ PRIORITY: tuple[str, ...] = (
     "brand_recode_top5",
     "chi2_independence_components",
     "cube_qty_by_flag_status",
-    "customer_running_spend",
     # ---- everything else: previously driver-hash-green and rows-only
     # queries keep module registration order (handled by load_all: any
     # registered query not named here follows after).

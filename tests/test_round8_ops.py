@@ -491,3 +491,28 @@ def test_kde_nb_exact_matches_numpy(spark):
     assert got == want
     acc = sum(n for (a, p), n in got.items() if a == p) / sum(got.values())
     assert acc > 0.5  # kernel NB beats the 25% random baseline soundly
+
+
+def test_training_shard_manifest_mechanism(spark):
+    """Shard assignment and order keys re-derived with hashlib; the
+    manifest must partition the corpus exactly and witness the order."""
+    import duckdb
+
+    docs = duckdb.connect().execute(
+        "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS nt"
+        " FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df()
+    want: dict[int, list] = {}
+    for _, r in docs.iterrows():
+        k = _h60(f"epoch0:{r['doc_id']}")
+        want.setdefault(k % 32, []).append((k, int(r["nt"])))
+    rows = _run("training_shard_manifest").collect()
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    for r in rows:
+        ks = want[r["shard"]]
+        assert r["n_docs"] == len(ks)
+        assert r["n_tokens"] == sum(t for _, t in ks)
+        assert r["first_key"] == min(k for k, _ in ks)
+        assert r["last_key"] == max(k for k, _ in ks)
+    # hash sharding must be reasonably balanced on this corpus
+    assert rows[0]["max_over_avg_docs"] < 3.0
