@@ -10,6 +10,7 @@ report-sized result) per query, after one untimed warm-up of the session
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -419,6 +420,11 @@ def main() -> None:
         # untimed-GC-triggered stall inside whichever queries it hits
         # (measured: identical queries 2x slower late in a long pass)
         if i % 40 == 39:
+            # Python gc FIRST: py4j JavaObject refs held in collected
+            # cycles keep their JVM objects (and the RDD/broadcast state
+            # behind them) alive — a JVM System.gc() alone can't release
+            # what the Python side still pins (r8 warm-jitter analysis)
+            gc.collect()
             spark.sparkContext._jvm.System.gc()
             # let the ContextCleaner / BlockManager drain the refs the GC
             # just released OUTSIDE any query's timing — round 3 showed
@@ -442,6 +448,7 @@ def main() -> None:
     # ~120 jobs of broadcast/shuffle refs wait on a driver GC for the
     # ContextCleaner to release them, and that debt otherwise lands
     # inside whichever warm queries the GC interrupts.
+    gc.collect()
     spark.sparkContext._jvm.System.gc()
     time.sleep(0.5)
     # A warm sample can still catch a stray GC/cleaner pause (r6 measured:
@@ -455,6 +462,7 @@ def main() -> None:
     retried: list[str] = []
     for i, name in enumerate(names):
         if i % 40 == 39:
+            gc.collect()
             spark.sparkContext._jvm.System.gc()
             time.sleep(0.5)
         t0 = time.perf_counter()
