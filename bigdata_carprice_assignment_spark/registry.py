@@ -49,13 +49,14 @@ PRIORITY: tuple[str, ...] = (
     # the oldest greens cannot hide behind a fresh-query-only window.
     #
     # Positions 1-12: NEW oracle-backed queries this round — the exact
-    # train/test LM metrics battery (M1+M3+M4), the loess smoother
+    # train/test LM metrics battery (M1+M3+M4) in plain AND
+    # bucket-stratified (caret-style) form, the loess smoother
     # conversion (was rows-only), the cheap-profile SRP recall gate,
-    # the gaussian-NB / Lloyd-kmeans / depth-2-CART exact twins
-    # (M7/M9-M11/M5 deterministic math), and the ranked top-20 rules
-    # query that pins T2 sort + T3 limit under the hash — plus the
-    # exact 3-round boosting twin (M8 slot) and the 8-member bagged
-    # exact-stumps ensemble (M6 algebra).
+    # the gaussian-NB AND full-KDE-NB / Lloyd-kmeans / depth-2-CART /
+    # 3-round-boosting / bagged-stumps exact twins (M7/M9-M11/M5/M8/M6
+    # deterministic math), the ranked top-20 rules query that pins T2
+    # sort + T3 limit under the hash, and the epoch-deterministic
+    # training shard manifest.
     "carprice_lm_metrics_exact",
     "carprice_lm_metrics_stratified_exact",
     "carprice_loess_smooth",
