@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 finite_doubles = st.floats(
@@ -150,3 +151,93 @@ def test_jaccard_bounds_local(texts):
             s2 = sh(t2)
             j = len(s1 & s2) / len(s1 | s2)
             assert 0.0 <= j <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-8 machinery properties (engine-free: pure math mirrors)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=8, max_value=24),
+    st.sampled_from([0.85, 0.9, 0.92, 0.94, 0.97]),
+    st.sampled_from([1e-1, 1e-2, 1e-3, 1e-4]),
+)
+@settings(max_examples=200, deadline=None)
+def test_srp_adaptive_bands_honor_miss_contract(bits, design_cos, miss):
+    """bands = ceil(ln miss / ln(1-p1)) must make the actual per-pair
+    miss probability (1-p1)^bands <= miss at the design cosine, for
+    every width/contract combination — the invariant whose violation
+    was the round-7 recall leak."""
+    import math
+
+    from bigdata_carprice_assignment_spark.llm.similarity import (
+        srp_adaptive_bands,
+    )
+
+    bands = srp_adaptive_bands(bits, design_cos, miss)
+    p1 = (1.0 - math.acos(design_cos) / math.pi) ** bits
+    assert (1.0 - p1) ** bands <= miss + 1e-12
+    # and the sizing is not wasteful beyond the floor: one band fewer
+    # would violate the contract (when above the 6-band floor)
+    if bands > 6:
+        assert (1.0 - p1) ** (bands - 1) > miss
+
+
+@given(
+    st.integers(min_value=2, max_value=6),
+    st.integers(min_value=30, max_value=120),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=25, deadline=None)
+def test_lm_solve_matches_numpy_lstsq(p, n, rnd):
+    """The generated correlation-Cholesky solve must agree with numpy
+    lstsq on random well-conditioned regression problems (same
+    sufficient-statistics inputs)."""
+    import numpy as np
+
+    from bigdata_carprice_assignment_spark.queries import carprice as C
+
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    X = rng.normal(size=(n, p))
+    beta = rng.normal(size=p)
+    y = X @ beta + 1.0 + rng.normal(scale=0.1, size=n)
+    preds = C._LM_PREDS[:p]
+    row = {"n": float(n), "sy": float(y.sum()), "syy": float((y * y).sum())}
+    for i in range(p):
+        row[f"s{i}"] = float(X[:, i].sum())
+        row[f"sy{i}"] = float((X[:, i] * y).sum())
+        for j in range(i, p):
+            row[f"s{i}_{j}"] = float((X[:, i] * X[:, j]).sum())
+    import unittest.mock as mock
+
+    with mock.patch.object(C, "_LM_PREDS", preds):
+        got = dict(C._lm_solve(row))
+    A = np.column_stack([np.ones(n), X])
+    want = np.linalg.lstsq(A, y, rcond=None)[0]
+    assert got["(intercept)"] == pytest.approx(want[0], abs=1e-6)
+    for i, name in enumerate(preds):
+        assert got[name] == pytest.approx(want[i + 1], abs=1e-6)
+
+
+@given(st.lists(st.floats(min_value=-50, max_value=50), min_size=20, max_size=80))
+@settings(max_examples=50, deadline=None)
+def test_stump_split_minimizes_sse(ys):
+    """The exact stump criterion (left SSE + right SSE from sums) must
+    equal the definitionally-computed SSE for every candidate — the
+    identity the CART/boosting/bagging twins all rely on."""
+    import numpy as np
+
+    y = np.asarray(ys, dtype=float)
+    x = np.arange(len(y), dtype=float)
+    for thr in x[5:-5]:
+        lm = x <= thr
+        nl, nr = lm.sum(), (~lm).sum()
+        yl, yr = y[lm], y[~lm]
+        via_sums = (
+            float((yl**2).sum()) - float(yl.sum()) ** 2 / nl
+        ) + (float((yr**2).sum()) - float(yr.sum()) ** 2 / nr)
+        definitional = float(((yl - yl.mean()) ** 2).sum()) + float(
+            ((yr - yr.mean()) ** 2).sum()
+        )
+        assert via_sums == pytest.approx(definitional, abs=1e-6)
