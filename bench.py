@@ -98,6 +98,7 @@ HEADLINE: list[str] = [
     "source_mixture_rebalance",
     "embedding_centroid_by_label",
     "near_dup_keep_best",
+    "semantic_dedup_prune_stats",
     "keyword_search_bm25",
     "lang_sampling_temperature",
     "vocab_zipf_top20",
@@ -327,6 +328,7 @@ HEADLINE: list[str] = [
     # count-distinct / heavy-hitter primitives), the runtime-filter
     # audit, the windowed funnel, and the F9 round-trip replay
     "hll_distinct_calibration",
+    "kmv_distinct_union_calibration",
     "countmin_heavy_hitters_check",
     "bloom_join_pruning_audit",
     "event_funnel_conversion",

@@ -3130,3 +3130,100 @@ def rrf_fused_retrieval_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", F.round("rrf", 6).alias("rrf_score"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round-8 additions (session 2): semantic dedup prune accounting.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "semantic_dedup_prune_stats",
+    oracle=_DUCK_HASHED_FEATURES.replace("WITH", "WITH RECURSIVE", 1)
+    + r"""
+, pr AS (SELECT a, b FROM p WHERE c >= 0.85),
+e2 AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+nodes AS (SELECT DISTINCT a AS node FROM e2),
+conn(x, y) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT cc.x, e.b FROM conn cc JOIN e2 e ON cc.y = e.a
+),
+comp AS (SELECT x AS node, min(y) AS component FROM conn GROUP BY x),
+tok AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS nt
+  FROM documents
+),
+pruned AS (SELECT node FROM comp WHERE node <> component)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT component) FROM comp)::BIGINT AS n_dup_clusters,
+       (SELECT count(*) FROM pruned)::BIGINT AS n_pruned,
+       (SELECT sum(nt) FROM tok)::BIGINT AS tokens_total,
+       coalesce((SELECT sum(nt) FROM tok JOIN pruned ON tok.doc_id = pruned.node),
+                0)::BIGINT AS tokens_pruned,
+       round(1.0 - coalesce((SELECT sum(nt) FROM tok
+                             JOIN pruned ON tok.doc_id = pruned.node), 0)::DOUBLE
+                 / (SELECT sum(nt) FROM tok), 6) AS kept_token_share
+""",
+)
+def semantic_dedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic prune ACCOUNTING (Abbas et al. 2023): the
+    exact ≥0.85-cosine pair graph over hashed-shingle document embeddings
+    is clustered (connected components) and every cluster keeps ONE
+    representative (min doc id, SemDeDup's keep-one-per-semantic-cluster
+    rule); the query reports what the prune costs the corpus — clusters,
+    docs dropped, and the TOKEN MASS removed vs kept. This is the
+    budget sheet a curation run produces before committing a semantic
+    dedup pass: "n_pruned docs / tokens_pruned tokens (1−kept_token_share
+    of the budget) are semantic duplicates".
+
+    The pair graph reuses the pooled blocked-BLAS exact join
+    (``_blocked_pairs_085`` — same pinned table the recall gates share);
+    the oracle recomputes features, all-pairs cosine, a recursive-CTE
+    transitive closure, and the token ledger from scratch, so the
+    component labels AND the keep-one accounting are cross-engine exact.
+
+    Scale: component labels exist only for docs inside a near-dup
+    cluster (≪ corpus); the token ledger joins that small node set
+    against doc-grain token counts (broadcast), and the corpus-wide
+    reduction is one grouped pass. At 100 TB the pair graph comes from
+    the banded/blocked candidate path, never all-pairs — the prune
+    accounting itself stays node-grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _blocked_pairs_085(spark, sf_dir).select("a", "b")
+    comp = D.connected_components(pairs)
+    tok = docs.select(
+        F.col("doc_id").alias("node"),
+        TX.token_count("text").cast("long").alias("nt"),
+    )
+    cl = comp.agg(
+        F.coalesce(F.count_distinct("component"), F.lit(0)).alias("n_dup_clusters"),
+        F.coalesce(
+            F.sum((F.col("node") != F.col("component")).cast("long")), F.lit(0)
+        ).alias("n_pruned"),
+    )
+    pruned_tok = (
+        comp.filter(F.col("node") != F.col("component"))
+        .join(tok, "node")
+        .agg(F.coalesce(F.sum("nt"), F.lit(0)).alias("tokens_pruned"))
+    )
+    tot = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("tokens_total")
+    )
+    return (
+        tot.crossJoin(F.broadcast(cl))
+        .crossJoin(F.broadcast(pruned_tok))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_dup_clusters").cast("long").alias("n_dup_clusters"),
+            F.col("n_pruned").cast("long").alias("n_pruned"),
+            F.col("tokens_total").cast("long").alias("tokens_total"),
+            F.col("tokens_pruned").cast("long").alias("tokens_pruned"),
+            F.round(
+                F.lit(1.0)
+                - F.col("tokens_pruned").cast("double")
+                / F.col("tokens_total").cast("double"),
+                6,
+            ).alias("kept_token_share"),
+        )
+    )

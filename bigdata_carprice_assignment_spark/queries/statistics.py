@@ -3907,3 +3907,129 @@ def nn_matching_att_urgent_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("att_ship_lag_days"),
         F.round(F.avg(F.when(ok, F.col("gap"))), 4).alias("avg_price_gap"),
     )
+
+
+# ---- KMV (k-minimum-values) distinct sketch (Bar-Yossef et al. 2002;
+# Beyer et al. 2007), mechanism-exact and engine-portable: the sketch of
+# a set is its k smallest DISTINCT 60-bit md5 hash values; the unbiased
+# estimator is (k-1) / u_k with u_k = h_k / 2^60 (the k-th order
+# statistic of uniform hashes), degenerating to the exact count when the
+# set holds fewer than k distinct values. Unlike register sketches (HLL)
+# the KMV sketch supports LOSSLESS set algebra: the union sketch is the
+# k smallest of the merged hash multiset — which is exactly how the
+# 'ALL' scope below is built.
+
+_KMV_K = 64
+_KMV_2_60 = 1152921504606846976.0
+
+_KMV_ORACLE = r"""
+WITH n AS (
+  SELECT source, trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tk AS (SELECT source, string_split(t, ' ') AS toks FROM n),
+g AS (
+  SELECT source,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+  FROM tk
+),
+hs AS (
+  SELECT DISTINCT source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+  FROM g
+),
+u AS (
+  SELECT source, h FROM hs
+  UNION
+  SELECT 'ALL' AS source, h FROM hs
+),
+r AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM u
+),
+ex AS (SELECT source, count(*)::BIGINT AS n_exact FROM u GROUP BY source),
+sk AS (
+  SELECT source, count(*)::BIGINT AS nk,
+         max(CASE WHEN rn = 64 THEN h END) AS hk
+  FROM r WHERE rn <= 64 GROUP BY source
+),
+e AS (
+  SELECT ex.source AS scope, ex.n_exact,
+         CASE WHEN sk.nk < 64 THEN sk.nk::DOUBLE
+              ELSE 63.0 * 1152921504606846976.0 / sk.hk END AS est
+  FROM ex JOIN sk ON ex.source = sk.source
+)
+SELECT scope, n_exact,
+       round(est, 4) AS kmv_estimate,
+       round(abs(est - n_exact) / n_exact * 100.0, 4) AS rel_error_pct
+FROM e ORDER BY scope
+"""
+
+
+@query("kmv_distinct_union_calibration", oracle=_KMV_ORACLE)
+def kmv_distinct_union_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch calibration over the
+    per-source shingle vocabularies, PLUS the union scope that register
+    sketches can only approximate by merging: the 'ALL' row's sketch is
+    the k smallest hashes of the merged per-source hash sets — KMV's
+    lossless union merge — so the same estimator formula prices the
+    corpus-wide distinct-shingle count without rescanning raw text. One
+    row per source plus 'ALL': exact distinct count, sketch estimate,
+    relative error (expected ~1/sqrt(k-2) ≈ 12.7% at k=64). Sources
+    whose vocabulary is smaller than k degenerate to the exact count —
+    the small-set regime is part of the contract and the replay.
+
+    Mechanism-exact: hashes are the shared 60-bit md5, the k-th order
+    statistic is an integer, and the only doubles are the final
+    (k−1)·2^60/h_k division and the error ratio, computed in the same
+    operation order on both engines.
+
+    Scale: the sketch is mergeable (min-k of a union of min-k sets is
+    the min-k of the union), so at 100 TB each partition keeps a local
+    k-heap and the combine is an array merge — never a global sort. The
+    local[32] form uses one (scope)-partitioned rank window over the
+    DISTINCT (scope, hash) table, which is already ≪ corpus grain."""
+    from pyspark.sql import Window
+
+    from ..llm import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    hs = (
+        docs.select(
+            "source", F.explode(TX.shingles("text")).alias("gram")
+        )
+        .select("source", TX.portable_hash60(F.col("gram")).alias("h"))
+        .distinct()
+    )
+    u = hs.unionByName(
+        hs.select(F.lit("ALL").alias("source"), "h").distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    r = u.withColumn("rn", F.row_number().over(w))
+    ex = u.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    sk = (
+        r.filter(F.col("rn") <= _KMV_K)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("nk"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+        )
+    )
+    est = F.when(F.col("nk") < _KMV_K, F.col("nk").cast("double")).otherwise(
+        F.lit((_KMV_K - 1) * _KMV_2_60) / F.col("hk").cast("double")
+    )
+    return (
+        ex.join(sk, "source")
+        .select(
+            F.col("source").alias("scope"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(est, 4).alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact") * 100.0, 4
+            ).alias("rel_error_pct"),
+        )
+        .orderBy("scope")
+    )

@@ -69,6 +69,14 @@ PRIORITY: tuple[str, ...] = (
     "training_shard_manifest",
     "carprice_gbt_boost_exact",
     "carprice_bagged_stumps_exact",
+    # Positions 13-14: second-session round-8 additions — SemDeDup-style
+    # semantic prune accounting (components + keep-one + token ledger)
+    # and the KMV order-statistics distinct sketch with lossless union
+    # merge. Two stale rotations (chi2_independence_components,
+    # cube_qty_by_flag_status) move to the round-9 queue to keep the
+    # window at 50.
+    "semantic_dedup_prune_stats",
+    "kmv_distinct_union_calibration",
     # Positions 13-14: the round-7 verdict's fix-pins (the reversed-sort
     # window frame and DECIMAL credit sums land under the driver again).
     "nn_matching_att_urgent_lag",
@@ -115,8 +123,6 @@ PRIORITY: tuple[str, ...] = (
     "avg_log_price_by_segment",
     "big_spenders_vs_segment",
     "brand_recode_top5",
-    "chi2_independence_components",
-    "cube_qty_by_flag_status",
     # ---- everything else: previously driver-hash-green and rows-only
     # queries keep module registration order (handled by load_all: any
     # registered query not named here follows after).

@@ -32,6 +32,7 @@ QUADRATIC_ORACLES = {
     "ivf_knn_join_top1",
     "near_dup_keep_best",
     "exact_cosine_pairs_blocked",
+    "semantic_dedup_prune_stats",
     "eval_contamination_check",
     "boilerplate_ngram_stats",
     "char_ngram_jaccard_pairs",

@@ -419,3 +419,58 @@ def test_srp_wide_signatures_and_adaptive_bands(spark):
     clone_pairs = {(r["a"], r["b"]) for r in pairs.collect() if r["hamming"] == 0}
     for i in range(40):
         assert (i, i + 40) in clone_pairs
+
+
+def test_semantic_dedup_ledger_consistency(spark, sf_smoke):
+    """The prune ledger must be internally consistent: pruned docs =
+    labeled nodes minus one kept representative per cluster, and the
+    token ledger must follow the same node set."""
+    from bigdata_carprice_assignment_spark.queries.llmdata import (
+        _blocked_pairs_085,
+        semantic_dedup_prune_stats,
+    )
+    from bigdata_carprice_assignment_spark.llm import dedup as D
+
+    row = semantic_dedup_prune_stats(spark, sf_smoke).first()
+    comp = D.connected_components(
+        _blocked_pairs_085(spark, sf_smoke).select("a", "b")
+    )
+    labeled = comp.count()
+    clusters = comp.select("component").distinct().count()
+    assert row["n_dup_clusters"] == clusters
+    assert row["n_pruned"] == labeled - clusters
+    assert 0 <= row["tokens_pruned"] < row["tokens_total"]
+    assert abs(
+        row["kept_token_share"]
+        - round(1.0 - row["tokens_pruned"] / row["tokens_total"], 6)
+    ) < 1e-12
+
+
+def test_kmv_small_set_degenerates_to_exact(spark):
+    """A scope with fewer than k distinct values must report the exact
+    count as its estimate (the <k branch of the KMV contract), and the
+    estimator must be exactly (k-1)*2^60/h_k otherwise."""
+    from bigdata_carprice_assignment_spark.llm import text as TX
+    from pyspark.sql import functions as F
+
+    # 10 distinct values < k=64: sketch holds everything
+    df = spark.createDataFrame([(f"v{i}",) for i in range(10)], "g string")
+    hs = df.select(TX.portable_hash60(F.col("g")).alias("h")).distinct()
+    n = hs.count()
+    assert n == 10  # no hash collisions on this tiny set
+    # the query's <k rule: estimate == exact == 10 — emulate the branch
+    k = 64
+    nk = min(n, k)
+    assert nk < k and float(nk) == float(n)
+
+    # >k values: estimator replays as (k-1)*2^60/h_k on the k-th smallest
+    df2 = spark.createDataFrame([(f"w{i}",) for i in range(500)], "g string")
+    hs2 = sorted(
+        r["h"]
+        for r in df2.select(TX.portable_hash60(F.col("g")).alias("h"))
+        .distinct()
+        .collect()
+    )
+    est = (k - 1) * 1152921504606846976.0 / hs2[k - 1]
+    # unbiased within ~4 standard errors (se ≈ n/sqrt(k-2))
+    assert abs(est - 500) < 4 * 500 / (k - 2) ** 0.5
