@@ -192,16 +192,21 @@ def rule_interest_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is hash-checked, not just the pair subset.
 # ---------------------------------------------------------------------------
 
+# every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference, and
+# this lattice references items/p2/t3 from 6+ places — the inlined tree
+# re-evaluated the whole lattice per reference (23s at sf0.1 for
+# fpgrowth_rules; the subset-filter variant never finished), while the
+# materialized form runs in well under a second with identical output.
 _FPG_RULES_SQL = f"""
-WITH items AS ({_ITEMS_SQL}),
-tot AS (SELECT count(DISTINCT id) AS n FROM items),
-s1 AS (SELECT item, count(*) AS c FROM items GROUP BY item),
-p2 AS (
+WITH items AS MATERIALIZED ({_ITEMS_SQL}),
+tot AS MATERIALIZED (SELECT count(DISTINCT id) AS n FROM items),
+s1 AS MATERIALIZED (SELECT item, count(*) AS c FROM items GROUP BY item),
+p2 AS MATERIALIZED (
   SELECT a.item AS ia, b.item AS ib, count(*) AS c
   FROM items a JOIN items b ON a.id = b.id AND a.item <> b.item
   GROUP BY 1, 2
 ),
-t3 AS (
+t3 AS MATERIALIZED (
   SELECT a.item AS x, b.item AS y, c.item AS z, count(*) AS c
   FROM items a
   JOIN items b ON a.id = b.id AND a.item < b.item
@@ -244,7 +249,7 @@ rules2 AS (
   JOIN s1 s ON s.item = t.x
   CROSS JOIN tot
 ),
-rules AS (
+rules AS MATERIALIZED (
   SELECT * FROM rules1 UNION ALL SELECT * FROM rules2
 )
 """

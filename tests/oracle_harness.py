@@ -17,12 +17,19 @@ from bigdata_carprice_assignment_spark.sources.readers import TESTDATA_TABLES
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    # close the connection: a 300-oracle sweep otherwise accumulates
+    # live DuckDB connections (each pinning its buffer allocations) —
+    # observed >60 GB RSS before the fix
     con = duckdb.connect()
-    for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    return con.execute(sql).df()
+    try:
+        for t in TESTDATA_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con.execute(sql).df()
+    finally:
+        con.close()
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
