@@ -3991,16 +3991,23 @@ def kmv_distinct_union_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     the min-k of the union), so at 100 TB each partition keeps a local
     k-heap and the combine is an array merge — never a global sort. The
     local[32] form uses one (scope)-partitioned rank window over the
-    DISTINCT (scope, hash) table, which is already ≪ corpus grain."""
+    DISTINCT (scope, hash) table, which is already ≪ corpus grain. The
+    shingle arrays come from the POOLED corpus-wide tokenize prefix
+    (``queries/llmdata.py::_doc_shingles``) — the regex+tokenize scan
+    is the dominant cost of every shingle consumer and the inputs are
+    immutable, so the sketch shares it instead of re-paying it; the
+    doc-grain source lookup is a broadcast join."""
     from pyspark.sql import Window
 
     from ..llm import text as TX
+    from .llmdata import _doc_shingles
 
     docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
     hs = (
-        docs.select(
-            "source", F.explode(TX.shingles("text")).alias("gram")
-        )
+        _doc_shingles(spark, sf_dir)
+        .join(F.broadcast(src), "doc_id")
+        .select("source", F.explode("_sh").alias("gram"))
         .select("source", TX.portable_hash60(F.col("gram")).alias("h"))
         .distinct()
     )
