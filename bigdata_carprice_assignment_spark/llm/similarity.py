@@ -263,8 +263,18 @@ def srp_band_pairs(
     collide per band w.p. ~2^-band_bits; near-angular pairs (θ→0)
     collide w.p. →1. Returns distinct (a < b, hamming); buckets larger
     than ``max_bucket`` are dropped (capped, logged shape — same
-    boilerplate guard as MinHash banding)."""
-    from ..plans.materialize import pinned
+    boilerplate guard as MinHash banding).
+
+    ALL bands land in ONE banding exchange: the explode enumerates
+    every band of every signature, the bucket cap is a window count
+    over (band, key) riding that same exchange, and the self-join
+    reuses the window's (band, key) partitioning — one exchange total
+    before the dedup, no per-table jobs, no materialization barrier.
+    (The r8 shape pinned the banded table and rejoined a groupBy size
+    filter: one extra eager job + persist churn per call, and an extra
+    exchange — scheduler latency that made the adaptive gates
+    contention-fragile and warm>cold in BENCH_r08.)"""
+    from pyspark.sql import Window
 
     n_bands = n_bits // band_bits
     mask = (1 << band_bits) - 1
@@ -285,21 +295,18 @@ def srp_band_pairs(
             )
         ).alias("bb"),
     ).select("doc", "sh", "bb.band", "bb.key")
-    banded = pinned(banded, "srp_banded")
-    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
-    banded = banded.join(
-        sizes.filter(F.col("sz") <= max_bucket).select("band", "key"),
-        ["band", "key"],
+    cap = Window.partitionBy("band", "key")
+    banded = banded.withColumn("_sz", F.count(F.lit(1)).over(cap)).filter(
+        F.col("_sz") <= max_bucket
     )
     a = banded.select("band", "key", F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
     b = banded.select("band", "key", F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sh_a", "sh_b")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .drop("sh_a", "sh_b")
+        .select("a", "b", "hamming")
+        .distinct()
     )
 
 
@@ -352,8 +359,19 @@ def srp_band_pairs_wide(
     array-carrying distinct was the memory cliff. ``max_hamming``
     additionally screens candidates before they ever reach the caller's
     exact rerank: hamming/n_bits estimates θ/π, so random pairs
-    (θ≈π/2) sit tens of σ above any near-duplicate threshold."""
-    from ..plans.materialize import pinned
+    (θ≈π/2) sit tens of σ above any near-duplicate threshold.
+
+    ALL adaptive tables land in ONE banding exchange (r9 restructure):
+    the explode enumerates every band of every signature in one pass,
+    the bucket cap is a window count over (band, key) riding that same
+    exchange, and the self-join reuses the window's partitioning — so
+    the 19–56 adaptive tables cost one exchange + one dedup, not a
+    pinned materialization barrier + groupBy-sizes + join-back. The r8
+    shape's eager ``pinned`` count launched an extra job and re-pinned
+    ~n·bands rows of signature arrays on EVERY call — persist churn +
+    scheduler round-trips that made the gates contention-fragile
+    (BENCH_r08: warm 26.9s > cold 10.4s; ~11× swings under host load)."""
+    from pyspark.sql import Window
 
     per_word = max(1, 60 // band_bits)
     mask = (1 << band_bits) - 1
@@ -376,14 +394,18 @@ def srp_band_pairs_wide(
             )
         ).alias("bb"),
     ).select("doc", "sh", "bb.band", "bb.key")
-    banded = pinned(banded, "srp_banded_wide")
-    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
-    banded = banded.join(
-        sizes.filter(F.col("sz") <= max_bucket).select("band", "key"),
-        ["band", "key"],
+    cap = Window.partitionBy("band", "key")
+    banded = banded.withColumn("_sz", F.count(F.lit(1)).over(cap)).filter(
+        F.col("_sz") <= max_bucket
     )
     a = banded.select("band", "key", F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
     b = banded.select("band", "key", F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
+    # Keep the zip_with/aggregate fold: an unrolled static sum of
+    # per-word bit_count(sh_a[i] ^ sh_b[i]) terms LOOKS codegen-friendly
+    # but measured 6x SLOWER at 19 words (sf1.0 A/B, same window: fold
+    # 17s warm vs unroll 113s, identical 1.21M pairs) — the repeated
+    # GetArrayItem field extractions per term beat the fold's single
+    # array traversal + intermediate allocation.
     ham = F.aggregate(
         F.zip_with(
             "sh_a", "sh_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))
@@ -538,18 +560,35 @@ def srp_knn_join(
         .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
         .select("a", "b", "_cos")
     )
-    sym = scored.unionByName(
-        scored.select(
-            F.col("b").alias("a"), F.col("a").alias("b"), F.col("_cos")
-        )
-    )
-    w = Window.partitionBy("a").orderBy(F.desc("_cos"), F.asc("b"))
+    # Symmetrize by EXPLODING each scored pair into both directions
+    # instead of unioning the scored subtree with a column-swapped copy
+    # of itself: the exact cosine fold runs once per unordered pair,
+    # and the plan holds the candidate subtree once (the union shape
+    # relied on ReusedExchange to dedup the work — an engine heuristic,
+    # not a guarantee, and a second full subtree for AQE to stage).
+    sym = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("doc"),
+                    F.col("b").alias("nn"),
+                    F.col("_cos"),
+                ),
+                F.struct(
+                    F.col("b").alias("doc"),
+                    F.col("a").alias("nn"),
+                    F.col("_cos"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.doc", "p.nn", "p._cos")
+    w = Window.partitionBy("doc").orderBy(F.desc("_cos"), F.asc("nn"))
     return (
         sym.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(
-            F.col("a").alias(id_col),
-            F.col("b").alias("nn_id"),
+            F.col("doc").alias(id_col),
+            F.col("nn").alias("nn_id"),
             F.col("_cos").alias("cosine"),
             F.col("_rn").alias("rank"),
         )
