@@ -339,6 +339,28 @@ HEADLINE: list[str] = [
 # nothing) and the tuned-CV model fit (model training, not a query).
 
 
+def calibrate_spin() -> float:
+    """Single-core pure-Python spin: wall seconds for a FIXED amount of
+    work (sum of 20M ints). Identical code measured 517-846s cold on
+    this class of shared host purely from neighbor contention
+    (SCALE.md round-8 A/B: the same loop moved 2.48s -> 1.37s between
+    machine windows while bench totals moved ~1.7x). Recording the
+    spin next to every bench run makes artifacts comparable ACROSS
+    windows: divide totals by (spin / nominal_spin) before reading a
+    round-over-round delta as a code change. Nominal on an idle host
+    here: ~0.85-1.4s."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    assert s == 199999990000000
+    return round(time.perf_counter() - t0, 3)
+
+
+def loadavg() -> list[float]:
+    return [round(x, 2) for x in os.getloadavg()]
+
+
 def plan_fingerprint(df) -> str:
     """Physical-plan shape fingerprint: md5 of the numbered node-name
     sequence from the formatted plan (stable across runs; ignores ids
@@ -357,6 +379,8 @@ def plan_fingerprint(df) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    calib_start = calibrate_spin()
+    load_start = loadavg()
     registry.load_all()
     names = [n for n in HEADLINE if n in registry.QUERIES]
 
@@ -450,6 +474,7 @@ def main() -> None:
     # ~120 jobs of broadcast/shuffle refs wait on a driver GC for the
     # ContextCleaner to release them, and that debt otherwise lands
     # inside whichever warm queries the GC interrupts.
+    calib_mid = calibrate_spin()
     gc.collect()
     spark.sparkContext._jvm.System.gc()
     time.sleep(0.5)
@@ -477,6 +502,18 @@ def main() -> None:
             retried.append(name)
 
     total = round(sum(timings.values()), 3)
+    calib_end = calibrate_spin()
+    load_end = loadavg()
+    calib = {
+        # single-core spin seconds at bench start / between passes / end;
+        # ~0.85-1.4s idle nominal — higher means neighbor contention and
+        # the totals should be deflated by spin/nominal before any
+        # cross-window comparison (README "Reading BENCH artifacts")
+        "spin_sec": [calib_start, calib_mid, calib_end],
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "cpus": os.cpu_count(),
+    }
     # Driver contract: stdout gets EXACTLY one compact JSON line, printed
     # last. The driver's tail capture keeps only ~2,000 characters, so a
     # line carrying all ~200 per-query timings (~8 KB) gets its head —
@@ -493,6 +530,7 @@ def main() -> None:
         "warm_retried": retried,
         "plans": plans,
         "sf": float(sf),
+        "calibration": calib,
     }
     Path(__file__).resolve().parent.joinpath("bench_detail.json").write_text(
         json.dumps(detail, indent=1) + "\n"
@@ -533,6 +571,8 @@ def main() -> None:
                 "sf": float(sf),
                 "n_queries": len(timings),
                 "value_warm": round(sum(warm.values()), 3),
+                "calib_spin_sec": calib["spin_sec"],
+                "loadavg": [load_start[0], load_end[0]],
             }
         )
         # never exceed the driver's ~2000-char tail capture: drop shown
