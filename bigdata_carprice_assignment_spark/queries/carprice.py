@@ -950,6 +950,39 @@ def carprice_ridge_coefficients_exact(
     return out.select("feature", F.round("coefficient", 6).alias("coefficient"))
 
 
+@query("carprice_lm_model_roundtrip", oracle=_lm_exact_oracle())
+def carprice_lm_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 model persistence as a driver-checked gate (saveRDS/readRDS,
+    BigDataProject.R:570-572): fit the exact-OLS model, SAVE its
+    coefficient table through the model sink, LOAD it back through the
+    model source, and emit the LOADED (feature, coefficient) rows.
+    Oracle is the same Cholesky-replay SQL as
+    :func:`carprice_lm_coefficients_exact`, so the hash matches only if
+    the save/load cycle is lossless — parquet's binary doubles make it
+    bit-exact (a text sink would not be). Closes the one SURVEY §2 slot
+    (S4) that previously had only a pytest roundtrip, no driver query.
+
+    Scale: a parameter table is report-sized regardless of corpus size;
+    the sink is one footer write, the source one footer read."""
+    from pathlib import Path
+
+    from ..sources.readers import load_model_table
+    from ..sources.writers import save_model_table
+
+    coefs = _lm_solve(_lm_suffstats(spark, sf_dir))
+    fitted = spark.createDataFrame(
+        coefs, "feature string, coefficient double"
+    ).select("feature", F.round("coefficient", 6).alias("coefficient"))
+    path = str(
+        Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / "roundtrip"
+        / f"lm_model_{Path(sf_dir).name}"
+    )
+    save_model_table(fitted, path)
+    return load_model_table(spark, path).select("feature", "coefficient")
+
+
 def _ml_matrix_with_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-hot ML matrix of :func:`carprice_ml_matrix` plus the
     deterministic split key (floored winsorized car id) — the same

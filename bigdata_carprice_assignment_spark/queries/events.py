@@ -2025,24 +2025,42 @@ def position_weighted_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     sum flipped the 2dp rounding at sf0.1 in one of three oracle-sweep
     runs (65.64 vs 65.63; the round-3 reassociation-noise class).
 
-    Scale: the pair join shuffles on user_id with the time range as a
-    residual (add a day-grain equi-key at 100 TB); the ranking window
-    partitions by purchase_id — millions of small partitions, no skew."""
+    Scale (hot-key posture, r9): the pair join equi-keys on (user_id,
+    HOUR CHUNK), not user_id alone — each purchase probes its own and
+    the previous hour chunk (2× explode on the purchase side; the
+    attribution window is 1 hour, so a matching click can only live in
+    those two chunks) and the time range stays as the residual. A key
+    that is uniform in time never notices; a WHALE key's quadratic
+    pair work splits across its active hours instead of landing on one
+    task (BENCH_SCALE_r08e measured 2.06× vs uniform at a 30% hot user
+    with the plain user_id key; the two-phase-with-carry recipe at
+    SCALE.md round-8 is this, expressed as a join key). The ranking
+    window partitions by purchase_id — millions of small partitions,
+    no skew."""
     ev = load_table(spark, sf_dir, "events")
+
+    def hour_chunk(col):
+        return F.floor(F.unix_timestamp(col) / F.lit(3600)).cast("long")
+
     c = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
+        hour_chunk(F.col("ts")).alias("c_chunk"),
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("purchase_ts"),
         "value",
+        F.explode(
+            F.array(hour_chunk(F.col("ts")), hour_chunk(F.col("ts")) - 1)
+        ).alias("p_chunk"),
     )
     pairs = c.join(
         p,
         (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_chunk") == F.col("p_chunk"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("purchase_id", "value", "click_id", "click_ts")

@@ -3151,7 +3151,9 @@ conn(x, y) AS (
 ),
 comp AS (SELECT x AS node, min(y) AS component FROM conn GROUP BY x),
 tok AS (
-  SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS nt
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS nt
   FROM documents
 ),
 pruned AS (SELECT node FROM comp WHERE node <> component)

@@ -42,87 +42,79 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # in r1-r3 (143 checked, all green at last check) are rotated BEHIND the
 # window so never-checked oracle queries get their first hard check.
 PRIORITY: tuple[str, ...] = (
-    # ---- round-8 window head (50). Cumulative oracle coverage reached
-    # 100% in r7, so this window = every NEW oracle query this round +
-    # the paths round 8 touched + the stalest long-green rotations
-    # (r1/r2-checked, never re-checked since) so silent regressions in
-    # the oldest greens cannot hide behind a fresh-query-only window.
+    # ---- round-9 window (50). Cumulative oracle coverage has been 100%
+    # since r7, so the window = every NEW oracle query this round + the
+    # paths round-9 code changes touched + the stalest long-green
+    # rotations (the ENTIRE remaining r2-checked block + the head of the
+    # r3 block), per the rotation discipline in COVERAGE.md.
     #
-    # Positions 1-12: NEW oracle-backed queries this round — the exact
-    # train/test LM metrics battery (M1+M3+M4) in plain AND
-    # bucket-stratified (caret-style) form, the loess smoother
-    # conversion (was rows-only), the cheap-profile SRP recall gate,
-    # the gaussian-NB AND full-KDE-NB / Lloyd-kmeans / depth-2-CART /
-    # 3-round-boosting / bagged-stumps exact twins (M7/M9-M11/M5/M8/M6
-    # deterministic math), the ranked top-20 rules query that pins T2
-    # sort + T3 limit under the hash, and the epoch-deterministic
-    # training shard manifest.
-    "carprice_lm_metrics_exact",
-    "carprice_lm_metrics_stratified_exact",
-    "carprice_loess_smooth",
-    "srp_knn_join_production_gate",
-    "carprice_gaussian_nb_confusion_exact",
-    "carprice_kde_nb_confusion_exact",
-    "carprice_kmeans_lloyd_exact",
-    "carprice_tree_depth2_exact",
-    "fpgrowth_rules_ranked_top20",
-    "training_shard_manifest",
-    "carprice_gbt_boost_exact",
-    "carprice_bagged_stumps_exact",
-    # Positions 13-14: second-session round-8 additions — SemDeDup-style
-    # semantic prune accounting (components + keep-one + token ledger)
-    # and the KMV order-statistics distinct sketch with lossless union
-    # merge. Two stale rotations (chi2_independence_components,
-    # cube_qty_by_flag_status) move to the round-9 queue to keep the
-    # window at 50.
-    "semantic_dedup_prune_stats",
-    "kmv_distinct_union_calibration",
-    # Positions 13-14: the round-7 verdict's fix-pins (the reversed-sort
-    # window frame and DECIMAL credit sums land under the driver again).
-    "nn_matching_att_urgent_lag",
-    "position_weighted_attribution",
-    # Positions 15-17: paths this round's ADVICE fixes touched — the
-    # re-derived SRP hamming screen and the backtick-quoted minhash
-    # id_col SQL must be re-checked by the driver, not just locally.
+    # Position 1: NEW this round — the S4 model-persistence gate
+    # (save/load the exact-OLS coefficient table; oracle = the
+    # long-green Cholesky replay), closing the one SURVEY §2 slot that
+    # had no driver query.
+    "carprice_lm_model_roundtrip",
+    # Positions 2-6: paths round-9 code changes touched. The SRP family
+    # was restructured into one banding exchange (window-count bucket
+    # cap, explode-symmetrized rerank) — all three consumers of
+    # srp_band_pairs/_wide must be re-checked by the driver, not just
+    # locally. semantic_dedup_prune_stats had its oracle's token count
+    # guarded for empty text (ADVICE r8); position_weighted_attribution
+    # gained the two-phase hot-key skew mitigation.
     "srp_knn_join_adaptive_gate",
-    "minhash_estimate_calibration",
-    "minhash_lsh_recall_pairs",
-    # Positions 18-20: the three long-green sentinels (agg, broadcast
-    # join, FPGrowth operator cores).
-    "top10_part_brands",
-    "region_revenue",
-    "fpgrowth_rules",
-    # Positions 21-50: stalest rotations — every oracle query whose
-    # last driver hash-check was r1 (23) plus the oldest r2 block (7);
-    # all locally preflighted green at sf0.01 before this round closed.
-    "cosine_topk_vs_query",
-    "customers_without_orders",
-    "daily_rollup_by_type",
-    "doc_fingerprint_stats",
-    "doc_lang_id_agreement",
-    "doc_quality_by_source",
-    "doc_token_stats_by_lang",
-    "embedding_norm_stats",
-    "event_props_json_extract",
-    "event_type_value_share",
-    "exact_dedup_documents",
-    "hourly_event_rollup",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "pair_association_rules",
-    "part_item_frequency",
-    "per_segment_rules",
-    "pricing_summary_report",
-    "rule_interest_measures",
-    "rules_subset_size_rhs",
-    "top_segment_order_stats",
-    "transaction_size_stats",
-    "user_sessionization",
-    "account_holders_union",
-    "asof_last_event_before_order",
-    "avg_log_price_by_segment",
-    "big_spenders_vs_segment",
-    "brand_recode_top5",
+    "srp_knn_join_production_gate",
+    "srp_candidate_pairs_exact",
+    "semantic_dedup_prune_stats",
+    "position_weighted_attribution",
+    # Positions 7-45: the complete remaining r2-checked block (39
+    # queries, stalest first two displaced from the r8 window
+    # mid-round; tuned_nonlinear_regressor_metrics is the one rows-only
+    # entry — stochastic library CV fit, re-run for the rows check).
+    "chi2_independence_components",
+    "cube_qty_by_flag_status",
+    "customer_running_spend",
+    "customer_upsert_merge_accounting",
+    "doc_repetition_quality",
+    "embedding_near_dup_recall",
+    "eval_contamination_check",
+    "event_rank_and_share_per_user",
+    "fixed_bucket_order_counts",
+    "flagship_price_band_summary",
+    "gap_filled_hourly_events",
+    "iqr_capped_price_stats",
+    "ivf_knn_join_top1",
+    "keyword_search_tfidf",
+    "largest_order_per_customer",
+    "lineitem_correlation_matrix",
+    "lineitem_profile_summary",
+    "lsh_knn_join_top1",
+    "median_imputed_event_values",
+    "modal_priority_by_status",
+    "nation_distinct_suppliers",
+    "nation_set_operations",
+    "near_dup_keep_best",
+    "null_profile_events",
+    "order_price_five_number_summary",
+    "part_first_word_counts",
+    "pearson_r_components",
+    "qty_pivot_by_linestatus",
+    "quality_topq_by_lang",
+    "returnflag_linestatus_crosstab",
+    "rollup_revenue_region_nation",
+    "salted_user_event_totals",
+    "segment_spend_regression_slope",
+    "simhash_hamming_pairs_exact",
+    "totalprice_histogram",
+    "tukey_pairwise_components",
+    "tuned_nonlinear_regressor_metrics",
+    "user_value_moving_avg",
+    "welch_t_components",
+    # Positions 46-50: head of the r3-checked block (45 remain for the
+    # round-10 queue, alphabetical for mechanical continuation).
+    "anova_f_components",
+    "approx_quantile_check",
+    "boilerplate_ngram_stats",
+    "brand_name_edit_distances",
+    "brand_supplier_variety",
     # ---- everything else: previously driver-hash-green and rows-only
     # queries keep module registration order (handled by load_all: any
     # registered query not named here follows after).

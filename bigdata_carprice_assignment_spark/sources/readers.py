@@ -135,3 +135,11 @@ def profile(df: DataFrame) -> DataFrame:
     """S5 schema/profile inspect: ``glimpse``/``summary`` analogue
     (BigDataProject.R:44-46) — count/mean/stddev/min/quartiles/max."""
     return df.summary()
+
+
+def load_model_table(spark: SparkSession, path: str) -> DataFrame:
+    """S4 model source, table form (readRDS analogue,
+    BigDataProject.R:571): loads a parameter table persisted by
+    :func:`..sources.writers.save_model_table`. Schema rides the
+    parquet footer — no inference pass, bit-exact doubles."""
+    return spark.read.parquet(path)

@@ -74,3 +74,14 @@ def write_bucketed(
 def save_model(model, path: str) -> None:
     """S4: model sink (saveRDS analogue) via Spark ML's native writer."""
     model.write().overwrite().save(path)
+
+
+def save_model_table(df: DataFrame, path: str) -> None:
+    """S4 model sink, table form (saveRDS analogue,
+    BigDataProject.R:570-572, for closed-form fits): persists a model's
+    parameter table — coefficients, centers, split points — as parquet.
+    Doubles round-trip bit-exactly (binary columnar encoding, no text
+    formatting), so a loaded model scores identically to the fitted
+    one. ``coalesce(1)``: a parameter table is report-sized by
+    construction; one footer read loads it back."""
+    df.coalesce(1).write.mode("overwrite").parquet(path)

@@ -446,22 +446,38 @@ def test_semantic_dedup_ledger_consistency(spark, sf_smoke):
     ) < 1e-12
 
 
-def test_kmv_small_set_degenerates_to_exact(spark):
+def test_kmv_small_set_degenerates_to_exact(spark, tmp_path):
     """A scope with fewer than k distinct values must report the exact
-    count as its estimate (the <k branch of the KMV contract), and the
-    estimator must be exactly (k-1)*2^60/h_k otherwise."""
+    count as its estimate (the <k branch of the KMV contract) — driven
+    through the REAL query on a tiny fixture corpus, not emulated —
+    and the estimator must be exactly (k-1)*2^60/h_k otherwise."""
     from bigdata_carprice_assignment_spark.llm import text as TX
+    from bigdata_carprice_assignment_spark.queries.statistics import (
+        kmv_distinct_union_calibration,
+    )
     from pyspark.sql import functions as F
 
-    # 10 distinct values < k=64: sketch holds everything
-    df = spark.createDataFrame([(f"v{i}",) for i in range(10)], "g string")
-    hs = df.select(TX.portable_hash60(F.col("g")).alias("h")).distinct()
-    n = hs.count()
-    assert n == 10  # no hash collisions on this tiny set
-    # the query's <k rule: estimate == exact == 10 — emulate the branch
+    # two sources whose word-3-gram vocabularies are far below k=64
+    # (each doc has ~8 tokens -> ~6 shingles; 3 docs per source), so
+    # EVERY scope incl. 'ALL' must hit the <k degeneration branch
     k = 64
-    nk = min(n, k)
-    assert nk < k and float(nk) == float(n)
+    rows = [
+        (i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i} eta{i} theta{i}",
+         "en", f"src{i % 2}", 40)
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["scope"]: r
+        for r in kmv_distinct_union_calibration(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"src0", "src1", "ALL"}
+    for scope, r in out.items():
+        assert 0 < r["n_exact"] < k, scope
+        assert r["kmv_estimate"] == float(r["n_exact"]), scope
+        assert r["rel_error_pct"] == 0.0, scope
 
     # >k values: estimator replays as (k-1)*2^60/h_k on the k-th smallest
     df2 = spark.createDataFrame([(f"w{i}",) for i in range(500)], "g string")
