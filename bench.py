@@ -333,6 +333,10 @@ HEADLINE: list[str] = [
     "bloom_join_pruning_audit",
     "event_funnel_conversion",
     "carprice_un_onehot_replay",
+    # round-9 additions: the S4 persistence gate is excluded (fixed
+    # 205-row carprice suite); the window-dedup accounting is a scale
+    # workload
+    "exact_substring_window_dedup",
 ]
 # deliberately NOT timed: embedding_near_dup_recall (same pipeline as
 # lsh_knn_join_top1 minus the top-1 window — timing it twice tells

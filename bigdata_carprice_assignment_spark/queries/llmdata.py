@@ -3229,3 +3229,134 @@ def semantic_dedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_token_share"),
         )
     )
+
+
+@query(
+    "exact_substring_window_dedup",
+    oracle=r"""
+WITH n AS (
+  SELECT doc_id, source, trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tk AS (SELECT doc_id, source, string_split(t, ' ') AS toks FROM n WHERE t <> ''),
+w AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(toks) // 16 + 1),
+                i -> array_to_string(toks[(i-1)*16+1:(i-1)*16+16], ' '))) AS win
+  FROM tk WHERE len(toks) >= 16
+),
+h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(win), 1, 15))::BIGINT AS hk
+  FROM w
+),
+g AS (SELECT hk, count(DISTINCT doc_id) AS nd FROM h GROUP BY hk),
+per AS (
+  SELECT h.doc_id, h.source,
+         count(*) AS nw,
+         sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS dw
+  FROM h JOIN g USING (hk) GROUP BY h.doc_id, h.source
+),
+alldocs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT a.source,
+       a.n_docs::BIGINT AS n_docs,
+       count(per.doc_id)::BIGINT AS docs_with_windows,
+       coalesce(sum(per.nw), 0)::BIGINT AS windows_total,
+       coalesce(sum(per.dw), 0)::BIGINT AS dup_windows,
+       round(coalesce(avg(per.dw::DOUBLE / per.nw), 0.0), 6) AS mean_dup_share,
+       coalesce(sum(CASE WHEN 2 * per.dw >= per.nw THEN 1 ELSE 0 END), 0)::BIGINT
+         AS docs_majority_dup
+FROM alldocs a LEFT JOIN per ON per.source = a.source
+GROUP BY a.source, a.n_docs
+ORDER BY a.source
+""",
+)
+def exact_substring_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING duplication accounting at fixed token-window
+    grain — the distributable form of Lee et al. 2022's exact-substring
+    dedup (their suffix array is a single-machine structure; windowed
+    hashing at a fixed stride is what production curation pipelines run
+    at corpus scale, e.g. paragraph-grain dedup in open-data recipes).
+    Each doc's normalized token stream is cut into NON-OVERLAPPING
+    16-token windows; a window instance is duplicated when its hash
+    occurs in >= 2 DISTINCT documents. Per source: docs with >= 1 full
+    window, window/duplicate-instance totals, mean per-doc duplicated
+    share, and docs whose majority of windows are duplicated
+    (2*dw >= nw — integer comparison, no float threshold).
+
+    Mechanism-exact: normalization replays the shared SQL form, window
+    keys ride the portable 60-bit md5 hash, and the majority test is
+    integer arithmetic — every count is engine-portable.
+
+    Scale: one narrow projection per doc (windows ~ tokens/16), a
+    window-vocab-grain groupBy for occurrence counts, one shuffle join
+    back at window grain, then doc- and source-grain aggregates — the
+    same grain ladder as the MinHash family, with NO candidate pair
+    stage at all (instance accounting, not pair recovery). The pooled
+    tokenize prefix (``_doc_norm_tokens``) is shared with every other
+    text consumer."""
+    from ..llm import text as TX
+
+    W = 16
+    base = _doc_norm_tokens(spark, sf_dir)
+    wins = base.filter(F.size("toks") >= W).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.size("toks") / W).cast("int")),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("toks"), (i - 1) * W + 1, W)
+                ),
+            )
+        ).alias("win"),
+    )
+    h = wins.select(
+        "doc_id", "source", TX.portable_hash60(F.col("win")).alias("hk")
+    )
+    g = h.groupBy("hk").agg(F.count_distinct("doc_id").alias("nd"))
+    per = (
+        h.join(g, "hk")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("nw"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("dw"),
+        )
+    )
+    alldocs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        alldocs.join(per, "source", "left")
+        .groupBy("source", "n_docs")
+        .agg(
+            F.count("doc_id").alias("docs_with_windows"),
+            F.coalesce(F.sum("nw"), F.lit(0)).cast("long").alias("windows_total"),
+            F.coalesce(F.sum("dw"), F.lit(0)).cast("long").alias("dup_windows"),
+            F.round(
+                F.coalesce(
+                    F.avg(F.col("dw").cast("double") / F.col("nw")), F.lit(0.0)
+                ),
+                6,
+            ).alias("mean_dup_share"),
+            F.coalesce(
+                F.sum(F.when(2 * F.col("dw") >= F.col("nw"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("docs_majority_dup"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("docs_with_windows").cast("long").alias("docs_with_windows"),
+            "windows_total",
+            "dup_windows",
+            "mean_dup_share",
+            "docs_majority_dup",
+        )
+        .orderBy("source")
+    )

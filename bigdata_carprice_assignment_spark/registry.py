@@ -48,11 +48,13 @@ PRIORITY: tuple[str, ...] = (
     # rotations (the ENTIRE remaining r2-checked block + the head of the
     # r3 block), per the rotation discipline in COVERAGE.md.
     #
-    # Position 1: NEW this round — the S4 model-persistence gate
+    # Positions 1-2: NEW this round — the S4 model-persistence gate
     # (save/load the exact-OLS coefficient table; oracle = the
     # long-green Cholesky replay), closing the one SURVEY §2 slot that
-    # had no driver query.
+    # had no driver query; and the exact-substring window-dedup
+    # accounting (Lee-et-al-style duplication at 16-token grain).
     "carprice_lm_model_roundtrip",
+    "exact_substring_window_dedup",
     # Positions 2-6: paths round-9 code changes touched. The SRP family
     # was restructured into one banding exchange (window-count bucket
     # cap, explode-symmetrized rerank) — all three consumers of
@@ -108,13 +110,12 @@ PRIORITY: tuple[str, ...] = (
     "tuned_nonlinear_regressor_metrics",
     "user_value_moving_avg",
     "welch_t_components",
-    # Positions 46-50: head of the r3-checked block (45 remain for the
-    # round-10 queue, alphabetical for mechanical continuation).
+    # Positions 47-50: head of the r3-checked block (46 remain for the
+    # round-10 queue, alphabetical from brand_supplier_variety onward).
     "anova_f_components",
     "approx_quantile_check",
     "boilerplate_ngram_stats",
     "brand_name_edit_distances",
-    "brand_supplier_variety",
     # ---- everything else: previously driver-hash-green and rows-only
     # queries keep module registration order (handled by load_all: any
     # registered query not named here follows after).

@@ -490,3 +490,34 @@ def test_kmv_small_set_degenerates_to_exact(spark, tmp_path):
     est = (k - 1) * 1152921504606846976.0 / hs2[k - 1]
     # unbiased within ~4 standard errors (se ≈ n/sqrt(k-2))
     assert abs(est - 500) < 4 * 500 / (k - 2) ** 0.5
+
+
+def test_exact_substring_window_dedup_planted(spark, tmp_path):
+    """Planted 16-token-window duplication: docs A and B share their
+    first window verbatim, C is unique, D is too short for any window.
+    The per-source ledger must count exactly the planted duplication."""
+    from bigdata_carprice_assignment_spark.queries.llmdata import (
+        exact_substring_window_dedup,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(16))
+    uniq_a = " ".join(f"aa{i}" for i in range(16))
+    uniq_c = " ".join(f"cc{i}" for i in range(16))
+    rows = [
+        (1, shared + " " + uniq_a, "en", "s1", 0),   # 2 windows, 1 dup
+        (2, shared, "en", "s1", 0),                   # 1 window, dup
+        (3, uniq_c, "en", "s1", 0),                   # 1 window, unique
+        (4, "short text only", "en", "s2", 0),        # no full window
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in exact_substring_window_dedup(spark, str(tmp_path)).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1["n_docs"], s1["docs_with_windows"]) == (3, 3)
+    assert (s1["windows_total"], s1["dup_windows"]) == (4, 2)
+    # shares: doc1 1/2, doc2 1/1, doc3 0/1 -> mean 0.5
+    assert s1["mean_dup_share"] == 0.5
+    assert s1["docs_majority_dup"] == 2  # doc1 (2*1>=2) and doc2
+    assert (s2["n_docs"], s2["docs_with_windows"], s2["windows_total"]) == (1, 0, 0)
+    assert s2["mean_dup_share"] == 0.0 and s2["docs_majority_dup"] == 0
