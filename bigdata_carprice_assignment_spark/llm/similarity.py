@@ -346,6 +346,8 @@ def srp_band_pairs_wide(
     band_bits: int,
     max_bucket: int = 2000,
     max_hamming: int | None = None,
+    weight_col: str | None = None,
+    include_self: bool = False,
 ) -> DataFrame:
     """Banding over multi-word signatures: each 60-bit word is split
     into ``60 // band_bits`` chunks independently (bands never span a
@@ -370,15 +372,30 @@ def srp_band_pairs_wide(
     shape's eager ``pinned`` count launched an extra job and re-pinned
     ~n·bands rows of signature arrays on EVERY call — persist churn +
     scheduler round-trips that made the gates contention-fragile
-    (BENCH_r08: warm 26.9s > cold 10.4s; ~11× swings under host load)."""
+    (BENCH_r08: warm 26.9s > cold 10.4s; ~11× swings under host load).
+
+    GROUPED-input support (r9, dedup-before-ANN): when ``sigs`` rows
+    stand for GROUPS of identical vectors, ``weight_col`` names the
+    member count — the bucket cap then sums weights, so capping fires
+    at exactly the same doc counts as ungrouped banding would — and
+    ``include_self=True`` keeps the (g, g) self-pair (hamming 0), which
+    exists iff the group has ≥1 surviving bucket: the precise condition
+    under which ungrouped banding would emit that group's within-group
+    doc pairs."""
     from pyspark.sql import Window
 
     per_word = max(1, 60 // band_bits)
     mask = (1 << band_bits) - 1
     n_words = (n_bits + 59) // 60
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
     banded = sigs.select(
         F.col(id_col).alias("doc"),
         F.col("srp_sig").alias("sh"),
+        wt.alias("_wt"),
         F.explode(
             F.array(
                 *[
@@ -393,9 +410,9 @@ def srp_band_pairs_wide(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "sh", "bb.band", "bb.key")
+    ).select("doc", "sh", "_wt", "bb.band", "bb.key")
     cap = Window.partitionBy("band", "key")
-    banded = banded.withColumn("_sz", F.count(F.lit(1)).over(cap)).filter(
+    banded = banded.withColumn("_sz", F.sum("_wt").over(cap)).filter(
         F.col("_sz") <= max_bucket
     )
     a = banded.select("band", "key", F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
@@ -428,9 +445,12 @@ def srp_band_pairs_wide(
     # pairs that survive). The shuffle-size win dominates at current
     # shapes; if rerank-stage CPU ever shows in profiles, dedup (a, b)
     # per band-block (min_by over (band, key) groups) before the fold.
+    pair_cond = (
+        F.col("a") <= F.col("b") if include_self else F.col("a") < F.col("b")
+    )
     out = (
         a.join(b, ["band", "key"])
-        .filter(F.col("a") < F.col("b"))
+        .filter(pair_cond)
         .withColumn("hamming", ham)
         .select("a", "b", "hamming")
     )
@@ -509,8 +529,10 @@ def srp_knn_join(
     from pyspark.sql import Window
 
     adaptive = band_bits is None
+    n_docs = None
     if adaptive:
-        band_bits = srp_adaptive_band_bits(df.count())
+        n_docs = df.count()
+        band_bits = srp_adaptive_band_bits(n_docs)
     n_bands = (
         srp_adaptive_bands(band_bits, design_cos=design_cos, miss=miss)
         if adaptive
@@ -525,7 +547,6 @@ def srp_knn_join(
         per_word = max(1, 60 // band_bits)
         n_words = max(1, -(-n_bands // per_word))
         wide_bits = n_words * 60
-        sigs = srp_signatures_wide(df, vec_col, id_col, wide_bits)
         # ADAPTIVE path only: hamming screen ahead of the exact rerank.
         # hamming/wide_bits estimates θ/π, so size the threshold from
         # the MINIMUM cosine callers gate on (screen_cos, default 0.85
@@ -549,9 +570,86 @@ def srp_knn_join(
                 wide_bits * p_screen
                 + 6.0 * math.sqrt(wide_bits * p_screen * (1.0 - p_screen))
             )
-        pairs = srp_band_pairs_wide(
-            sigs, id_col, wide_bits, band_bits, max_bucket, max_hamming=thr
+        # DEDUP-BEFORE-ANN (r9): when the corpus carries meaningful
+        # exact duplication, band one representative per DISTINCT
+        # vector and expand group pairs back to doc pairs afterward —
+        # the standard production composition (identical embeddings are
+        # the norm in crawled corpora: verbatim mirrors, boilerplate).
+        # Exactness is preserved end to end: the bucket cap sums member
+        # counts (fires at the same doc counts as ungrouped banding),
+        # the (g, g) self-pair marks groups with a surviving bucket
+        # (the exact condition for within-group pairs), signatures /
+        # hamming / cosine are functions of the vector so group-grain
+        # values ARE the doc-grain values. Same-window A/B at 10× clone
+        # data: grouped 10.6s vs ungrouped 48-94s; at a 99.8%-unique
+        # corpus the grouping's extra vector-grain window + expansion
+        # joins cost ~+5s of pure overhead — so the path is chosen from
+        # ONE distinct-count (uniq ≤ 0.7·n groups; an aggregate at
+        # unique-vector grain, trivial next to the banding it replaces).
+        n_uniq = df.select(vec_col).distinct().count()
+        if n_docs is None:
+            n_docs = df.count()
+        if n_uniq > 0.7 * n_docs:
+            sigs = srp_signatures_wide(df, vec_col, id_col, wide_bits)
+            pairs = srp_band_pairs_wide(
+                sigs, id_col, wide_bits, band_bits, max_bucket, max_hamming=thr
+            )
+            va = df.select(
+                F.col(id_col).alias("a"), F.col(vec_col).alias("_va")
+            )
+            vb = df.select(
+                F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")
+            )
+            scored = (
+                pairs.join(va, "a")
+                .join(vb, "b")
+                .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+                .select("a", "b", "_cos")
+            )
+            return _topk_from_scored(scored, id_col, k)
+        wv = Window.partitionBy(vec_col)
+        m = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+            "_gid", F.min(id_col).over(wv)
         )
+        members = m.select(F.col("_gid"), F.col(id_col).alias("_m"))
+        wt = members.groupBy("_gid").agg(F.count(F.lit(1)).alias("_wt"))
+        uniq = m.filter(F.col(id_col) == F.col("_gid")).select(
+            F.col("_gid"), F.col(vec_col)
+        )
+        sigs_g = srp_signatures_wide(uniq, vec_col, "_gid", wide_bits).join(
+            F.broadcast(wt), "_gid"
+        )
+        gpairs = srp_band_pairs_wide(
+            sigs_g,
+            "_gid",
+            wide_bits,
+            band_bits,
+            max_bucket,
+            max_hamming=thr,
+            weight_col="_wt",
+            include_self=True,
+        )
+        vga = uniq.select(F.col("_gid").alias("a"), F.col(vec_col).alias("_va"))
+        vgb = uniq.select(F.col("_gid").alias("b"), F.col(vec_col).alias("_vb"))
+        scored_g = (
+            gpairs.join(vga, "a")
+            .join(vgb, "b")
+            .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+            .select("a", "b", "_cos")
+        )
+        ma = members.select(F.col("_gid").alias("a"), F.col("_m").alias("_da"))
+        mb = members.select(F.col("_gid").alias("b"), F.col("_m").alias("_db"))
+        scored = (
+            scored_g.join(ma, "a")
+            .join(mb, "b")
+            # cross-group pairs expand fully; within-group (a == b)
+            # pairs keep one orientation (the explode below symmetrizes)
+            .filter((F.col("a") != F.col("b")) | (F.col("_da") < F.col("_db")))
+            .select(
+                F.col("_da").alias("a"), F.col("_db").alias("b"), F.col("_cos")
+            )
+        )
+        return _topk_from_scored(scored, id_col, k)
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     scored = (
@@ -560,12 +658,20 @@ def srp_knn_join(
         .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
         .select("a", "b", "_cos")
     )
-    # Symmetrize by EXPLODING each scored pair into both directions
-    # instead of unioning the scored subtree with a column-swapped copy
-    # of itself: the exact cosine fold runs once per unordered pair,
-    # and the plan holds the candidate subtree once (the union shape
-    # relied on ReusedExchange to dedup the work — an engine heuristic,
-    # not a guarantee, and a second full subtree for AQE to stage).
+    return _topk_from_scored(scored, id_col, k)
+
+
+def _topk_from_scored(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Top-k per vector from scored unordered pairs (a, b, _cos).
+
+    Symmetrizes by EXPLODING each scored pair into both directions
+    instead of unioning the scored subtree with a column-swapped copy
+    of itself: the exact cosine fold runs once per unordered pair, and
+    the plan holds the candidate subtree once (the union shape relied
+    on ReusedExchange to dedup the work — an engine heuristic, not a
+    guarantee, and a second full subtree for AQE to stage)."""
+    from pyspark.sql import Window
+
     sym = scored.select(
         F.explode(
             F.array(
