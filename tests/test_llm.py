@@ -521,3 +521,40 @@ def test_exact_substring_window_dedup_planted(spark, tmp_path):
     assert s1["docs_majority_dup"] == 2  # doc1 (2*1>=2) and doc2
     assert (s2["n_docs"], s2["docs_with_windows"], s2["windows_total"]) == (1, 0, 0)
     assert s2["mean_dup_share"] == 0.0 and s2["docs_majority_dup"] == 0
+
+
+def test_srp_knn_join_grouped_path_matches_bruteforce(spark):
+    """Heavy exact duplication (40 distinct vectors x 5 clones = 200
+    docs, 20% unique) forces the duplication-adaptive GROUPED branch of
+    srp_knn_join (band one rep per distinct vector, member-weighted
+    caps, expand group pairs). Every doc's top-1 must match numpy brute
+    force: a clone's best partner is another clone (cosine exactly 1)
+    with the smallest id winning ties."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for g in range(40):
+        for c in range(5):
+            rows.append((g * 5 + c, [float(x) for x in base[g]]))
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+    got = {
+        r["vid"]: (r["nn_id"], r["cosine"])
+        for r in S.srp_knn_join(df, "vec", "vid", k=1, band_bits=None).collect()
+    }
+    assert len(got) == 200
+    X = np.array([r[1] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    np.fill_diagonal(sims, -2.0)
+    for i in range(200):
+        nn, cos = got[i]
+        best = sims[i].max()
+        # returned neighbor must be AT the brute-force optimum...
+        assert sims[i][nn] >= best - 1e-9
+        # ...which for a clone is its own group (cosine == 1 exactly),
+        # and ties break to the smallest id
+        assert nn == min(
+            j for j in range(200) if sims[i][j] >= best - 1e-9
+        )
