@@ -491,6 +491,7 @@ def main() -> None:
     # strictly single-shot.
     warm: dict[str, float] = {}
     retried: list[str] = []
+    retry_values: dict[str, list[float]] = {}
     for i, name in enumerate(names):
         if i % 40 == 39:
             gc.collect()
@@ -500,10 +501,17 @@ def main() -> None:
         registry.QUERIES[name](spark, sf_dir).collect()
         warm[name] = round(time.perf_counter() - t0, 3)
         if warm[name] > 1.5 * timings[name] and warm[name] > 0.5:
+            first = warm[name]
             t0 = time.perf_counter()
             registry.QUERIES[name](spark, sf_dir).collect()
-            warm[name] = min(warm[name], round(time.perf_counter() - t0, 3))
+            retry = round(time.perf_counter() - t0, 3)
+            warm[name] = min(first, retry)
             retried.append(name)
+            # pre/post pair: retried-and-RECOVERED (retry ≪ first =
+            # the first sample caught a GC/cleaner/neighbor stall) is
+            # a different diagnosis from retried-and-STILL-SLOW (both
+            # high = the query itself got slower; look at the plan)
+            retry_values[name] = [first, retry]
 
     total = round(sum(timings.values()), 3)
     calib_end = calibrate_spin()
@@ -532,6 +540,7 @@ def main() -> None:
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 3),
         "warm_retried": retried,
+        "warm_retry_values": retry_values,
         "plans": plans,
         "sf": float(sf),
         "calibration": calib,

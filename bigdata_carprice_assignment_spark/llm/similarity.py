@@ -252,7 +252,7 @@ def srp_band_pairs(
     id_col: str,
     n_bits: int = 60,
     band_bits: int = 10,
-    max_bucket: int = 2000,
+    max_bucket: int | None = 2000,
 ) -> DataFrame:
     """SRP banding: split the n_bits signature into n_bits/band_bits
     chunks; vectors sharing any chunk are candidates — the cosine-LSH
@@ -263,7 +263,11 @@ def srp_band_pairs(
     collide per band w.p. ~2^-band_bits; near-angular pairs (θ→0)
     collide w.p. →1. Returns distinct (a < b, hamming); buckets larger
     than ``max_bucket`` are dropped (capped, logged shape — same
-    boilerplate guard as MinHash banding).
+    boilerplate guard as MinHash banding). ``max_bucket=None`` skips
+    the cap AND its window count entirely — an exactness gate that
+    must emit every pair pays no cap bookkeeping for a cap that can
+    never fire (r10: the window over (band, key) was a full extra
+    exchange of the banded rows, ~30% of the 60/10 gate's cold time).
 
     ALL bands land in ONE banding exchange: the explode enumerates
     every band of every signature, the bucket cap is a window count
@@ -295,10 +299,11 @@ def srp_band_pairs(
             )
         ).alias("bb"),
     ).select("doc", "sh", "bb.band", "bb.key")
-    cap = Window.partitionBy("band", "key")
-    banded = banded.withColumn("_sz", F.count(F.lit(1)).over(cap)).filter(
-        F.col("_sz") <= max_bucket
-    )
+    if max_bucket is not None:
+        cap = Window.partitionBy("band", "key")
+        banded = banded.withColumn("_sz", F.count(F.lit(1)).over(cap)).filter(
+            F.col("_sz") <= max_bucket
+        )
     a = banded.select("band", "key", F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
     b = banded.select("band", "key", F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
     return (
@@ -344,7 +349,7 @@ def srp_band_pairs_wide(
     id_col: str,
     n_bits: int,
     band_bits: int,
-    max_bucket: int = 2000,
+    max_bucket: int | None = 2000,
     max_hamming: int | None = None,
     weight_col: str | None = None,
     include_self: bool = False,
@@ -411,10 +416,11 @@ def srp_band_pairs_wide(
             )
         ).alias("bb"),
     ).select("doc", "sh", "_wt", "bb.band", "bb.key")
-    cap = Window.partitionBy("band", "key")
-    banded = banded.withColumn("_sz", F.sum("_wt").over(cap)).filter(
-        F.col("_sz") <= max_bucket
-    )
+    if max_bucket is not None:
+        cap = Window.partitionBy("band", "key")
+        banded = banded.withColumn("_sz", F.sum("_wt").over(cap)).filter(
+            F.col("_sz") <= max_bucket
+        )
     a = banded.select("band", "key", F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
     b = banded.select("band", "key", F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
     # Keep the zip_with/aggregate fold: an unrolled static sum of
@@ -501,6 +507,8 @@ def srp_knn_join(
     design_cos: float = 0.94,
     miss: float = 1e-4,
     screen_cos: float = 0.85,
+    n_docs_stat: int | None = None,
+    n_distinct_stat: int | None = None,
 ) -> DataFrame:
     """Approximate kNN-join via SRP banding: candidates from the band
     join, exact double-precision cosine rerank, per-vector top-k window.
@@ -525,13 +533,25 @@ def srp_knn_join(
     1860 bits). The fixed 60-bit/10-bit setting remains for the
     mechanism-exact oracle gate.
 
+    ``n_docs_stat`` / ``n_distinct_stat`` are CATALOG STATISTICS (r10):
+    the adaptive path needs the corpus size (to pick band bits) and the
+    distinct-vector count (to pick the dedup-before-ANN route), and
+    without them it pays one count job + one distinct-count job per
+    call. At ingest those are one cheap aggregate recorded next to the
+    data (``sources.layout.write_corpus_stats``) — a caller that passes
+    them gets a ZERO-extra-job plan; absent stats fall back to the
+    count jobs. Non-adaptive (explicit band_bits) callers never probe
+    duplication at all — the explicit-band contract is "band exactly as
+    told", and the r9 shape's unconditional probe was two full-scan
+    jobs of pure overhead on that path (ADVICE r9).
+
     Returns (id, nn_id, cosine, rank) for vectors with ≥1 candidate."""
     from pyspark.sql import Window
 
     adaptive = band_bits is None
     n_docs = None
     if adaptive:
-        n_docs = df.count()
+        n_docs = n_docs_stat if n_docs_stat is not None else df.count()
         band_bits = srp_adaptive_band_bits(n_docs)
     n_bands = (
         srp_adaptive_bands(band_bits, design_cos=design_cos, miss=miss)
@@ -585,11 +605,19 @@ def srp_knn_join(
         # corpus the grouping's extra vector-grain window + expansion
         # joins cost ~+5s of pure overhead — so the path is chosen from
         # ONE distinct-count (uniq ≤ 0.7·n groups; an aggregate at
-        # unique-vector grain, trivial next to the banding it replaces).
-        n_uniq = df.select(vec_col).distinct().count()
-        if n_docs is None:
-            n_docs = df.count()
-        if n_uniq > 0.7 * n_docs:
+        # unique-vector grain, trivial next to the banding it replaces)
+        # — read from the catalog stat when the caller has one, probed
+        # only on the ADAPTIVE path otherwise (explicit-band callers
+        # take the ungrouped route with zero extra jobs).
+        if n_distinct_stat is not None:
+            n_uniq = n_distinct_stat
+            if n_docs is None:
+                n_docs = n_docs_stat if n_docs_stat is not None else df.count()
+        elif adaptive:
+            n_uniq = df.select(vec_col).distinct().count()
+        else:
+            n_uniq = None
+        if n_uniq is None or n_uniq > 0.7 * n_docs:
             sigs = srp_signatures_wide(df, vec_col, id_col, wide_bits)
             pairs = srp_band_pairs_wide(
                 sigs, id_col, wide_bits, band_bits, max_bucket, max_hamming=thr
@@ -616,8 +644,14 @@ def srp_knn_join(
         uniq = m.filter(F.col(id_col) == F.col("_gid")).select(
             F.col("_gid"), F.col(vec_col)
         )
+        # the group-size table is at unique-vector grain (up to 0.7·n
+        # rows) — force the broadcast only while it provably fits (two
+        # longs × 2M rows ≈ 32 MB); above that let AQE pick the
+        # strategy rather than blow the driver on a dim-sized build
+        # side (ADVICE r9)
+        wt_build = F.broadcast(wt) if n_uniq <= 2_000_000 else wt
         sigs_g = srp_signatures_wide(uniq, vec_col, "_gid", wide_bits).join(
-            F.broadcast(wt), "_gid"
+            wt_build, "_gid"
         )
         gpairs = srp_band_pairs_wide(
             sigs_g,

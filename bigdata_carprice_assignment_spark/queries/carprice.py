@@ -963,7 +963,12 @@ def carprice_lm_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (S4) that previously had only a pytest roundtrip, no driver query.
 
     Scale: a parameter table is report-sized regardless of corpus size;
-    the sink is one footer write, the source one footer read."""
+    the sink is one footer write, the source one footer read. The sink
+    path is a PER-PROCESS temp directory (not a fixed warehouse path):
+    two concurrent drivers — or two corpora sharing a dir basename —
+    must not race overwrite-vs-read on the same files (ADVICE r9)."""
+    import os
+    import tempfile
     from pathlib import Path
 
     from ..sources.readers import load_model_table
@@ -973,14 +978,17 @@ def carprice_lm_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitted = spark.createDataFrame(
         coefs, "feature string, coefficient double"
     ).select("feature", F.round("coefficient", 6).alias("coefficient"))
-    path = str(
-        Path(__file__).resolve().parents[2]
-        / "spark-warehouse"
-        / "roundtrip"
-        / f"lm_model_{Path(sf_dir).name}"
+    root = _ROUNDTRIP_TMP.setdefault(
+        "root", tempfile.mkdtemp(prefix="lm_roundtrip_")
+    )
+    path = os.path.join(
+        root, f"lm_model_{Path(sf_dir).resolve().as_posix().replace('/', '_')}"
     )
     save_model_table(fitted, path)
     return load_model_table(spark, path).select("feature", "coefficient")
+
+
+_ROUNDTRIP_TMP: dict[str, str] = {}
 
 
 def _ml_matrix_with_key(spark: SparkSession, sf_dir: str) -> DataFrame:

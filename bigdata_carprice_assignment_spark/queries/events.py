@@ -372,23 +372,37 @@ def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lags compared as microsecond longs on both engines (same discipline
     as user_sessionization).
 
-    Scale: both sides are type-filtered projections of one fact scan;
-    the join shuffles on user_id with the time-range as a join-level
-    residual — at 100 TB add a coarse time-bucket equi-key (day) to the
-    join so the range residual only scans within-bucket pairs."""
+    Scale (hot-key posture, r10): the pair join equi-keys on (user_id,
+    HOUR CHUNK), not user_id alone — each purchase probes its own and
+    the previous hour chunk (2× explode on the purchase side; the
+    attribution window is 1 hour, so a matching click can only live in
+    those two chunks) and the time range stays as the residual. Same
+    recipe as position_weighted_attribution below, where the sibling
+    shape measured 2.06× vs uniform at a 30% hot user on the bare
+    user_id key and 0.96× after chunking (BENCH_SCALE_r08e/r09c)."""
     ev = load_table(spark, sf_dir, "events")
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+
+    def hour_chunk(col):
+        return F.floor(F.unix_timestamp(col) / F.lit(3600)).cast("long")
+
     c = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        hour_chunk(F.col("ts")).alias("c_chunk"),
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("purchase_ts"),
         "value",
+        F.explode(
+            F.array(hour_chunk(F.col("ts")), hour_chunk(F.col("ts")) - 1)
+        ).alias("p_chunk"),
     )
     pairs = c.join(
         p,
         (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_chunk") == F.col("p_chunk"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select(
@@ -1549,27 +1563,33 @@ def attribution_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lags are exact integer microsecond differences scaled once, so the
     value domain is identical across engines.
 
-    Scale: the pair join shuffles on user_id with the hour bound as a
-    join predicate; the percentile path is a hash-agg to distinct lag
-    values plus the two-pass range cumulative."""
+    Scale (hot-key posture, r10): the pair join equi-keys on (user_id,
+    HOUR CHUNK) — each purchase probes its own and the previous hour
+    chunk, the time range staying as the residual — so a whale user's
+    quadratic pair work splits across its active hours (the recipe
+    position_weighted_attribution measured at 0.96× vs uniform under a
+    30% hot key, BENCH_SCALE_r09c); the percentile path is a hash-agg
+    to distinct lag values plus the two-pass range cumulative."""
     from ..operators.aggregates import exact_percentiles_distributed
 
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
+    chunk = F.floor(us / 3_600_000_000).cast("long")
     c = ev.filter(F.col("event_type") == "click").select(
-        "user_id", us.alias("cus")
+        F.col("user_id").alias("c_user"), us.alias("cus"), chunk.alias("c_chunk")
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", us.alias("pus")
+        F.col("user_id").alias("p_user"),
+        us.alias("pus"),
+        F.explode(F.array(chunk, chunk - 1)).alias("p_chunk"),
     )
-    lags = (
-        c.join(p, "user_id")
-        .filter(
-            (F.col("cus") <= F.col("pus"))
-            & (F.col("pus") <= F.col("cus") + 3_600_000_000)
-        )
-        .select(((F.col("pus") - F.col("cus")) / 60000000.0).alias("lag_min"))
-    )
+    lags = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_chunk") == F.col("p_chunk"))
+        & (F.col("cus") <= F.col("pus"))
+        & (F.col("pus") <= F.col("cus") + 3_600_000_000),
+    ).select(((F.col("pus") - F.col("cus")) / 60000000.0).alias("lag_min"))
     n = lags.agg(F.count(F.lit(1)).alias("n_pairs"))
     q = exact_percentiles_distributed(lags, "lag_min", [0.5, 0.9, 0.99])
     wide = q.groupBy().pivot("p", [0.5, 0.9, 0.99]).agg(F.first("value"))

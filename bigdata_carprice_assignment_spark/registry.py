@@ -42,80 +42,77 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # in r1-r3 (143 checked, all green at last check) are rotated BEHIND the
 # window so never-checked oracle queries get their first hard check.
 PRIORITY: tuple[str, ...] = (
-    # ---- round-9 window (50). Cumulative oracle coverage has been 100%
-    # since r7, so the window = every NEW oracle query this round + the
-    # paths round-9 code changes touched + the stalest long-green
-    # rotations (the ENTIRE remaining r2-checked block + the head of the
-    # r3 block), per the rotation discipline in COVERAGE.md.
+    # ---- round-10 window (50): touched paths + the COMPLETE remaining
+    # r3-checked block (46, which itself contains one touched path —
+    # click_purchase_attribution gained the hour-chunk equi-key), per
+    # the rotation discipline in COVERAGE.md. No new oracle queries
+    # this round, so the window is exactly 4 + 46.
     #
-    # Positions 1-2: NEW this round — the S4 model-persistence gate
-    # (save/load the exact-OLS coefficient table; oracle = the
-    # long-green Cholesky replay), closing the one SURVEY §2 slot that
-    # had no driver query; and the exact-substring window-dedup
-    # accounting (Lee-et-al-style duplication at 16-token grain).
-    "carprice_lm_model_roundtrip",
-    "exact_substring_window_dedup",
-    # Positions 2-6: paths round-9 code changes touched. The SRP family
-    # was restructured into one banding exchange (window-count bucket
-    # cap, explode-symmetrized rerank) — all three consumers of
-    # srp_band_pairs/_wide must be re-checked by the driver, not just
-    # locally. semantic_dedup_prune_stats had its oracle's token count
-    # guarded for empty text (ADVICE r8); position_weighted_attribution
-    # gained the two-phase hot-key skew mitigation.
+    # Positions 1-4: paths round-10 code changes touched. The SRP gates
+    # now read catalog stats (n_docs/n_distinct) instead of paying two
+    # per-call count jobs, and the grouped path's group-size broadcast
+    # became conditional; the mechanism-exact gate switched to the
+    # UNCAPPED banding path (max_bucket=None skips the window count a
+    # 1M cap could never fire); attribution_lag_percentiles gained the
+    # (user, hour-chunk) equi-key its sibling proved out in r9.
     "srp_knn_join_adaptive_gate",
     "srp_knn_join_production_gate",
     "srp_candidate_pairs_exact",
-    "semantic_dedup_prune_stats",
-    "position_weighted_attribution",
-    # Positions 7-45: the complete remaining r2-checked block (39
-    # queries, stalest first two displaced from the r8 window
-    # mid-round; tuned_nonlinear_regressor_metrics is the one rows-only
-    # entry — stochastic library CV fit, re-run for the rows check).
-    "chi2_independence_components",
-    "cube_qty_by_flag_status",
-    "customer_running_spend",
-    "customer_upsert_merge_accounting",
-    "doc_repetition_quality",
-    "embedding_near_dup_recall",
-    "eval_contamination_check",
-    "event_rank_and_share_per_user",
-    "fixed_bucket_order_counts",
-    "flagship_price_band_summary",
-    "gap_filled_hourly_events",
-    "iqr_capped_price_stats",
-    "ivf_knn_join_top1",
-    "keyword_search_tfidf",
-    "largest_order_per_customer",
-    "lineitem_correlation_matrix",
-    "lineitem_profile_summary",
-    "lsh_knn_join_top1",
-    "median_imputed_event_values",
-    "modal_priority_by_status",
-    "nation_distinct_suppliers",
-    "nation_set_operations",
-    "near_dup_keep_best",
-    "null_profile_events",
-    "order_price_five_number_summary",
-    "part_first_word_counts",
-    "pearson_r_components",
-    "qty_pivot_by_linestatus",
-    "quality_topq_by_lang",
-    "returnflag_linestatus_crosstab",
-    "rollup_revenue_region_nation",
-    "salted_user_event_totals",
-    "segment_spend_regression_slope",
-    "simhash_hamming_pairs_exact",
-    "totalprice_histogram",
-    "tukey_pairwise_components",
-    "tuned_nonlinear_regressor_metrics",
-    "user_value_moving_avg",
-    "welch_t_components",
-    # Positions 47-50: head of the r3-checked block (46 remain for the
-    # round-10 queue, alphabetical from brand_supplier_variety onward).
-    "anova_f_components",
-    "approx_quantile_check",
-    "boilerplate_ngram_stats",
-    "brand_name_edit_distances",
+    "attribution_lag_percentiles",
+    # Positions 5-50: the complete remaining r3-checked block (46,
+    # alphabetical; clears the r3 debt). click_purchase_attribution is
+    # ALSO a touched path — its pair join now equi-keys on (user_id,
+    # hour chunk). NOTE: carprice_lm_model_roundtrip's r10 change is
+    # path-only (fixed warehouse path -> per-process temp dir; the
+    # fitted table and the save/load cycle are byte-identical) and is
+    # locally oracle-verified + pytest-pinned rather than taking a
+    # window slot from the r3 block.
+    "brand_supplier_variety",
+    "click_purchase_attribution",
+    "csv_roundtrip_order_stats",
+    "customer_order_distribution",
+    "customer_peak_week_spend",
+    "customer_rfm_segments",
+    "daily_new_and_cumulative_users",
+    "doc_chunking_stats",
+    "doc_length_bands_by_source",
+    "doc_unigram_entropy",
+    "embedding_centroid_by_label",
+    "event_transition_counts",
+    "exact_cosine_pairs_blocked",
+    "fpgrowth_rules_pruned",
+    "grouping_sets_revenue",
+    "hll_distinct_check",
+    "hourly_count_anomalies",
+    "incremental_dedup_accounting",
+    "jsonl_roundtrip_part_stats",
+    "keyword_search_bm25",
+    "ks_statistic_priority",
+    "lang_sampling_temperature",
+    "last_event_type_per_user",
+    "lineitem_unpivot_measure_stats",
+    "mann_whitney_components",
+    "nation_trade_flows",
+    "order_priority_islands",
+    "order_value_deciles",
+    "orders_monthly_yoy",
+    "part_type_brand_rank",
+    "parts_unsold_recent",
+    "pii_pseudonymize_customers",
+    "quality_weighted_sample",
+    "regional_same_nation_revenue",
+    "revenue_share_within_region",
+    "sequence_packing_stats",
+    "session_entry_conversion",
+    "ship_lag_quantiles_by_priority",
+    "signup_funnel_conversion",
+    "small_quantity_revenue",
+    "source_mixture_rebalance",
+    "stratified_sample_by_lang",
+    "top_returned_customers",
+    "top_unshipped_orders",
+    "vocab_zipf_top20",
+    "weekly_cohort_retention",
     # ---- everything else: previously driver-hash-green and rows-only
     # queries keep module registration order (handled by load_all: any
     # registered query not named here follows after).

@@ -82,3 +82,44 @@ def zorder_write(
         .option("maxRecordsPerFile", rows_per_group)
         .parquet(path)
     )
+
+
+def write_corpus_stats(df: DataFrame, path: str, vec_col: str) -> dict:
+    """Record CATALOG STATISTICS next to an ingested corpus: row count
+    and distinct-``vec_col`` count, one aggregate job, written as a
+    one-row parquet at ``path``.
+
+    This is the ingest half of the dedup-before-ANN switch: at 100 TB
+    an ANN query must not pay a full-corpus ``distinct().count()`` job
+    just to DECIDE its route — the duplication profile of an immutable
+    corpus is a property of the data, computed once when the data
+    lands (every table format does this: Delta/Iceberg column stats,
+    Hive ANALYZE TABLE). ``llm.similarity.srp_knn_join`` accepts the
+    two numbers as ``n_docs_stat`` / ``n_distinct_stat`` and skips both
+    per-call count jobs."""
+    row = (
+        df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col(vec_col)).alias("n_distinct"),
+        )
+        .withColumn("vec_col", F.lit(vec_col))
+        .first()
+    )
+    stats = {"n_docs": row["n_docs"], "n_distinct": row["n_distinct"]}
+    df.sparkSession.createDataFrame(
+        [(vec_col, stats["n_docs"], stats["n_distinct"])],
+        "vec_col string, n_docs long, n_distinct long",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return stats
+
+
+def read_corpus_stats(spark, path: str) -> dict | None:
+    """Read stats written by :func:`write_corpus_stats`; None if absent
+    (callers fall back to the count jobs)."""
+    try:
+        row = spark.read.parquet(path).first()
+    except Exception:
+        return None
+    if row is None:
+        return None
+    return {"n_docs": row["n_docs"], "n_distinct": row["n_distinct"]}

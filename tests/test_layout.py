@@ -94,3 +94,24 @@ def test_ivf_partitioned_probe_prunes(spark, sf_smoke, tmp_path):
     total = spark.read.parquet(path).count()
     got = probe.count()
     assert 0 < got < total
+
+
+def test_corpus_stats_roundtrip_and_values(spark, sf_smoke, tmp_path):
+    """write_corpus_stats records the exact (n_docs, n_distinct) counts
+    the dedup-before-ANN switch consumes; read_corpus_stats returns
+    them; an absent path degrades to None (callers fall back to the
+    count jobs)."""
+    from bigdata_carprice_assignment_spark.sources.layout import (
+        read_corpus_stats,
+        write_corpus_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0]), (3, [3.0, 4.0])],
+        "doc_id long, vec array<double>",
+    )
+    path = str(tmp_path / "corpus_stats")
+    stats = write_corpus_stats(df, path, "vec")
+    assert stats == {"n_docs": 3, "n_distinct": 2}
+    assert read_corpus_stats(spark, path) == stats
+    assert read_corpus_stats(spark, str(tmp_path / "nope")) is None

@@ -558,3 +558,75 @@ def test_srp_knn_join_grouped_path_matches_bruteforce(spark):
         assert nn == min(
             j for j in range(200) if sims[i][j] >= best - 1e-9
         )
+
+
+def test_srp_band_pairs_uncapped_matches_capped(spark):
+    """max_bucket=None (skip the cap window entirely) must emit the
+    same pair set as a cap too large to fire — the exactness-gate
+    contract behind srp_candidate_pairs_exact's r10 plan change."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+    sigs = S.srp_signatures(df, "vec", "vid", 60)
+    capped = set(
+        (r["a"], r["b"], r["hamming"])
+        for r in S.srp_band_pairs(sigs, "vid", 60, 10, max_bucket=10**6).collect()
+    )
+    uncapped = set(
+        (r["a"], r["b"], r["hamming"])
+        for r in S.srp_band_pairs(sigs, "vid", 60, 10, max_bucket=None).collect()
+    )
+    assert capped == uncapped and uncapped
+    sigs_w = S.srp_signatures_wide(df, "vec", "vid", 120)
+    cw = set(
+        (r["a"], r["b"]) for r in
+        S.srp_band_pairs_wide(sigs_w, "vid", 120, 15, max_bucket=10**6).collect()
+    )
+    uw = set(
+        (r["a"], r["b"]) for r in
+        S.srp_band_pairs_wide(sigs_w, "vid", 120, 15, max_bucket=None).collect()
+    )
+    assert cw == uw
+
+
+def test_srp_knn_join_catalog_stats_match_probed_route(spark):
+    """Passing catalog stats (n_docs_stat / n_distinct_stat) must give
+    the same result as letting srp_knn_join probe the corpus itself —
+    on BOTH routes of the dedup-before-ANN switch (clone-heavy corpus
+    takes the grouped branch, all-unique takes the wide branch)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 12))
+    clone_rows = [
+        (g * 4 + c, [float(x) for x in base[g]]) for g in range(30) for c in range(4)
+    ]
+    clones = spark.createDataFrame(clone_rows, "vid long, vec array<double>")
+    probed = sorted(
+        (r["vid"], r["nn_id"])
+        for r in S.srp_knn_join(clones, "vec", "vid", k=1, band_bits=None).collect()
+    )
+    hinted = sorted(
+        (r["vid"], r["nn_id"])
+        for r in S.srp_knn_join(
+            clones, "vec", "vid", k=1, band_bits=None,
+            n_docs_stat=120, n_distinct_stat=30,
+        ).collect()
+    )
+    assert probed == hinted and len(hinted) == 120
+    uniq_rows = [(i, [float(x) for x in rng.normal(size=12)]) for i in range(80)]
+    uniq = spark.createDataFrame(uniq_rows, "vid long, vec array<double>")
+    probed_u = sorted(
+        (r["vid"], r["nn_id"])
+        for r in S.srp_knn_join(uniq, "vec", "vid", k=1, band_bits=None).collect()
+    )
+    hinted_u = sorted(
+        (r["vid"], r["nn_id"])
+        for r in S.srp_knn_join(
+            uniq, "vec", "vid", k=1, band_bits=None,
+            n_docs_stat=80, n_distinct_stat=80,
+        ).collect()
+    )
+    assert probed_u == hinted_u
