@@ -515,6 +515,25 @@ def _hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_sigs60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-setting (60-bit) SRP signatures, computed ONCE per
+    (session, sf_dir) and shared across the mechanism-exact gate's two
+    self-join sides. Without a materialization point the banding
+    self-join holds the signature subtree TWICE (one per side): the
+    pandas-UDF projection and its generated code both run and compile
+    twice, which r10's bench measured as +7.4s on the gate's cold pass
+    after the cap-window removal took the old exchange boundary away.
+    The table is n rows of (id, long) — the cheapest possible pin."""
+    from ..plans.materialize import pinned, pool_get
+
+    pool = f"srp_sigs60:{sf_dir}"
+    cached = pool_get(pool, spark)
+    if cached is not None:
+        return cached
+    feats = _hashed_doc_features(spark, sf_dir)
+    return pinned(S.srp_signatures(feats, "feat", "doc_id", n_bits=60), pool)
+
+
 _VEC_STATS: dict[str, dict] = {}
 
 
@@ -953,8 +972,7 @@ def srp_candidate_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     at hamming ≤ 20 of 60 are the near-angular pairs. No bucket cap in
     this exactness gate (cap is production posture, srp_knn_join keeps
     it)."""
-    feats = _hashed_doc_features(spark, sf_dir)
-    sigs = S.srp_signatures(feats, "feat", "doc_id", n_bits=60)
+    sigs = _srp_sigs60(spark, sf_dir)
     pairs = S.srp_band_pairs(
         sigs, "doc_id", n_bits=60, band_bits=10, max_bucket=None
     )
