@@ -398,8 +398,9 @@ def test_srp_wide_signatures_and_adaptive_bands(spark):
 
     from bigdata_carprice_assignment_spark.llm import similarity as S
 
-    assert S.srp_adaptive_band_bits(500) == 10      # floor
-    assert S.srp_adaptive_band_bits(50_000) == 16   # log2 regime
+    assert S.srp_adaptive_band_bits(100) == 10      # floor
+    assert S.srp_adaptive_band_bits(500) == 11      # log2+2 regime
+    assert S.srp_adaptive_band_bits(50_000) == 18   # log2+2 regime
     assert S.srp_adaptive_band_bits(10**9) == 20    # cap
 
     rng = np.random.default_rng(7)
