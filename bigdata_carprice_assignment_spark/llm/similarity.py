@@ -552,7 +552,12 @@ def srp_knn_join(
     call. At ingest those are one cheap aggregate recorded next to the
     data (``sources.layout.write_corpus_stats``) — a caller that passes
     them gets a ZERO-extra-job plan; absent stats fall back to the
-    count jobs. Non-adaptive (explicit band_bits) callers never probe
+    count jobs. The stats must describe the EXACT DataFrame passed —
+    stats of an ingested superset that the caller then filtered or
+    re-derived are wrong, and they steer the dedup-before-ANN route
+    and the group-size broadcast decision; an internally inconsistent
+    pair (distinct > total) is detected and discarded (fall back to
+    the probe) rather than trusted (ADVICE r10). Non-adaptive (explicit band_bits) callers never probe
     duplication at all — the explicit-band contract is "band exactly as
     told", and the r9 shape's unconditional probe was two full-scan
     jobs of pure overhead on that path (ADVICE r9).
@@ -621,6 +626,19 @@ def srp_knn_join(
         # — read from the catalog stat when the caller has one, probed
         # only on the ADAPTIVE path otherwise (explicit-band callers
         # take the ungrouped route with zero extra jobs).
+        # Catalog-stats CONTRACT: n_docs_stat/n_distinct_stat must
+        # describe the EXACT DataFrame passed (not the ingested superset
+        # a filter/projection was applied to) — they steer the route and
+        # the group-size broadcast below. A stat pair that is internally
+        # inconsistent (distinct > total, or nonpositive) is provably
+        # stale/wrong, so discard it and fall back to the probe rather
+        # than let it force a driver-sized broadcast (ADVICE r10).
+        if (
+            n_distinct_stat is not None
+            and n_docs_stat is not None
+            and (n_distinct_stat > n_docs_stat or n_distinct_stat <= 0)
+        ):
+            n_distinct_stat = None
         if n_distinct_stat is not None:
             n_uniq = n_distinct_stat
             if n_docs is None:

@@ -968,7 +968,6 @@ def carprice_lm_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     two concurrent drivers — or two corpora sharing a dir basename —
     must not race overwrite-vs-read on the same files (ADVICE r9)."""
     import os
-    import tempfile
     from pathlib import Path
 
     from ..sources.readers import load_model_table
@@ -978,17 +977,27 @@ def carprice_lm_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitted = spark.createDataFrame(
         coefs, "feature string, coefficient double"
     ).select("feature", F.round("coefficient", 6).alias("coefficient"))
-    root = _ROUNDTRIP_TMP.setdefault(
-        "root", tempfile.mkdtemp(prefix="lm_roundtrip_")
-    )
+    # per-CALL leaf under the process-lifetime root (removed at process
+    # exit by the TemporaryDirectory finalizer): two threads in the same
+    # process hitting the same sf_dir must not race overwrite-vs-read on
+    # one path either (ADVICE r10 — the r9 fix only covered processes)
+    with _ROUNDTRIP_LOCK:
+        token = _ROUNDTRIP_SEQ[0]
+        _ROUNDTRIP_SEQ[0] += 1
     path = os.path.join(
-        root, f"lm_model_{Path(sf_dir).resolve().as_posix().replace('/', '_')}"
+        _ROUNDTRIP_TMP.name,
+        f"lm_model_{Path(sf_dir).resolve().as_posix().replace('/', '_')}_{token}",
     )
     save_model_table(fitted, path)
     return load_model_table(spark, path).select("feature", "coefficient")
 
 
-_ROUNDTRIP_TMP: dict[str, str] = {}
+import tempfile as _tempfile  # noqa: E402
+import threading as _threading  # noqa: E402
+
+_ROUNDTRIP_TMP = _tempfile.TemporaryDirectory(prefix="lm_roundtrip_")
+_ROUNDTRIP_LOCK = _threading.Lock()
+_ROUNDTRIP_SEQ = [0]
 
 
 def _ml_matrix_with_key(spark: SparkSession, sf_dir: str) -> DataFrame:

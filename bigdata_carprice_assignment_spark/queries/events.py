@@ -384,7 +384,14 @@ def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
 
     def hour_chunk(col):
-        return F.floor(F.unix_timestamp(col) / F.lit(3600)).cast("long")
+        # derive the chunk from the SAME casted-to-timestamp expression
+        # the lag math uses (microsecond-long discipline, like
+        # attribution_lag_percentiles): unix_timestamp on a raw string
+        # ts in a non-default format yields NULL chunks, and a NULL
+        # equi-key silently drops every pair (ADVICE r10)
+        return F.floor(
+            F.unix_micros(col.cast("timestamp")) / F.lit(3_600_000_000)
+        ).cast("long")
 
     c = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),

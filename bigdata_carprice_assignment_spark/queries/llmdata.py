@@ -892,6 +892,82 @@ def srp_knn_join_production_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INGESTED_CORPUS: dict[str, tuple[str, str]] = {}
+
+
+def _ingested_feature_corpus(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """INGEST the hashed-feature corpus once per (process, sf_dir):
+    write the features to a per-process temp parquet and record their
+    catalog statistics next to them via
+    ``sources.layout.write_corpus_stats`` — the ingest half of the
+    catalog-stats contract, run for real instead of the process-cache
+    stand-in (``_corpus_vec_stats``). The stats are computed FROM THE
+    READ-BACK table, so they describe exactly the DataFrame later
+    queries will route on (the documented stats contract). Returns
+    (corpus_path, stats_path). The temp root is removed at process
+    exit; the parquet inputs are immutable so the ingest can't go
+    stale within a process."""
+    hit = _INGESTED_CORPUS.get(sf_dir)
+    if hit is not None:
+        return hit
+    import os
+    from pathlib import Path
+
+    from ..sources.layout import write_corpus_stats
+
+    leaf = Path(sf_dir).resolve().as_posix().replace("/", "_")
+    corpus = os.path.join(_INGEST_TMP.name, f"feats_{leaf}")
+    stats = os.path.join(_INGEST_TMP.name, f"feats_{leaf}_stats")
+    _hashed_doc_features(spark, sf_dir).write.mode("overwrite").parquet(corpus)
+    write_corpus_stats(spark.read.parquet(corpus), stats, "feat")
+    _INGESTED_CORPUS[sf_dir] = (corpus, stats)
+    return _INGESTED_CORPUS[sf_dir]
+
+
+import tempfile as _tempfile  # noqa: E402
+
+_INGEST_TMP = _tempfile.TemporaryDirectory(prefix="corpus_ingest_")
+
+
+@query("srp_knn_join_ingested_stats_gate", oracle=_KNN_TOP1_ORACLE)
+def srp_knn_join_ingested_stats_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CATALOG CONTRACT gate (VERDICT r10 Next #5): the
+    benched SRP gates read their route-deciding statistics from a
+    process cache because the driver corpora are read-only; this gate
+    proves the real thing — the corpus is ingested (features written to
+    a temp table, ``write_corpus_stats`` recording (n_docs, n_distinct)
+    next to it), the stats are READ BACK from the stats file
+    (``read_corpus_stats``, vec_col-checked), and ``srp_knn_join``
+    routes off those numbers over the read-back table. Zero count jobs
+    in the routed plan: the route came from the file, not a probe
+    (loudly fails rather than silently falling back to probing if the
+    stats file is missing/mismatched). Same brute-force top-1 DuckDB
+    oracle as the other gates — feature counts are whole doubles, so
+    the parquet roundtrip is bit-exact and the hash check is stable.
+
+    Scale: this IS the 100 TB shape — stats land at ingest (one
+    aggregate over data that is being written anyway), every later ANN
+    query starts from the catalog row."""
+    from ..sources.layout import read_corpus_stats
+
+    corpus, stats_path = _ingested_feature_corpus(spark, sf_dir)
+    stats = read_corpus_stats(spark, stats_path, vec_col="feat")
+    if stats is None:
+        raise RuntimeError(
+            f"ingested corpus stats missing/mismatched at {stats_path}"
+        )
+    feats = spark.read.parquet(corpus)
+    top1 = S.srp_knn_join(
+        feats, "feat", "doc_id", k=1, band_bits=None,
+        n_docs_stat=stats["n_docs"], n_distinct_stat=stats["n_distinct"],
+    )
+    return (
+        top1.filter(F.col("cosine") >= 0.85)
+        .select("doc_id", "nn_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("doc_id")
+    )
+
+
 @query("ivf_knn_join_adaptive_gate", oracle=_KNN_TOP1_ORACLE)
 def ivf_knn_join_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard correctness gate for the ADAPTIVE production IVF path

@@ -113,13 +113,33 @@ def write_corpus_stats(df: DataFrame, path: str, vec_col: str) -> dict:
     return stats
 
 
-def read_corpus_stats(spark, path: str) -> dict | None:
+def read_corpus_stats(
+    spark, path: str, vec_col: str | None = None
+) -> dict | None:
     """Read stats written by :func:`write_corpus_stats`; None if absent
-    (callers fall back to the count jobs)."""
+    (callers fall back to the count jobs).
+
+    ``vec_col``, when given, is the vector column the CALLER is about
+    to route on: stats recorded for a different column describe a
+    different duplication profile, so a mismatch returns None (fall
+    back to probing) instead of silently steering the ANN route and
+    broadcast decisions with the wrong numbers (ADVICE r10). Only the
+    path-missing case is swallowed — a corrupt file or a permissions
+    error surfaces as the AnalysisException/IOError it is."""
+    from pyspark.errors import AnalysisException
+
     try:
         row = spark.read.parquet(path).first()
-    except Exception:
-        return None
+    except AnalysisException as e:
+        # PATH_NOT_FOUND / unable-to-infer-schema (empty dir) mean
+        # "stats never written" — the documented fall-back case. Any
+        # other analysis error (corrupt footer, schema clash) is real.
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
     if row is None:
+        return None
+    if vec_col is not None and row["vec_col"] != vec_col:
         return None
     return {"n_docs": row["n_docs"], "n_distinct": row["n_distinct"]}

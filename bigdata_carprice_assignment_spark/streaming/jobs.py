@@ -272,19 +272,41 @@ def run_foreach_batch_sink(
 
 
 def run_to_completion(
-    stream_df: DataFrame, name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drive a streaming plan over the currently-available input and
     return the materialized result (memory sink + processAllAvailable —
-    the documented local smoke pattern)."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    the documented local smoke pattern).
+
+    ``state_partitions`` bounds the replay's STATE-STORE fan-out: a
+    streaming query instantiates one state store per shuffle partition
+    per stateful operator (a stream-stream join keeps FOUR stores per
+    partition), and each micro-batch commits a delta file per store —
+    at the session's 32 shuffle partitions the attribution replay paid
+    128 store commits per batch of pure fixture overhead (13.1s cold /
+    8.7s warm in BENCH_r10, and the prime noise amplifier in contended
+    warm passes — VERDICT r10 Next #6). Results are partition-count
+    invariant, so the replays bound it to 8 for the drain and restore
+    the session conf after. On a real cluster the same plans run with
+    shuffle partitions sized to the stream volume — this knob is replay
+    posture, not engine semantics."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {name}")

@@ -115,3 +115,7 @@ def test_corpus_stats_roundtrip_and_values(spark, sf_smoke, tmp_path):
     assert stats == {"n_docs": 3, "n_distinct": 2}
     assert read_corpus_stats(spark, path) == stats
     assert read_corpus_stats(spark, str(tmp_path / "nope")) is None
+    # stats recorded for a DIFFERENT vector column must not be consumed
+    # (they describe a different duplication profile — ADVICE r10)
+    assert read_corpus_stats(spark, path, vec_col="vec") == stats
+    assert read_corpus_stats(spark, path, vec_col="other_vec") is None

@@ -631,3 +631,14 @@ def test_srp_knn_join_catalog_stats_match_probed_route(spark):
         ).collect()
     )
     assert probed_u == hinted_u
+    # an internally INCONSISTENT stat pair (distinct > total — provably
+    # stale/wrong) must be discarded, not trusted: result equals the
+    # probed route either way (ADVICE r10 clamp)
+    clamped = sorted(
+        (r["vid"], r["nn_id"])
+        for r in S.srp_knn_join(
+            clones, "vec", "vid", k=1, band_bits=None,
+            n_docs_stat=120, n_distinct_stat=500,
+        ).collect()
+    )
+    assert clamped == probed
