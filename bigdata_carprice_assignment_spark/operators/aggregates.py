@@ -168,7 +168,7 @@ def minmax(df: DataFrame, cols: Sequence[str]) -> dict[str, tuple[float, float]]
 
 
 def exact_percentiles_distributed(
-    df: DataFrame, col: str, probs: Sequence[float]
+    df: DataFrame, col: str, probs: Sequence[float], with_n: bool = False
 ) -> DataFrame:
     """Type-7 exact percentiles WITHOUT the single-buffer aggregate:
     Spark's ``percentile`` (and DuckDB's ``quantile_cont``) buffer every
@@ -180,33 +180,47 @@ def exact_percentiles_distributed(
     statistics with conditional mins and interpolates with Spark's own
     formula ``lower + (higher - lower) * frac``.
 
-    Returns one row per prob: (p, value). Matches ``percentile(col,
-    p)`` exactly: identical order statistics, identical interpolation
-    arithmetic (gated by the ``distributed_exact_quantiles_check``
-    oracle query and the equivalence test in tests/test_operators.py).
+    Returns one row per prob: (p, value) — plus a constant ``n`` column
+    (non-null value count, 0 when empty) when ``with_n=True``, so
+    callers that also report the count don't re-evaluate the input with
+    a separate ``count()`` plan (r11: that sibling aggregate was a full
+    second evaluation of arbitrarily expensive upstreams, e.g. the
+    Theil-Sen pair join).
+
+    Matches ``percentile(col, p)`` exactly: identical order statistics,
+    identical interpolation arithmetic (gated by the
+    ``distributed_exact_quantiles_check`` oracle query and the
+    equivalence test in tests/test_operators.py).
     """
     from .windows import range_partitioned_cumsum
 
     spark = df.sparkSession
     vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
     counts = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    cum = range_partitioned_cumsum(counts, ["v"], ["c"]).select(
-        "v", F.col("cum_c").alias("cum")
+    cum0, part = range_partitioned_cumsum(
+        counts, ["v"], ["c"], with_part=True
     )
-    n = counts.agg(F.sum("c").cast("long").alias("n"))
+    cum = cum0.select("v", F.col("cum_c").alias("cum"))
+    # n = one flat aggregate over the PINNED partitioned counts; the
+    # previous ``counts.agg(sum(c))`` was a SEPARATE plan that
+    # re-evaluated the whole upstream (guide §1.2/§2.4: don't compute
+    # the same pass twice). Identical value and NULL-on-empty parity.
+    n = part.agg(F.sum("c").cast("long").alias("n"))
     p_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
     # h = (n-1)*p in double, exactly as Percentile/quantile_cont compute
     idx = p_df.crossJoin(F.broadcast(n)).select(
         "p",
         ((F.col("n") - 1) * F.col("p")).alias("h"),
+        "n",
     )
     idx = idx.select(
         "p",
         "h",
         (F.floor("h") + 1).alias("i_lo"),
         (F.ceil("h") + 1).alias("i_hi"),
+        "n",
     )
-    j = cum.crossJoin(F.broadcast(idx))
+    j = cum.crossJoin(F.broadcast(idx.drop("n")))
     per = j.groupBy("p", "h").agg(
         F.min(F.when(F.col("cum") >= F.col("i_lo"), F.col("v"))).alias("x_lo"),
         F.min(F.when(F.col("cum") >= F.col("i_hi"), F.col("v"))).alias("x_hi"),
@@ -218,14 +232,20 @@ def exact_percentiles_distributed(
     # yields exactly one row (value NULL when no data exists); composing
     # queries keep their row count instead of silently losing rows.
     frac = F.col("h") - F.floor("h")
+    n_cols = (
+        [F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")]
+        if with_n
+        else []
+    )
     return (
-        idx.select("p", "h")
+        idx.select("p", "h", "n")
         .join(per, ["p", "h"], "left")
         .select(
             "p",
             (
                 F.col("x_lo") + (F.col("x_hi") - F.col("x_lo")) * frac
             ).alias("value"),
+            *n_cols,
         )
         .orderBy("p")
     )
@@ -246,13 +266,24 @@ def exact_percentiles_distributed_grouped(
     range cumulative over the per-group totals) gives the intra-group
     cumulative with no task ever owning a whole group. Returns
     (group, p, value)."""
+    from ..plans.materialize import pinned_lru
     from .windows import range_partitioned_cumsum
 
     spark = df.sparkSession
     vals = df.select(
         F.col(group).alias("g"), F.col(col).alias("v")
     ).filter(F.col("v").isNotNull())
-    counts = vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    # counts is consumed by TWO independent plans (the (g,v) cumulative
+    # and the per-group totals) — pin it so the arbitrarily expensive
+    # upstream is evaluated once, not twice (r11, guide §1.2). Memory is
+    # bounded by the distinct-(group,value) domain — the same class the
+    # cumulative's internal pin already holds; LRU keeps 4 generations.
+    counts = pinned_lru(
+        vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c")),
+        "pctl_grouped_counts",
+        keep=4,
+        eager=False,  # lazy: the (g,v) cumulative materializes the cache in-pass
+    )
     gcum = range_partitioned_cumsum(counts, ["g", "v"], ["c"]).select(
         "g", "v", F.col("cum_c").alias("gcum")
     )

@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 from ..plans.materialize import pinned
 
 
-def triangle_census(e: DataFrame, pool: str = "tri_edges") -> DataFrame:
+def triangle_census(
+    e: DataFrame, pool: str = "tri_edges", pre_pinned: bool = False
+) -> DataFrame:
     """Exact triangle census of an undirected simple graph.
 
     ``e`` must hold one row per undirected edge as (u, v) with u < v,
@@ -30,8 +32,14 @@ def triangle_census(e: DataFrame, pool: str = "tri_edges") -> DataFrame:
     The degree table is O(V) rows — NOT broadcast-hinted: at graph scale
     a node-cardinality broadcast would overwhelm driver and executors,
     so the degree joins are left to AQE (which broadcasts them only when
-    the measured size is actually under the threshold)."""
-    e = pinned(e, pool)
+    the measured size is actually under the threshold).
+
+    ``pre_pinned``: the caller already persisted ``e`` (e.g. the pooled
+    per-corpus co-purchase edge list shared by the whole graph family,
+    r11) — skip the internal pin so the shared generation isn't
+    re-registered (and later unpersisted) under this operator's pool."""
+    if not pre_pinned:
+        e = pinned(e, pool)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -85,6 +93,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     pool: str = "pagerank",
+    pool_reuse: bool = False,
 ) -> DataFrame:
     """PageRank by synchronous power iteration over an undirected simple
     graph ((u, v) rows, u < v; treated as one directed edge each way, so
@@ -116,7 +125,26 @@ def pagerank(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edeg = pinned(edges.join(deg, "src"), pool + "_edeg")
+    # Pin the degree-annotated edge list HASH-PARTITIONED ON src: every
+    # iteration's contributions join keys on src, so the cached layout
+    # already matches and the per-iteration plan never re-exchanges the
+    # E-sized side (guide §2.4 — two operations keyed the same way share
+    # one exchange). Locally the rank side broadcasts and this is
+    # neutral; at cluster scale (ranks too big to broadcast) it removes
+    # 10 full edge shuffles. One extra exchange at build time, amortized
+    # over the fixed iteration count.
+    # ``pool_reuse`` (r11): callers whose edge list is itself pooled and
+    # immutable (the per-corpus co-purchase graph) pass a corpus-keyed
+    # pool name and reuse the built generation — rebuilding the
+    # degree-annotated table every call was ~4 jobs of pure recompute.
+    from ..plans.materialize import pool_get
+
+    n_parts = e.sparkSession.sparkContext.defaultParallelism
+    edeg = pool_get(pool + "_edeg", e.sparkSession) if pool_reuse else None
+    if edeg is None:
+        edeg = pinned(
+            edges.join(deg, "src").repartition(n_parts, "src"), pool + "_edeg"
+        )
     n = deg.count()
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
@@ -135,7 +163,11 @@ def pagerank(
 
 
 def kcore_peel_trace(
-    e: DataFrame, k: int, rounds: int, pool: str = "kcore"
+    e: DataFrame,
+    k: int,
+    rounds: int,
+    pool: str = "kcore",
+    pre_pinned: bool = False,
 ) -> list[tuple[int, int, int]]:
     """Synchronous k-core peeling over an undirected simple graph
     ((u, v) rows, u < v): each round removes every node whose degree
@@ -147,32 +179,48 @@ def kcore_peel_trace(
     ``pagerank``'s unrolled iterations); once the peel converges the
     remaining rounds are no-ops that re-emit the same counts.
 
-    Pregel shape, one degree aggregate + two semi-joins per round, all
-    hash-partitioned on the node key; the alive frame is
-    ``localCheckpoint``-ed per round (O(nodes), 1 column — same
-    lineage-truncation rationale as pagerank; at cluster scale use
-    ``checkpoint``). Per-round driver traffic is two scalar counts.
+    Pregel shape, ONE degree aggregate (two semi-joins + groupBy) per
+    round — r11: the alive-edge count is read off the NEXT round's
+    degree table (sum(deg)/2 ≡ the edges-with-both-endpoints-alive
+    count, exactly: each surviving edge contributes one row per
+    direction to the symmetric adjacency), which the peel needs anyway,
+    instead of a second E-sized semi-join pass per round. The degree
+    frame is ``localCheckpoint``-ed per round (O(nodes), 2 columns —
+    same lineage-truncation rationale as pagerank; at cluster scale use
+    ``checkpoint``). Per-round driver traffic is two scalar aggregates.
     """
     from ..plans.materialize import pinned
 
-    edges = pinned(e.select("u", "v"), pool + "_edges")
+    edges = e.select("u", "v")
+    if not pre_pinned:
+        edges = pinned(edges, pool + "_edges")
     sym = edges.select(F.col("u").alias("node"), F.col("v").alias("other")).unionAll(
         edges.select(F.col("v").alias("node"), F.col("u").alias("other"))
     )
     alive = sym.select("node").distinct().localCheckpoint()
     trace = [(0, alive.count(), edges.count())]
-    for r in range(1, rounds + 1):
-        deg = (
-            sym.join(alive, "node", "leftsemi")
-            .join(alive.select(F.col("node").alias("other")), "other", "leftsemi")
+
+    def alive_degrees(alive_df: DataFrame) -> DataFrame:
+        return (
+            sym.join(alive_df, "node", "leftsemi")
+            .join(
+                alive_df.select(F.col("node").alias("other")), "other", "leftsemi"
+            )
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint()
         )
+
+    deg = alive_degrees(alive)  # degrees feeding the round-1 peel
+    for r in range(1, rounds + 1):
         alive = deg.filter(F.col("deg") >= k).select("node").localCheckpoint()
-        e_alive = edges.join(alive.select(F.col("node").alias("u")), "u", "leftsemi").join(
-            alive.select(F.col("node").alias("v")), "v", "leftsemi"
-        )
-        trace.append((r, alive.count(), e_alive.count()))
+        # next round's degrees double as this round's edge census:
+        # sum over alive nodes of alive-neighbor counts = 2 * |e_alive|
+        deg = alive_degrees(alive)
+        n_edges = deg.agg(
+            F.coalesce(F.sum("deg"), F.lit(0)).cast("long").alias("s")
+        ).collect()[0]["s"] // 2
+        trace.append((r, alive.count(), n_edges))
     return trace
 
 

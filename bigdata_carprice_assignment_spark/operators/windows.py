@@ -31,7 +31,8 @@ def range_partitioned_cumsum(
     order_cols: list[str],
     sum_cols: list[str],
     num_ranges: int = 32,
-) -> DataFrame:
+    with_part: bool = False,
+):
     """Globally-ordered cumulative sums WITHOUT a global single-task
     window — the 100 TB-safe replacement for
     ``Window.orderBy(...)`` with no partition spec.
@@ -46,6 +47,12 @@ def range_partitioned_cumsum(
     cum = local prefix + partition offset, exactly the global ordered
     cumsum. Emits ``cum_<c>`` for each ``c`` in ``sum_cols``; input
     column types are preserved (sum(long) stays long).
+
+    ``with_part=True`` returns ``(result, part)`` where ``part`` is the
+    PINNED range-partitioned input (r11): callers that also need totals
+    over the input (n, group sums) aggregate the cached ``part`` in one
+    flat scan instead of either re-evaluating the whole upstream (the
+    pre-r11 defect) or re-executing the window+offset-join subtree.
 
     CORRECTNESS-CRITICAL: the partitioned table is materialized ONCE
     before fan-out. Range partitioning derives its boundaries from a
@@ -106,13 +113,16 @@ def range_partitioned_cumsum(
             ]
         )
     )
-    return within.join(F.broadcast(off), "_pid").select(
+    out = within.join(F.broadcast(off), "_pid").select(
         *df.columns,
         *[
             (F.col(f"_wcum_{c}") + F.col(f"_off_{c}")).alias(f"cum_{c}")
             for c in sum_cols
         ],
     )
+    if with_part:
+        return out, part
+    return out
 
 
 def range_partitioned_ntile(
@@ -128,8 +138,16 @@ def range_partitioned_ntile(
     (include a unique tiebreak) for cross-engine determinism. Adds
     column ``tile`` (long)."""
     d0 = df.withColumn("_one", F.lit(1).cast("long"))
-    ranked = range_partitioned_cumsum(d0, order_cols, ["_one"], num_ranges)
-    tot = df.agg(F.count(F.lit(1)).alias("_n"))
+    ranked, part = range_partitioned_cumsum(
+        d0, order_cols, ["_one"], num_ranges, with_part=True
+    )
+    # total row count = one flat aggregate over the PINNED partitioned
+    # input; ``df.agg(count)`` was a second full evaluation of the
+    # (possibly expensive) input plan (r11, guide §1.2). coalesce keeps
+    # the empty-input value at 0 exactly like count().
+    tot = part.agg(
+        F.coalesce(F.sum("_one"), F.lit(0)).cast("long").alias("_n")
+    )
     r = ranked.crossJoin(F.broadcast(tot))
     q = F.floor(F.col("_n") / n_tiles)
     rem = F.col("_n") % n_tiles

@@ -771,17 +771,25 @@ def vocab_coverage_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _doc_norm_tokens(spark, sf_dir)
     toks = docs.select(F.explode("toks").alias("w")).filter(F.col("w") != "")
     c = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-    tot = c.agg(
-        F.sum("n").cast("long").alias("total"),
-        F.count(F.lit(1)).alias("vocab_size"),
-    )
-    ranked = range_partitioned_cumsum(
+    ranked0, part = range_partitioned_cumsum(
         c.withColumn("neg_n", -F.col("n")).withColumn(
             "one", F.lit(1).cast("long")
         ),
         ["neg_n", "w"],
         ["n", "one"],
-    ).select("n", F.col("cum_n").alias("cum"), F.col("cum_one").alias("rank"))
+        with_part=True,
+    )
+    ranked = ranked0.select(
+        "n", F.col("cum_n").alias("cum"), F.col("cum_one").alias("rank")
+    )
+    # totals = one flat aggregate over the PINNED partitioned vocab —
+    # the separate ``c.agg`` plan was a full second evaluation of the
+    # corpus-sized explode + groupBy (r11, guide §1.2); coalesce keeps
+    # count()'s 0-on-empty.
+    tot = part.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.coalesce(F.sum("one"), F.lit(0)).cast("long").alias("vocab_size"),
+    )
     ranked = ranked.crossJoin(F.broadcast(tot))
     k90 = ranked.filter(10 * F.col("cum") >= 9 * F.col("total")).agg(
         F.min("rank").cast("long").alias("k_90pct")
@@ -994,23 +1002,32 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus again."""
     from .llmdata import _doc_norm_tokens
 
-    docs = _doc_norm_tokens(spark, sf_dir)
-    toks = docs.select(F.explode("toks").alias("w")).filter(
-        F.col("w").rlike(r"^[a-z]+$")
-    )
-    vocab = (
-        toks.groupBy(F.col("w").alias("word"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "word",
-            "n",
-            F.concat(
-                F.regexp_replace(F.col("word"), r"(.)", r"[$1]"),
-                F.lit("[</w>]"),
-            ).alias("seq"),
+    from ..plans.materialize import pinned, pool_get
+
+    # Pooled initial vocabulary (r11): the corpus-sized explode +
+    # groupBy is the only fact-scale pass in BPE training and is
+    # identical every call — the merge rounds never touch the corpus
+    # again, so the round loop starts from the pooled frame.
+    pool = f"bpe_vocab:{sf_dir}"
+    vocab = pool_get(pool, spark)
+    if vocab is None:
+        docs = _doc_norm_tokens(spark, sf_dir)
+        toks = docs.select(F.explode("toks").alias("w")).filter(
+            F.col("w").rlike(r"^[a-z]+$")
         )
-        .localCheckpoint()
-    )
+        vocab = pinned(
+            toks.groupBy(F.col("w").alias("word"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "word",
+                "n",
+                F.concat(
+                    F.regexp_replace(F.col("word"), r"(.)", r"[$1]"),
+                    F.lit("[</w>]"),
+                ).alias("seq"),
+            ),
+            pool,
+        )
     out: list[tuple[int, str, str, str, int]] = []
     for k in range(1, _BPE_ROUNDS + 1):
         syms = F.regexp_extract_all(F.col("seq"), F.lit(r"\[([^\]]+)\]"), 1)

@@ -1597,11 +1597,15 @@ def attribution_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("cus") <= F.col("pus"))
         & (F.col("pus") <= F.col("cus") + 3_600_000_000),
     ).select(((F.col("pus") - F.col("cus")) / 60000000.0).alias("lag_min"))
-    n = lags.agg(F.count(F.lit(1)).alias("n_pairs"))
-    q = exact_percentiles_distributed(lags, "lag_min", [0.5, 0.9, 0.99])
-    wide = q.groupBy().pivot("p", [0.5, 0.9, 0.99]).agg(F.first("value"))
-    return n.crossJoin(F.broadcast(wide)).select(
-        "n_pairs",
+    # with_n (r11): the pair count rides out of the percentile path's
+    # own cumulative — the previous sibling ``lags.agg(count)`` was a
+    # full second evaluation of the attribution pair join (guide §1.2).
+    q = exact_percentiles_distributed(
+        lags, "lag_min", [0.5, 0.9, 0.99], with_n=True
+    )
+    wide = q.groupBy("n").pivot("p", [0.5, 0.9, 0.99]).agg(F.first("value"))
+    return wide.select(
+        F.col("n").alias("n_pairs"),
         F.round(F.col("`0.5`"), 4).alias("p50_min"),
         F.round(F.col("`0.9`"), 4).alias("p90_min"),
         F.round(F.col("`0.99`"), 4).alias("p99_min"),

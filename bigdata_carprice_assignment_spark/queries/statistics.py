@@ -428,13 +428,17 @@ def ks_statistic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in1").alias("t1"),
         (F.count(F.lit(1)) - F.sum("in1")).alias("t2"),
     )
-    tot = by_v.agg(
+    c0, part = range_partitioned_cumsum(
+        by_v, ["v"], ["t1", "t2"], with_part=True
+    )
+    # group totals = one flat aggregate over the PINNED partitioned
+    # counts — the separate ``by_v.agg`` was a full second evaluation
+    # of the fact scan + groupBy (r11, guide §1.2). Identical sums.
+    tot = part.agg(
         F.sum("t1").cast("long").alias("n1"),
         F.sum("t2").cast("long").alias("n2"),
     )
-    c = range_partitioned_cumsum(by_v, ["v"], ["t1", "t2"]).crossJoin(
-        F.broadcast(tot)
-    )
+    c = c0.crossJoin(F.broadcast(tot))
     return c.agg(
         F.max("n1").alias("n1"),
         F.max("n2").alias("n2"),
@@ -811,7 +815,17 @@ def kruskal_wallis_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = orders.select(
         F.col("o_totalprice").alias("v"), F.col("o_orderpriority").alias("g")
     )
-    vg = s.groupBy("v", "g").agg(F.count(F.lit(1)).alias("tg"))
+    from ..plans.materialize import pinned_lru
+
+    # pinned (r11): vg feeds both the per-value totals (rank cumulative)
+    # and the per-group rank join — unpinned, the fact groupBy ran twice
+    # (guide §1.2). Distinct-(value,group) rows, LRU-bounded.
+    vg = pinned_lru(
+        s.groupBy("v", "g").agg(F.count(F.lit(1)).alias("tg")),
+        "kruskal_vg",
+        keep=2,
+        eager=False,  # lazy: the cumulative materializes the cache in-pass
+    )
     bv = vg.groupBy("v").agg(F.sum("tg").alias("t"))
     uv = range_partitioned_cumsum(bv, ["v"], ["t"]).select(
         "v", (2 * F.col("cum_t") - F.col("t") + 1).alias("u")
@@ -1645,12 +1659,18 @@ def logrank_test_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("g1") * F.col("event")).alias("d1"),
         F.sum((1 - F.col("g1")) * F.col("event")).alias("d2"),
     )
-    tot = byd.agg(
+    cum0, part = range_partitioned_cumsum(
+        byd, ["dur"], ["c1", "c2"], with_part=True
+    )
+    # arm totals = one flat aggregate over the PINNED partitioned
+    # counts: the separate ``byd.agg`` re-ran the whole subject
+    # derivation (rank window + join) a second time (guide §1.2).
+    tot = part.agg(
         F.sum("c1").cast("long").alias("n1tot"),
         F.sum("c2").cast("long").alias("n2tot"),
     )
     risk = (
-        range_partitioned_cumsum(byd, ["dur"], ["c1", "c2"])
+        cum0
         .crossJoin(F.broadcast(tot))
         .select(
             "d1",
@@ -1751,7 +1771,17 @@ def anderson_darling_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = orders.select(
         F.col("o_totalprice").alias("v"), F.col("o_orderpriority").alias("g")
     )
-    vg = s.groupBy("v", "g").agg(F.count(F.lit(1)).alias("f"))
+    from ..plans.materialize import pinned_lru
+
+    # pinned (r11): vg feeds the value totals, the group sizes, AND the
+    # (v,g) grid join — three evaluations of the fact groupBy before
+    # (guide §1.2). Distinct-(value,group) rows, LRU-bounded.
+    vg = pinned_lru(
+        s.groupBy("v", "g").agg(F.count(F.lit(1)).alias("f")),
+        "ad_vg",
+        keep=2,
+        eager=False,  # lazy: the first consumer materializes the cache in-pass
+    )
     bv = vg.groupBy("v").agg(F.sum("f").alias("l"))
     cumv = range_partitioned_cumsum(bv, ["v"], ["l"]).select(
         "v", "l", (2 * F.col("cum_l") - F.col("l")).alias("b2")
@@ -3385,50 +3415,50 @@ def randomization_test_priority_diff(spark: SparkSession, sf_dir: str) -> DataFr
             )
         ).alias("d"),
     )
+    # The 32-replicate tree is built as JVM-parsed SQL strings (r11):
+    # the composed-Column form cost ~2s of py4j round-trips per plan
+    # BUILD (event-log profile: 0.4s of jobs inside a 2.6s wall) —
+    # identical expressions and values, two orders fewer JVM calls
+    # (same discipline as minhash_signatures). No ELSE on the s{b}
+    # CASE: sum skips NULLs, so the accumulator keeps the exact DECIMAL
+    # type of o_totalprice (round-5 ADVICE fix preserved).
     aggs = []
     for b in range(_PERM_B):
-        bit = F.substring(F.col("d"), b + 1, 1) < "8"
-        # No .otherwise(): sum skips nulls, so the accumulator keeps the
-        # exact DECIMAL type of o_totalprice just like the oracle's
-        # CASE ... ELSE 0 (integer 0 widens, never demotes to double).
-        # .otherwise(0.0) would coerce to double and break the
-        # engine-identical exactness claim (round-5 ADVICE fix).
-        aggs.append(F.sum(F.when(bit, F.col("x"))).alias(f"s{b}"))
+        bit = f"substring(d, {b + 1}, 1) < '8'"
+        aggs.append(f"sum(CASE WHEN {bit} THEN x END) AS s{b}")
         aggs.append(
-            F.sum(F.when(bit, 1).otherwise(0)).cast("double").alias(f"c{b}")
+            f"CAST(sum(CASE WHEN {bit} THEN 1 ELSE 0 END) AS DOUBLE) AS c{b}"
         )
     aggs += [
-        F.sum(F.when(F.col("gu") == 1, F.col("x"))).alias("su"),
-        F.sum("gu").cast("double").alias("cu"),
-        F.sum("x").alias("st"),
-        F.count(F.lit(1)).cast("double").alias("n"),
+        "sum(CASE WHEN gu = 1 THEN x END) AS su",
+        "CAST(sum(gu) AS DOUBLE) AS cu",
+        "sum(x) AS st",
+        "CAST(count(1) AS DOUBLE) AS n",
     ]
-    s = w.agg(*aggs)
-    diff = lambda sb, cb: F.col(sb) / F.col(cb) - (  # noqa: E731
-        F.col("st") - F.col(sb)
-    ) / (F.col("n") - F.col(cb))
-    d = s.select(
+    s = w.groupBy().agg(*[F.expr(a) for a in aggs])
+    diff_sql = (  # noqa: E731
+        lambda sb, cb: f"{sb} / {cb} - (st - {sb}) / (n - {cb})"
+    )
+    d = s.selectExpr(
         "n",
         "cu",
-        diff("su", "cu").alias("obs"),
-        *[diff(f"s{b}", f"c{b}").alias(f"d{b}") for b in range(_PERM_B)],
+        diff_sql("su", "cu") + " AS obs",
+        *[diff_sql(f"s{b}", f"c{b}") + f" AS d{b}" for b in range(_PERM_B)],
     )
-    mbar = sum(
-        (F.col(f"d{b}") for b in range(1, _PERM_B)), F.col("d0")
-    ) / float(_PERM_B)
-    msq = sum(
-        (F.col(f"d{b}") * F.col(f"d{b}") for b in range(1, _PERM_B)),
-        F.col("d0") * F.col("d0"),
+    bf = repr(float(_PERM_B))
+    mbar = "(" + " + ".join(f"d{b}" for b in range(_PERM_B)) + f") / {bf}"
+    msq = " + ".join(f"d{b} * d{b}" for b in range(_PERM_B))
+    n_ext = " + ".join(
+        f"CASE WHEN abs(d{b}) >= abs(obs) THEN 1 ELSE 0 END"
+        for b in range(_PERM_B)
     )
-    n_ext = sum(
-        (
-            F.when(F.abs(F.col(f"d{b}")) >= F.abs(F.col("obs")), 1).otherwise(0)
-            for b in range(1, _PERM_B)
-        ),
-        F.when(F.abs(F.col("d0")) >= F.abs(F.col("obs")), 1).otherwise(0),
-    )
-    m = d.select(
-        "n", "cu", "obs", mbar.alias("mbar"), msq.alias("msq"), n_ext.alias("n_extreme")
+    m = d.selectExpr(
+        "n",
+        "cu",
+        "obs",
+        f"{mbar} AS mbar",
+        f"({msq}) AS msq",
+        f"({n_ext}) AS n_extreme",
     )
     sd = F.sqrt(
         (F.col("msq") - float(_PERM_B) * F.col("mbar") * F.col("mbar"))

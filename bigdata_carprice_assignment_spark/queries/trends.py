@@ -18,6 +18,37 @@ from ..registry import query
 from ..sources.readers import load_table
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The part co-purchase edge list (distinct (u, v), u < v, parts
+    sharing an order at l_quantity >= 30) — built ONCE per (session,
+    sf_dir) and pooled: six graph queries (pagerank, triangle census,
+    k-core, BFS, clustering coefficients, degree power-law) consume the
+    IDENTICAL frame, and before r11 each rebuilt it from the fact table
+    (scan + distinct + self-join + distinct = 3 shuffles, ~1-2s each at
+    sf0.1; guide §2.4 — remove repeated shuffles outright). Pooled
+    persist (plans/materialize.pinned): lineage stays recomputable, one
+    generation per corpus, freed on the next build."""
+    from ..plans.materialize import pinned, pool_get
+
+    pool = f"copurchase_edges:{sf_dir}"
+    cached = pool_get(pool, spark)
+    if cached is not None:
+        return cached
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    return pinned(e, pool)
+
+
 @query(
     "supplier_catalog_breadth",
     oracle="""
@@ -955,21 +986,16 @@ def copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     in parts-per-million rounded to 4dp (the engines' per-node
     contribution sums associate differently; ~1e-15 relative noise is
     buried well under the rounding grain)."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 30)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    e = _copurchase_edges(spark, sf_dir)
     from ..operators.graphs import pagerank
 
-    ranks = pagerank(e, iterations=10, damping=0.85)
+    ranks = pagerank(
+        e,
+        iterations=10,
+        damping=0.85,
+        pool=f"pagerank:{sf_dir}",
+        pool_reuse=True,
+    )
     return (
         ranks.select(
             F.col("node").alias("p_partkey"),
@@ -1040,22 +1066,12 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The co-purchase edge list itself derives from a per-order self-join
     on the order key after a quantity filter and DISTINCT projection —
-    the fact table never joins itself unfiltered."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 30)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    the fact table never joins itself unfiltered (pooled: r11 shares
+    the built edge frame across the whole graph family)."""
+    e = _copurchase_edges(spark, sf_dir)
     from ..operators.graphs import triangle_census
 
-    return triangle_census(e)
+    return triangle_census(e, pre_pinned=True)
 
 
 @query(
@@ -1290,7 +1306,6 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("xb") - F.col("xa")),
         ).alias("slope")
     )
-    n_pairs = p.agg(F.count(F.lit(1)).alias("n_pairs"))
     med = exact_percentiles_distributed(p, "slope", [0.5]).select(
         F.col("value").alias("med_slope")
     )
@@ -1304,7 +1319,15 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_days = d.agg(F.count(F.lit(1)).alias("n_days"))
     return (
-        n_days.crossJoin(F.broadcast(n_pairs))
+        # n_pairs = C(n_days, 2) EXACTLY: the pair join's xa < xb guard
+        # over one row per distinct day admits each unordered pair once,
+        # so counting it with a second full evaluation of the day-grain
+        # quadratic join (the pre-r11 plan) bought nothing — the closed
+        # form is the identical long (guide §1.2: don't recompute what
+        # a bounded frame already determines).
+        n_days.withColumn(
+            "n_pairs", F.expr("n_days * (n_days - 1) div 2")
+        )
         .crossJoin(F.broadcast(med))
         .crossJoin(F.broadcast(ols))
         .select(
@@ -1653,18 +1676,7 @@ def copurchase_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: edges aggregate to per-node degrees (one shuffle), degrees to
     a histogram (bounded by max degree), the fit to one row."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 30)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    e = _copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -3230,6 +3242,10 @@ def hill_tail_index_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("x"), F.asc("o_orderkey"))
         .limit(101)
         .drop("o_orderkey")
+        # 101 rows, consumed by both the threshold and the log-sum —
+        # unmaterialized, each branch re-ran the TakeOrdered fact scan
+        # (r11, guide §1.2); checkpointing 101 rows is free.
+        .localCheckpoint()
     )
     thr = top.agg(F.min("x").alias("t"))
     return (
@@ -3380,13 +3396,23 @@ def winsorized_correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.first("value"))
         .select(F.col("`0.05`").alias("pl"), F.col("`0.95`").alias("ph"))
     )
+    # ONE corr pass computes both correlations (r11): the raw and the
+    # clamped series come off the same scan with identical partition
+    # layout, so fusing the two aggregates halves the lineitem passes
+    # (guide §2.3 — aggregate once, not per-metric) and the per-partition
+    # merge order (hence every double) is unchanged.
     w = v.crossJoin(F.broadcast(qb)).crossJoin(F.broadcast(pb)).select(
-        F.least(F.greatest(F.col("q"), F.col("ql")), F.col("qh")).alias("q"),
-        F.least(F.greatest(F.col("p"), F.col("pl")), F.col("ph")).alias("p"),
+        "q",
+        "p",
+        F.least(F.greatest(F.col("q"), F.col("ql")), F.col("qh")).alias("qw"),
+        F.least(F.greatest(F.col("p"), F.col("pl")), F.col("ph")).alias("pw"),
     )
-    cr = v.agg(F.corr("q", "p").alias("raw"))
-    cw = w.agg(F.corr("q", "p").alias("wins"), F.count(F.lit(1)).alias("n"))
-    return cw.crossJoin(F.broadcast(cr)).select(
+    cw = w.agg(
+        F.corr("qw", "pw").alias("wins"),
+        F.corr("q", "p").alias("raw"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return cw.select(
         F.col("n").cast("long").alias("n_rows"),
         F.round("raw", 6).alias("pearson_raw"),
         F.round("wins", 6).alias("pearson_winsorized"),
@@ -3609,24 +3635,14 @@ def copurchase_kcore_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the standard dense-subgraph/community-seed primitive next to
     triangles and components in the graph family.
 
-    Scale: one degree aggregate + two leftsemi joins per round, all
-    hash-partitioned on the node key; alive frames are localCheckpoint-
-    truncated per round (O(nodes)); exact integers end to end."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 30)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    Scale: one degree aggregate (two leftsemi joins) per round, all
+    hash-partitioned on the node key; alive/degree frames are
+    localCheckpoint-truncated per round (O(nodes)); exact integers end
+    to end."""
+    e = _copurchase_edges(spark, sf_dir)
     from ..operators.graphs import kcore_peel_trace
 
-    trace = kcore_peel_trace(e, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    trace = kcore_peel_trace(e, k=_KCORE_K, rounds=_KCORE_ROUNDS, pre_pinned=True)
     return spark.createDataFrame(
         trace, "round long, n_nodes long, n_edges long"
     ).orderBy("round")
@@ -3684,18 +3700,7 @@ def copurchase_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     against visited, hash-partitioned on the node key; frontier/visited
     are localCheckpoint-truncated single-column frames
     (operators/graphs.py::bfs_hop_counts). Exact integers end to end."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 30)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    e = _copurchase_edges(spark, sf_dir)
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -3766,19 +3771,7 @@ def copurchase_clustering_coeff_hist(spark: SparkSession, sf_dir: str) -> DataFr
     Exactness: wedge/triangle/degree counts are exact integers; c is a
     single integer-ratio double, bin edges are exact binary fractions
     (0.25/0.5/0.75), one rounded average per bin."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 30)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    e = _copurchase_edges(spark, sf_dir)
     sym = e.select(F.col("u").alias("node"), F.col("v").alias("other")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("other"))
     )

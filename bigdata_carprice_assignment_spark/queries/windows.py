@@ -447,6 +447,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import range_partitioned_ntile
 
     orders = load_table(spark, sf_dir, "orders")
+    # r11 note: pinning this customer-grain aggregate (so the three
+    # ntiles share one evaluation) was tried and measured SLOWER at
+    # sf0.1 (interleaved A/B: 2.1s → 4.3-6.5s warm) — the cache
+    # write + in-memory-relation re-scan under three range-sampling
+    # exchanges costs more than the three cheap fact passes it saves
+    # at this scale. Left unpinned; at 100 TB the groupBy output is
+    # customer-cardinality and the pin becomes the right call.
     m = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("n_orders"),

@@ -204,3 +204,36 @@ def test_distributed_percentile_equals_buffered(spark):
     }
     for p, w in zip(probs, want):
         assert got[p] == w, (p, got[p], w)
+
+
+def test_distributed_percentile_with_n_and_empty(spark):
+    # r11: `n` rides out of the percentile pass itself (no sibling
+    # count() plan re-evaluating the input); empty input keeps the
+    # one-NULL-row-per-p contract with n = 0.
+    from bigdata_carprice_assignment_spark.operators.aggregates import (
+        exact_percentiles_distributed,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in range(17)], "x double")
+    rows = exact_percentiles_distributed(
+        df, "x", [0.25, 0.5], with_n=True
+    ).collect()
+    assert [r["p"] for r in rows] == [0.25, 0.5]
+    assert all(r["n"] == 17 for r in rows)
+    assert rows[1]["value"] == 8.0
+    assert dict((f.name, f.dataType.simpleString()) for f in
+                exact_percentiles_distributed(df, "x", [0.5], with_n=True).schema.fields)["n"] == "bigint"
+
+    empty = spark.createDataFrame([], "x double")
+    erows = exact_percentiles_distributed(
+        empty, "x", [0.5, 0.9], with_n=True
+    ).collect()
+    assert [(r["p"], r["value"], r["n"]) for r in erows] == [
+        (0.5, None, 0),
+        (0.9, None, 0),
+    ]
+    # without with_n the public schema is unchanged (p, value)
+    assert exact_percentiles_distributed(df, "x", [0.5]).columns == [
+        "p",
+        "value",
+    ]

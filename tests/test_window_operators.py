@@ -74,3 +74,11 @@ def test_ntile_output_is_long(spark):
     df = spark.createDataFrame([(1, 1), (2, 2)], "v long, id long")
     out = range_partitioned_ntile(df, ["v", "id"], 2)
     assert dict(out.dtypes)["tile"] == "bigint"
+
+
+def test_ntile_empty_input(spark):
+    # r11: the total now reads off the pinned rank (coalesced to 0 on
+    # empty) instead of a second full input evaluation — empty input
+    # must still yield zero rows, not a divide-by-zero.
+    empty = spark.createDataFrame([], "v long, id long")
+    assert range_partitioned_ntile(empty, ["v", "id"], 4).collect() == []

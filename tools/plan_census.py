@@ -5,7 +5,7 @@ broadcast exchanges, whole-stage-codegen spans, sort-merge vs broadcast
 hash joins, and any row-at-a-time Python eval (must be zero outside the
 Arrow batch paths).
 
-Writes PLAN_CENSUS_r10.json: per-query counts plus distribution
+Writes PLAN_CENSUS_r11.json: per-query counts plus distribution
 summaries. Usage: python tools/plan_census.py [sf_dir]
 """
 
@@ -102,7 +102,7 @@ def main() -> None:
     }
     out = {"summary": summary, "per_query": per}
     Path(__file__).resolve().parent.parent.joinpath(
-        "PLAN_CENSUS_r10.json"
+        "PLAN_CENSUS_r11.json"
     ).write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps(summary, indent=1))
 
