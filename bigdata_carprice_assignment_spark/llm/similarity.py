@@ -89,12 +89,31 @@ def blocked_cosine_pairs(
     recomputes the EXACT sequential-fold cosine from the raw arrays —
     the same operand order the DuckDB oracles use — so inclusion
     decisions are engine-identical (BLAS reassociation noise ~1e-15 is
-    buried under the 1e-9 margin)."""
+    buried under the 1e-9 margin).
+
+    r11b (measured): the gram sweep is compute-dense but byte-small at
+    low corpus sizes, so (a) the size-derived block count can leave the
+    cluster mostly idle (⌈5000/4096⌉ = 2 blocks ⇒ 3 block pairs ⇒ 3
+    tasks on 32 cores), and (b) AQE's byte-based coalescing packs
+    several block pairs into one post-shuffle partition. The block
+    count therefore gets a PARALLELISM FLOOR — the smallest nb whose
+    nb(nb+1)/2 block pairs cover defaultParallelism, bounded so blocks
+    never shrink below ~64 rows (BLAS efficiency) — and the kernel's
+    exchange is an explicit repartition on the block-pair key
+    (REPARTITION_BY_NUM, exempt from AQE coalescing). Replication
+    factor = nb is unchanged in O() terms at scale, where the
+    size-derived count dominates the floor and the plan is the old one.
+    Results are unchanged by construction: the kernel only nominates
+    candidates (threshold − 1e-9) and the exact sequential-fold rerank
+    outside decides membership."""
     import math
 
     spark = df.sparkSession
     n = df.count()  # one count job; at scale pass a cardinality estimate
     nb = max(1, math.ceil(n / block_rows))
+    par = spark.sparkContext.defaultParallelism
+    nb_floor = math.ceil((math.sqrt(8.0 * par + 1.0) - 1.0) / 2.0)
+    nb = max(nb, min(nb_floor, max(1, n // 64)))
     b = df.select(
         F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bv")
     ).withColumn("_blk", F.pmod(F.xxhash64(F.col("_bid")), F.lit(nb)).cast("int"))
@@ -137,7 +156,12 @@ def blocked_cosine_pairs(
             {"a": np.minimum(left, right), "b": np.maximum(left, right)}
         )
 
-    cand = rep.groupBy("_lo", "_hi").applyInPandas(kernel, "a long, b long")
+    n_pair_blocks = nb * (nb + 1) // 2
+    cand = (
+        rep.repartition(max(par, min(n_pair_blocks, 4 * par)), "_lo", "_hi")
+        .groupBy("_lo", "_hi")
+        .applyInPandas(kernel, "a long, b long")
+    )
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     return (
@@ -521,6 +545,7 @@ def srp_knn_join(
     screen_cos: float = 0.85,
     n_docs_stat: int | None = None,
     n_distinct_stat: int | None = None,
+    sigs_pool: str | None = None,
 ) -> DataFrame:
     """Approximate kNN-join via SRP banding: candidates from the band
     join, exact double-precision cosine rerank, per-vector top-k window.
@@ -648,7 +673,26 @@ def srp_knn_join(
         else:
             n_uniq = None
         if n_uniq is None or n_uniq > 0.7 * n_docs:
-            sigs = srp_signatures_wide(df, vec_col, id_col, wide_bits)
+            # ``sigs_pool`` (r11b): the wide signature table is
+            # corpus-keyed index state (n rows x n_words longs — the
+            # same artifact class as the pooled 60-bit table the
+            # mechanism gate shares); callers whose input is an
+            # immutable corpus pass a pool name and warm calls skip
+            # the per-call projection matmul. Keyed by width so the
+            # tight and cheap contracts (different band counts =>
+            # different word counts) each cache their own table.
+            if sigs_pool is not None:
+                from ..plans.materialize import pinned, pool_get
+
+                key = f"{sigs_pool}:w{wide_bits}"
+                sigs = pool_get(key, df.sparkSession)
+                if sigs is None:
+                    sigs = pinned(
+                        srp_signatures_wide(df, vec_col, id_col, wide_bits),
+                        key,
+                    )
+            else:
+                sigs = srp_signatures_wide(df, vec_col, id_col, wide_bits)
             pairs = srp_band_pairs_wide(
                 sigs, id_col, wide_bits, band_bits, max_bucket, max_hamming=thr
             )
@@ -659,7 +703,8 @@ def srp_knn_join(
                 F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")
             )
             scored = (
-                pairs.join(va, "a")
+                _rerank_spread(pairs)
+                .join(va, "a")
                 .join(vb, "b")
                 .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
                 .select("a", "b", "_cos")
@@ -696,7 +741,8 @@ def srp_knn_join(
         vga = uniq.select(F.col("_gid").alias("a"), F.col(vec_col).alias("_va"))
         vgb = uniq.select(F.col("_gid").alias("b"), F.col(vec_col).alias("_vb"))
         scored_g = (
-            gpairs.join(vga, "a")
+            _rerank_spread(gpairs)
+            .join(vga, "a")
             .join(vgb, "b")
             .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
             .select("a", "b", "_cos")
@@ -717,12 +763,34 @@ def srp_knn_join(
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     scored = (
-        pairs.join(va, "a")
+        _rerank_spread(pairs)
+        .join(va, "a")
         .join(vb, "b")
         .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
         .select("a", "b", "_cos")
     )
     return _topk_from_scored(scored, id_col, k)
+
+
+def _rerank_spread(pairs: DataFrame) -> DataFrame:
+    """Spread a candidate-pair frame across the session's shuffle width
+    BEFORE the exact-cosine rerank attaches vectors to it.
+
+    The rerank is compute-dense (an interpreted higher-order fold over
+    dim-sized arrays per pair — kept interpreted deliberately: the fold
+    matches the oracle's sequential operand order on any input) while
+    the pair frame is byte-tiny (two longs/row), so AQE's byte-based
+    coalescing collapses it to one or two post-shuffle partitions and
+    the whole rerank serializes onto one core (r11b event log: a
+    single-task 60 s stage inside a 78 s warm run of the ingested
+    gate). Hash-repartitioning on the pair key with an EXPLICIT count
+    (REPARTITION_BY_NUM — exempt from AQE coalescing) moves two longs
+    per row once and restores the full width; the vector joins stay
+    broadcast joins on top of it, so the dim-sized arrays are never
+    shuffled. Partition count = the session's shuffle width — the same
+    scale-adaptive knob every other exchange uses."""
+    n = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return pairs.repartition(n, "a", "b")
 
 
 def _topk_from_scored(scored: DataFrame, id_col: str, k: int) -> DataFrame:
@@ -950,9 +1018,31 @@ def ivf_knn_join(
     and no interpreted distance fold; candidates come from one shuffle
     join on the cell id (pruning 1 − nprobe/n_cells of the corpus);
     exact cosine (BLAS per cell) + per-vector top-k window finishes it.
-    No collect of data-sized results."""
+    No collect of data-sized results.
+
+    r11b (measured, guide §2.5/§2.6): with a small pinned cell count
+    the scoring cogroup has at most n_cells distinct keys, and AQE
+    additionally coalesces the byte-small exchange — the event log
+    showed the whole BLAS sweep running in TWO tasks on 32 cores (24 s
+    of a 25 s warm run). Bytes are the wrong size proxy for a
+    compute-dense kernel. Fix: when the cell count undershoots the
+    available parallelism, split each cell's PROBE side into ``m``
+    deterministic query chunks (xxhash64 of the query id — stable under
+    retries, guide §2.5) and replicate the cell's corpus rows per chunk
+    — per-query results are unchanged because every chunk still scores
+    against the FULL cell (and on the integer-valued feature corpora
+    every dot product is an exactly-representable float64, so the
+    cosines are bit-identical under any batching). Both sides are
+    repartitioned by the (cell, chunk) key with an explicit partition
+    count (REPARTITION_BY_NUM is exempt from AQE coalescing), so the
+    kernel actually lands on that many tasks. At scale n_cells ≈ 4√n ≫
+    cores ⇒ m = 1 and the plan is exactly the pre-r11b one — no corpus
+    replication is ever paid where cells already saturate the cluster."""
     from pyspark.sql import Window
 
+    sc = assigned.sparkSession.sparkContext
+    n_cells = max(1, len(model.clusterCenters()))
+    m = max(1, min(64, -(-sc.defaultParallelism // n_cells)))
     probes = assigned.select(
         F.col(id_col).alias("_qid"),
         F.col(vec_col).alias("_qvec"),
@@ -961,6 +1051,16 @@ def ivf_knn_join(
     corpus = assigned.select(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"), "_cell"
     )
+    group_keys = ["_cell"]
+    if m > 1:
+        n_parts = max(sc.defaultParallelism, n_cells)
+        probes = probes.withColumn(
+            "_chunk", F.pmod(F.xxhash64(F.col("_qid")), F.lit(m)).cast("int")
+        ).repartition(n_parts, "_cell", "_chunk")
+        corpus = corpus.withColumn(
+            "_chunk", F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+        ).repartition(n_parts, "_cell", "_chunk")
+        group_keys = ["_cell", "_chunk"]
 
     # Per-cell scoring kernel: Arrow-batched cogroup → one float64 BLAS
     # matmul (queries_in_cell × cell_vectors^T) + heap top-k, emitting
@@ -1000,8 +1100,8 @@ def ivf_knn_join(
         )
 
     cell_topk = (
-        probes.groupBy("_cell")
-        .cogroup(corpus.groupBy("_cell"))
+        probes.groupBy(*group_keys)
+        .cogroup(corpus.groupBy(*group_keys))
         .applyInPandas(score_cell, schema="_qid long, _cid long, _cos double")
     )
     # global top-k per query over its nprobe per-cell winners (tiny set)

@@ -13,6 +13,38 @@ from pyspark.sql import functions as F
 from ..plans.materialize import pinned
 
 
+def symmetric_adjacency(
+    e: DataFrame, pool: str | None = None
+) -> DataFrame:
+    """Symmetric adjacency (node, other) of an undirected (u, v) edge
+    list, HASH-PARTITIONED on ``node`` and optionally pooled (r11b).
+
+    The per-round Pregel operators (k-core, BFS) probe this frame every
+    round through broadcast semi-joins and then aggregate by ``node`` —
+    rebuilding the two-scan union per round re-evaluated the edge pool
+    twice per round (the r11b event log showed one 64-task ~0.65 s
+    stage per peel round that was exactly this), and the groupBy paid
+    its exchange each time. A pinned copy partitioned on the aggregate
+    key is scanned from cache and satisfies the groupBy's required
+    distribution outright (guide §2.4 — operations keyed the same way
+    share one exchange; broadcast semi-joins preserve the layout).
+    ``pool=None`` keeps the old inline shape for one-shot callers."""
+    from ..plans.materialize import pinned, pool_get
+
+    spark = e.sparkSession
+    if pool is not None:
+        cached = pool_get(pool, spark)
+        if cached is not None:
+            return cached
+    sym = e.select(F.col("u").alias("node"), F.col("v").alias("other")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("other"))
+    )
+    if pool is None:
+        return sym
+    sym = sym.repartition(spark.sparkContext.defaultParallelism, "node")
+    return pinned(sym, pool)
+
+
 def triangle_census(
     e: DataFrame, pool: str = "tri_edges", pre_pinned: bool = False
 ) -> DataFrame:
@@ -168,6 +200,7 @@ def kcore_peel_trace(
     rounds: int,
     pool: str = "kcore",
     pre_pinned: bool = False,
+    sym_pool: str | None = None,
 ) -> list[tuple[int, int, int]]:
     """Synchronous k-core peeling over an undirected simple graph
     ((u, v) rows, u < v): each round removes every node whose degree
@@ -187,18 +220,35 @@ def kcore_peel_trace(
     instead of a second E-sized semi-join pass per round. The degree
     frame is ``localCheckpoint``-ed per round (O(nodes), 2 columns —
     same lineage-truncation rationale as pagerank; at cluster scale use
-    ``checkpoint``). Per-round driver traffic is two scalar aggregates.
+    ``checkpoint``).
+
+    r11b: the per-round driver actions are fused into ONE scalar
+    aggregate over the checkpointed degree frame — (row count,
+    Σdeg, #(deg ≥ k)):
+
+    - ``n_alive(r) = #(deg_{r-1} ≥ k)``, exactly: a node absent from
+      ``deg_{r-1}`` has zero alive neighbors, and 0 < k (asserted), so
+      the filter and the count agree row-for-row — the separate
+      ``alive.count()`` job per round is removed;
+    - ``alive`` itself is a one-op filter over the checkpointed degree
+      frame, so its own ``localCheckpoint`` (one eager job per round)
+      is dropped too — the two semi-join consumers re-evaluate a cheap
+      cached-scan filter instead;
+    - round 0's node/edge counts come from the same fused census over
+      ``deg_0`` (every node of ``sym`` has ≥1 neighbor alive at round
+      0, so ``count(deg_0) = n_nodes``, and ``Σdeg_0/2 = |E|``).
+
+    Driver actions per round: 2 (checkpoint + census) instead of 4.
     """
     from ..plans.materialize import pinned
 
+    if k < 1:
+        raise ValueError("kcore_peel_trace requires k >= 1")
     edges = e.select("u", "v")
     if not pre_pinned:
         edges = pinned(edges, pool + "_edges")
-    sym = edges.select(F.col("u").alias("node"), F.col("v").alias("other")).unionAll(
-        edges.select(F.col("v").alias("node"), F.col("u").alias("other"))
-    )
+    sym = symmetric_adjacency(edges, sym_pool)
     alive = sym.select("node").distinct().localCheckpoint()
-    trace = [(0, alive.count(), edges.count())]
 
     def alive_degrees(alive_df: DataFrame) -> DataFrame:
         return (
@@ -211,21 +261,32 @@ def kcore_peel_trace(
             .localCheckpoint()
         )
 
+    def census(deg_df: DataFrame) -> tuple[int, int, int]:
+        row = deg_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("deg"), F.lit(0)).cast("long").alias("s"),
+            F.coalesce(
+                F.sum((F.col("deg") >= k).cast("long")), F.lit(0)
+            ).cast("long").alias("ge"),
+        ).collect()[0]
+        return int(row["n"]), int(row["s"]) // 2, int(row["ge"])
+
     deg = alive_degrees(alive)  # degrees feeding the round-1 peel
+    n0, e0, ge = census(deg)
+    trace = [(0, n0, e0)]
     for r in range(1, rounds + 1):
-        alive = deg.filter(F.col("deg") >= k).select("node").localCheckpoint()
+        alive = deg.filter(F.col("deg") >= k).select("node")
         # next round's degrees double as this round's edge census:
         # sum over alive nodes of alive-neighbor counts = 2 * |e_alive|
         deg = alive_degrees(alive)
-        n_edges = deg.agg(
-            F.coalesce(F.sum("deg"), F.lit(0)).cast("long").alias("s")
-        ).collect()[0]["s"] // 2
-        trace.append((r, alive.count(), n_edges))
+        n_alive = ge  # #(deg_{r-1} >= k), carried from the last census
+        _, n_edges, ge = census(deg)
+        trace.append((r, n_alive, n_edges))
     return trace
 
 
 def bfs_hop_counts(
-    e: DataFrame, seeds: DataFrame, hops: int
+    e: DataFrame, seeds: DataFrame, hops: int, sym_pool: str | None = None
 ) -> list[tuple[int, int]]:
     """Multi-source BFS over an undirected simple graph ((u, v) rows,
     u < v) from a ``seeds`` frame of (node) rows: returns the per-hop
@@ -242,9 +303,7 @@ def bfs_hop_counts(
     (O(nodes), 1 column); per-hop driver traffic is one scalar count.
     """
     edges = e.select("u", "v")
-    sym = edges.select(F.col("u").alias("node"), F.col("v").alias("other")).unionAll(
-        edges.select(F.col("v").alias("node"), F.col("u").alias("other"))
-    )
+    sym = symmetric_adjacency(edges, sym_pool)
     frontier = seeds.select("node").distinct().localCheckpoint()
     visited = frontier
     trace = [(0, frontier.count())]

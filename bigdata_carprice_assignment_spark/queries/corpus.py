@@ -282,30 +282,35 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     two shuffles on the gram key, one on source. The gram explode is
     ~L× row growth, the reason this stays a single projected (doc_id,
     source, gram) triple and never carries text."""
+    from ..plans.materialize import pinned, pool_get
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    grams = (
-        docs.repartition(n_parts, "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.when(
-                    F.size(toks) >= 6,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - F.lit(5)),
-                        lambda i: F.array_join(F.slice(toks, i, 6), " "),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("g"),
+    # materialize once, POOLED per (session, corpus) — r11b: three
+    # consumers (distinct-doc counts, totals, boilerplate hits) share
+    # the exploded gram table within one call, and the table is
+    # corpus-keyed immutable index state, so warm runs reuse it instead
+    # of re-running the explode (the old pin had no pool_get guard)
+    pool = f"boilerplate_grams:{sf_dir}"
+    grams = pool_get(pool, spark)
+    if grams is None:
+        grams = pinned(
+            docs.repartition(n_parts, "doc_id").select(
+                "doc_id",
+                "source",
+                F.explode(
+                    F.when(
+                        F.size(toks) >= 6,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(toks) - F.lit(5)),
+                            lambda i: F.array_join(F.slice(toks, i, 6), " "),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("g"),
+            ),
+            pool,
         )
-        # materialize once: three consumers (distinct-doc counts, totals,
-        # boilerplate hits) would each re-run the explode otherwise
-    )
-    from ..plans.materialize import pinned
-
-    grams = pinned(grams, "boilerplate_grams")
     boiler = (
         grams.select("g", "doc_id")
         .distinct()

@@ -232,7 +232,15 @@ def sorted_neighborhood_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: integer counts, engine-identical unit-cost Levenshtein
     (both engines implement Wagner-Fischer with cost-1 ops), one
-    division for the rate."""
+    division for the rate.
+
+    r11b (measured): the candidate generation + Levenshtein ran as ONE
+    task (a 3.2 s single-task stage was the whole query) — the customer
+    table is a single ~1 MB input split, the block join broadcasts, so
+    the O(n·w) edit-distance work inherited the scan's parallelism of
+    1. The probe side is hash-repartitioned on (key, block) before the
+    join (deterministic keys; the final aggregate is integer sums, so
+    the result is partition-count invariant by construction)."""
     cust = load_table(spark, sf_dir, "customer")
     c = cust.select(
         F.col("c_custkey").alias("k"),
@@ -243,7 +251,7 @@ def sorted_neighborhood_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("ka"),
         F.col("name").alias("name_a"),
         F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("jb"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "ka", "jb")
     right = c.select(
         F.col("k").alias("kb"), F.col("name").alias("name_b"), F.col("b").alias("jb")
     )

@@ -2441,6 +2441,18 @@ def bootstrap_mean_se_order_value(spark: SparkSession, sf_dir: str) -> DataFrame
     Same optimized plan, identical values."""
     orders = load_table(spark, sf_dir, "orders")
 
+    # r11b (measured): the digest+weight aggregate ran on the SCAN's
+    # 3 input splits (one 2.8 s stage = the whole query) — 8 md5s per
+    # row is compute the input-split sizing knows nothing about.
+    # Project the two needed columns and hash-repartition on the key
+    # BEFORE the digests so the md5 work spreads across the cluster;
+    # the exchange moves 16 bytes/row once. Every weight is a pure
+    # function of (replicate, o_orderkey), so the reweighted sums are
+    # the same multiset regardless of partitioning.
+    orders = orders.select("o_totalprice", "o_orderkey").repartition(
+        spark.sparkContext.defaultParallelism, "o_orderkey"
+    )
+
     # materialize the digests as their OWN projection so each md5 runs
     # once per (row, group) — Catalyst does not reliably CSE the four
     # substring consumers of one digest expression
@@ -2762,8 +2774,18 @@ def countmin_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the sketch is a FIXED 1024-cell state built by one map-side
     partial aggregate — at 100 TB this answers point-frequency /
     heavy-hitter queries without materializing the full key frequency
-    table (the exact side here is only the calibration ground truth)."""
+    table (the exact side here is only the calibration ground truth).
+
+    r11: the cells fold from the KEY-FREQUENCY table the calibration
+    side already builds — cell(r, b) = Σ over keys hashing to b of
+    their exact counts, the identical integers as counting raw rows —
+    so the 4 salted md5s run once per DISTINCT key instead of once per
+    fact row (|keys| ≪ |rows|; guide §2.3 "aggregate before you
+    shuffle" applied to the hash work itself), and the fact table is
+    scanned once, not twice. The frequency table is lazily pinned: the
+    cells pass materializes it in-pass, the top-10 side reads cache."""
     from ..llm.text import portable_hash60
+    from ..plans.materialize import pinned_lru
 
     li = load_table(spark, sf_dir, "lineitem")
 
@@ -2784,18 +2806,20 @@ def countmin_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    freq = pinned_lru(
+        li.groupBy(F.col("l_partkey").alias("k")).agg(
+            F.count(F.lit(1)).alias("exact")
+        ),
+        "cm_key_freq",
+        eager=False,  # lazy: the cells pass materializes the cache in-pass
+    )
     cells = (
-        li.select(buckets(F.col("l_partkey")).alias("rb"))
-        .select("rb.r", "rb.b")
+        freq.select(buckets(F.col("k")).alias("rb"), F.col("exact"))
+        .select("rb.r", "rb.b", "exact")
         .groupBy("r", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("exact").alias("c"))
     )
-    top = (
-        li.groupBy(F.col("l_partkey").alias("k"))
-        .agg(F.count(F.lit(1)).alias("exact"))
-        .orderBy(F.desc("exact"), F.asc("k"))
-        .limit(10)
-    )
+    top = freq.orderBy(F.desc("exact"), F.asc("k")).limit(10)
     tq = top.select("k", "exact", buckets(F.col("k")).alias("rb")).select(
         "k", "exact", "rb.r", "rb.b"
     )

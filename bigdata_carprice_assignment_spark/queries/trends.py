@@ -3375,33 +3375,47 @@ def winsorized_correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFr
 
     Scale: two passes (quantile pass, corr pass) with a 1-row
     broadcast of the four clamp bounds between them."""
-    from ..operators.aggregates import exact_percentiles_distributed
+    from ..operators.aggregates import exact_percentiles_distributed_grouped
 
     li = load_table(spark, sf_dir, "lineitem")
     v = li.select(
         F.col("l_quantity").cast("double").alias("q"),
         F.col("l_extendedprice").cast("double").alias("p"),
     )
-    qb = (
-        exact_percentiles_distributed(v, "q", [0.05, 0.95])
-        .groupBy()
-        .pivot("p", [0.05, 0.95])
-        .agg(F.first("value"))
-        .select(F.col("`0.05`").alias("ql"), F.col("`0.95`").alias("qh"))
+    # BOTH variables' clamp bounds from ONE melted grouped-percentile
+    # pass (r11b): the two single-column calls each built their own
+    # value-compression aggregate + range-partitioned cumulative +
+    # order-statistic probe (the event log showed the pair of pipelines
+    # at ~49 driver jobs per run); melting (var, value) and running the
+    # grouped operator computes the identical type-7 order statistics —
+    # same counts, same cumulative, same interpolation arithmetic — in
+    # one pipeline (guide §1.2/§2.4). The 2-row group-offset frame
+    # broadcasts, so the intra-group cumulative adds no extra shuffle.
+    melted = v.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("q").alias("g"), F.col("q").alias("v")),
+                F.struct(F.lit("p").alias("g"), F.col("p").alias("v")),
+            )
+        ).alias("s")
+    ).select("s.g", "s.v")
+    b = exact_percentiles_distributed_grouped(melted, "v", "g", [0.05, 0.95])
+    pick = lambda g, pr: F.first(  # noqa: E731
+        F.when((F.col("g") == g) & (F.col("p") == pr), F.col("value")),
+        ignorenulls=True,
     )
-    pb = (
-        exact_percentiles_distributed(v, "p", [0.05, 0.95])
-        .groupBy()
-        .pivot("p", [0.05, 0.95])
-        .agg(F.first("value"))
-        .select(F.col("`0.05`").alias("pl"), F.col("`0.95`").alias("ph"))
+    bounds = b.agg(
+        pick("q", 0.05).alias("ql"),
+        pick("q", 0.95).alias("qh"),
+        pick("p", 0.05).alias("pl"),
+        pick("p", 0.95).alias("ph"),
     )
     # ONE corr pass computes both correlations (r11): the raw and the
     # clamped series come off the same scan with identical partition
     # layout, so fusing the two aggregates halves the lineitem passes
     # (guide §2.3 — aggregate once, not per-metric) and the per-partition
     # merge order (hence every double) is unchanged.
-    w = v.crossJoin(F.broadcast(qb)).crossJoin(F.broadcast(pb)).select(
+    w = v.crossJoin(F.broadcast(bounds)).select(
         "q",
         "p",
         F.least(F.greatest(F.col("q"), F.col("ql")), F.col("qh")).alias("qw"),
@@ -3642,7 +3656,13 @@ def copurchase_kcore_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_edges(spark, sf_dir)
     from ..operators.graphs import kcore_peel_trace
 
-    trace = kcore_peel_trace(e, k=_KCORE_K, rounds=_KCORE_ROUNDS, pre_pinned=True)
+    trace = kcore_peel_trace(
+        e,
+        k=_KCORE_K,
+        rounds=_KCORE_ROUNDS,
+        pre_pinned=True,
+        sym_pool=f"copurchase_sym:{sf_dir}",
+    )
     return spark.createDataFrame(
         trace, "round long, n_nodes long, n_edges long"
     ).orderBy("round")
@@ -3709,7 +3729,9 @@ def copurchase_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = nodes.filter(F.col("node") % _BFS_SEED_MOD == 0)
     from ..operators.graphs import bfs_hop_counts
 
-    trace = bfs_hop_counts(e, seeds, hops=_BFS_HOPS)
+    trace = bfs_hop_counts(
+        e, seeds, hops=_BFS_HOPS, sym_pool=f"copurchase_sym:{sf_dir}"
+    )
     return spark.createDataFrame(trace, "hop long, n_new long").orderBy("hop")
 
 

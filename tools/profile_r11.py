@@ -88,12 +88,21 @@ def main() -> None:
     cand = base / app_id
     if not cand.exists():
         cand = base / f"eventlog_v2_{app_id}"
+    def _read(f: Path) -> str:
+        if f.name.endswith(".zstd"):
+            import subprocess
+
+            return subprocess.run(
+                ["zstd", "-dc", str(f)], capture_output=True, check=True
+            ).stdout.decode()
+        return f.read_text()
+
     lines: list[str] = []
     if cand.is_dir():
         for f in sorted(cand.glob("events_*")):
-            lines += f.read_text().splitlines()
+            lines += _read(f).splitlines()
     else:
-        lines = cand.read_text().splitlines()
+        lines = _read(cand).splitlines()
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
     stage_to_job: dict[int, int] = {}
