@@ -570,6 +570,13 @@ def srp_knn_join(
     1860 bits). The fixed 60-bit/10-bit setting remains for the
     mechanism-exact oracle gate.
 
+    ``sigs_pool`` caches the wide signature table per (pool, width) on
+    the ADAPTIVE wide-signature ungrouped branch ONLY — the dedup
+    branch (n_uniq <= 0.7*n_docs) builds group-grain signatures keyed
+    by a derived _gid (not corpus-stable ids), and the explicit
+    ``band_bits`` path uses the 60-bit table, so neither consults the
+    pool; callers on those routes get no caching (ADVICE r11).
+
     ``n_docs_stat`` / ``n_distinct_stat`` are CATALOG STATISTICS (r10):
     the adaptive path needs the corpus size (to pick band bits) and the
     distinct-vector count (to pick the dedup-before-ANN route), and
@@ -788,8 +795,17 @@ def _rerank_spread(pairs: DataFrame) -> DataFrame:
     per row once and restores the full width; the vector joins stay
     broadcast joins on top of it, so the dim-sized arrays are never
     shuffled. Partition count = the session's shuffle width — the same
-    scale-adaptive knob every other exchange uses."""
-    n = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    scale-adaptive knob every other exchange uses. On deployments where
+    ``spark.sql.shuffle.partitions`` is managed externally and
+    non-numeric (e.g. ``'auto'`` under Databricks AQE) the conf value
+    cannot size the repartition, so fall back to
+    ``defaultParallelism`` — the same cluster-width proxy the other
+    explicit repartitions use (ADVICE r11)."""
+    spark = pairs.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = spark.sparkContext.defaultParallelism
     return pairs.repartition(n, "a", "b")
 
 

@@ -168,7 +168,11 @@ def minmax(df: DataFrame, cols: Sequence[str]) -> dict[str, tuple[float, float]]
 
 
 def exact_percentiles_distributed(
-    df: DataFrame, col: str, probs: Sequence[float], with_n: bool = False
+    df: DataFrame,
+    col: str,
+    probs: Sequence[float],
+    with_n: bool = False,
+    compress_values: bool = True,
 ) -> DataFrame:
     """Type-7 exact percentiles WITHOUT the single-buffer aggregate:
     Spark's ``percentile`` (and DuckDB's ``quantile_cont``) buffer every
@@ -191,12 +195,25 @@ def exact_percentiles_distributed(
     identical interpolation arithmetic (gated by the
     ``distributed_exact_quantiles_check`` oracle query and the
     equivalence test in tests/test_operators.py).
+
+    ``compress_values=False`` (r12) skips the value-compression
+    groupBy: callers whose value domain is ~unique (Theil-Sen's
+    pairwise slopes — ratios of distinct integer pairs) pay a full
+    hash-aggregate exchange that compresses nothing; the cumulative
+    then runs over raw rows with c=1 each. Identical order statistics
+    either way — the probe reads the i-th smallest value off the
+    inclusive cumulative, which is the same multiset whether ties are
+    pre-grouped (one row, c=k) or not (k rows, c=1); pinned by
+    test_distributed_percentile_uncompressed_identical.
     """
     from .windows import range_partitioned_cumsum
 
     spark = df.sparkSession
     vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
-    counts = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    if compress_values:
+        counts = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    else:
+        counts = vals.withColumn("c", F.lit(1).cast("long"))
     cum0, part = range_partitioned_cumsum(
         counts, ["v"], ["c"], with_part=True
     )

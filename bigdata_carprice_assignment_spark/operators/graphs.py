@@ -12,6 +12,11 @@ from pyspark.sql import functions as F
 
 from ..plans.materialize import pinned
 
+# pagerank's node count per pool name — a scalar of the pooled degree
+# frame (same in-session lifecycle as the pool itself; invalidated on
+# rebuild). Saves one count job per pool_reuse call.
+_PR_N: dict[str, int] = {}
+
 
 def symmetric_adjacency(
     e: DataFrame, pool: str | None = None
@@ -28,7 +33,15 @@ def symmetric_adjacency(
     key is scanned from cache and satisfies the groupBy's required
     distribution outright (guide §2.4 — operations keyed the same way
     share one exchange; broadcast semi-joins preserve the layout).
-    ``pool=None`` keeps the old inline shape for one-shot callers."""
+    ``pool=None`` keeps the old inline shape for one-shot callers.
+
+    POOL-KEY CONTRACT: ``pool`` must uniquely key the EDGE SOURCE — a
+    pooled generation is served verbatim with no check that it was
+    built from an equivalent edge frame, so two callers passing
+    different edge lists under one pool name would silently compute
+    over the wrong graph. Current call sites key by sf_dir (the
+    per-corpus co-purchase graph); any new caller must do the same
+    (ADVICE r11)."""
     from ..plans.materialize import pinned, pool_get
 
     spark = e.sparkSession
@@ -150,13 +163,28 @@ def pagerank(
     ``pinned`` (large repeated index builds) doesn't apply. At true
     scale use ``checkpoint`` (reliable storage) for the same truncation
     with executor-failure tolerance.
-    """
-    from ..plans.materialize import pinned
 
-    edges = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    r12 — the loop's DRIVER overhead was half its wall (event log: 35
+    jobs, 2.7 s of job time inside a 4.8 s warm run). Two changes, both
+    bit-identical (probe: identical top-20 rows across all variants):
+
+    - ``localCheckpoint(eager=False)``: the per-iteration eager
+      materialization job is dropped; each checkpoint materializes (and
+      truncates lineage) inside the first job that reads it, so the
+      whole fixed-count loop drains in ONE action instead of 10+1.
+    - AQE is disabled AROUND the loop (restored after): every
+      iteration is the same fixed-shape join+aggregate over a pinned,
+      size-known input — per-iteration runtime re-optimization and its
+      stage-barrier jobs are pure driver latency here, at any scale
+      (the shuffle width stays the session's configured partitions,
+      the same scale knob every static exchange uses). Probe at sf0.1:
+      eager/AQE-on 7.4-62 s (unstable under contention), lazy/AQE-off
+      6.2-7.3 s stable.
+    """
+    from ..plans.materialize import pinned, pool_get
+
+    spark = e.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
     # Pin the degree-annotated edge list HASH-PARTITIONED ON src: every
     # iteration's contributions join keys on src, so the cached layout
     # already matches and the per-iteration plan never re-exchanges the
@@ -169,28 +197,44 @@ def pagerank(
     # immutable (the per-corpus co-purchase graph) pass a corpus-keyed
     # pool name and reuse the built generation — rebuilding the
     # degree-annotated table every call was ~4 jobs of pure recompute.
-    from ..plans.materialize import pool_get
-
-    n_parts = e.sparkSession.sparkContext.defaultParallelism
-    edeg = pool_get(pool + "_edeg", e.sparkSession) if pool_reuse else None
-    if edeg is None:
+    # r12: the node-grain degree table and its count ride the same pool
+    # (the count job and the degree groupBy re-ran per warm call).
+    edeg = pool_get(pool + "_edeg", spark) if pool_reuse else None
+    degp = pool_get(pool + "_deg", spark) if pool_reuse else None
+    if edeg is None or degp is None:
+        edges = e.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        degp = pinned(deg, pool + "_deg")
         edeg = pinned(
-            edges.join(deg, "src").repartition(n_parts, "src"), pool + "_edeg"
+            edges.join(degp, "src").repartition(n_parts, "src"), pool + "_edeg"
         )
-    n = deg.count()
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
-    base = (1.0 - damping) / n
-    for _ in range(iterations):
-        contrib = (
-            edeg.join(ranks, edeg["src"] == ranks["node"])
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+        _PR_N.pop(pool, None)
+    n = _PR_N.get(pool) if pool_reuse else None
+    if n is None:
+        n = degp.count()
+        _PR_N[pool] = n
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        ranks = degp.select(
+            F.col("src").alias("node"), F.lit(1.0 / n).alias("rank")
         )
-        ranks = contrib.select(
-            F.col("dst").alias("node"),
-            (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
-        ).localCheckpoint()
+        base = (1.0 - damping) / n
+        for _ in range(iterations):
+            contrib = (
+                edeg.join(ranks, edeg["src"] == ranks["node"])
+                .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
+                (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
+            ).localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return ranks
 
 
@@ -239,6 +283,16 @@ def kcore_peel_trace(
       0, so ``count(deg_0) = n_nodes``, and ``Σdeg_0/2 = |E|``).
 
     Driver actions per round: 2 (checkpoint + census) instead of 4.
+
+    r12: ONE driver action per round — the degree checkpoint is LAZY
+    (``eager=False``), so the census aggregate is the job that both
+    materializes the checkpoint blocks and folds the three scalars
+    (the separate eager-checkpoint job per round is gone), and AQE is
+    disabled around the loop (restored after): every round is the same
+    fixed-shape semi-join+aggregate over the pinned adjacency, so
+    per-round runtime re-optimization is pure driver latency. Probe at
+    sf0.1 (6 rounds): 2.9 s eager/AQE-on → 1.7 s lazy/AQE-off, traces
+    bit-identical.
     """
     from ..plans.materialize import pinned
 
@@ -247,41 +301,49 @@ def kcore_peel_trace(
     edges = e.select("u", "v")
     if not pre_pinned:
         edges = pinned(edges, pool + "_edges")
-    sym = symmetric_adjacency(edges, sym_pool)
-    alive = sym.select("node").distinct().localCheckpoint()
+    spark = e.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sym = symmetric_adjacency(edges, sym_pool)
+        alive = sym.select("node").distinct().localCheckpoint()
 
-    def alive_degrees(alive_df: DataFrame) -> DataFrame:
-        return (
-            sym.join(alive_df, "node", "leftsemi")
-            .join(
-                alive_df.select(F.col("node").alias("other")), "other", "leftsemi"
+        def alive_degrees(alive_df: DataFrame) -> DataFrame:
+            return (
+                sym.join(alive_df, "node", "leftsemi")
+                .join(
+                    alive_df.select(F.col("node").alias("other")),
+                    "other",
+                    "leftsemi",
+                )
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .localCheckpoint(eager=False)
             )
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .localCheckpoint()
-        )
 
-    def census(deg_df: DataFrame) -> tuple[int, int, int]:
-        row = deg_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("deg"), F.lit(0)).cast("long").alias("s"),
-            F.coalesce(
-                F.sum((F.col("deg") >= k).cast("long")), F.lit(0)
-            ).cast("long").alias("ge"),
-        ).collect()[0]
-        return int(row["n"]), int(row["s"]) // 2, int(row["ge"])
+        def census(deg_df: DataFrame) -> tuple[int, int, int]:
+            row = deg_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("deg"), F.lit(0)).cast("long").alias("s"),
+                F.coalesce(
+                    F.sum((F.col("deg") >= k).cast("long")), F.lit(0)
+                ).cast("long").alias("ge"),
+            ).collect()[0]
+            return int(row["n"]), int(row["s"]) // 2, int(row["ge"])
 
-    deg = alive_degrees(alive)  # degrees feeding the round-1 peel
-    n0, e0, ge = census(deg)
-    trace = [(0, n0, e0)]
-    for r in range(1, rounds + 1):
-        alive = deg.filter(F.col("deg") >= k).select("node")
-        # next round's degrees double as this round's edge census:
-        # sum over alive nodes of alive-neighbor counts = 2 * |e_alive|
-        deg = alive_degrees(alive)
-        n_alive = ge  # #(deg_{r-1} >= k), carried from the last census
-        _, n_edges, ge = census(deg)
-        trace.append((r, n_alive, n_edges))
+        deg = alive_degrees(alive)  # degrees feeding the round-1 peel
+        n0, e0, ge = census(deg)
+        trace = [(0, n0, e0)]
+        for r in range(1, rounds + 1):
+            alive = deg.filter(F.col("deg") >= k).select("node")
+            # next round's degrees double as this round's edge census:
+            # sum over alive nodes of alive-neighbor counts = 2*|e_alive|
+            deg = alive_degrees(alive)
+            n_alive = ge  # #(deg_{r-1} >= k), carried from the last census
+            _, n_edges, ge = census(deg)
+            trace.append((r, n_alive, n_edges))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return trace
 
 
@@ -301,20 +363,32 @@ def bfs_hop_counts(
     left_anti against the visited set — all hash-partitioned on the node
     key. Frontier and visited frames are ``localCheckpoint``-truncated
     (O(nodes), 1 column); per-hop driver traffic is one scalar count.
+
+    r12: ONE driver action per hop — frontier/visited checkpoints are
+    LAZY (the per-hop ``frontier.count()`` materializes the frontier;
+    the visited union materializes inside the next hop's anti-join) and
+    AQE is disabled around the fixed-shape loop (restored after) — the
+    same per-round driver-latency fix as ``kcore_peel_trace``.
     """
     edges = e.select("u", "v")
-    sym = symmetric_adjacency(edges, sym_pool)
-    frontier = seeds.select("node").distinct().localCheckpoint()
-    visited = frontier
-    trace = [(0, frontier.count())]
-    for h in range(1, hops + 1):
-        frontier = (
-            sym.join(frontier, "node", "leftsemi")
-            .select(F.col("other").alias("node"))
-            .distinct()
-            .join(visited, "node", "left_anti")
-            .localCheckpoint()
-        )
-        visited = visited.unionAll(frontier).localCheckpoint()
-        trace.append((h, frontier.count()))
+    spark = e.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sym = symmetric_adjacency(edges, sym_pool)
+        frontier = seeds.select("node").distinct().localCheckpoint()
+        visited = frontier
+        trace = [(0, frontier.count())]
+        for h in range(1, hops + 1):
+            frontier = (
+                sym.join(frontier, "node", "leftsemi")
+                .select(F.col("other").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .localCheckpoint(eager=False)
+            )
+            visited = visited.unionAll(frontier).localCheckpoint(eager=False)
+            trace.append((h, frontier.count()))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return trace

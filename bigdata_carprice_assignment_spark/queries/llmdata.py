@@ -337,7 +337,14 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(spark, sf_dir)
     sigs = _doc_sigs_prefix(spark, sf_dir, 32)
-    pairs = D.minhash_band_pairs(sigs, "doc_id", num_hashes=32)
+    pairs = D.minhash_band_pairs(
+        sigs,
+        "doc_id",
+        num_hashes=32,
+        # r12: pooled banding — the 32-hash prefix sigs are pooled, so
+        # the derived banded table is the same corpus-keyed index state
+        banded_pool=f"word_banded32:{sf_dir}",
+    )
     verified = D.jaccard_verify(
         docs, pairs, "text", "doc_id", threshold=0.5, shingled=sh
     )
@@ -2137,7 +2144,16 @@ def char_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             sig_pool,
         )
-    pairs = D.minhash_band_pairs(sigs, "doc_id", bands=16, num_hashes=128)
+    pairs = D.minhash_band_pairs(
+        sigs,
+        "doc_id",
+        bands=16,
+        num_hashes=128,
+        # r12: the banded table (doc × 16 band-bucket rows — per-call
+        # xxhash64 over 128 casted hashes per doc) is corpus-keyed
+        # index state exactly like ``sigs`` above; pool it.
+        banded_pool=f"char_banded128:{sf_dir}",
+    )
     verified = D.jaccard_verify(
         docs, pairs, "text", "doc_id", threshold=0.8, shingled=chsh
     )

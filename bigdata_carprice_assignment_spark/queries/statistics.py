@@ -537,35 +537,51 @@ def qty_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     is IEEE-deterministic, so the 6dp hash cannot drift on summation
     order (doubling is affine, so Pearson-on-2r ≡ Pearson-on-r).
 
-    Scale: per-variable rank tables come from a grouped count plus the
-    range-partitioned two-pass cumulative (no global single-task
-    window); the quantity rank table is tiny (few distinct values) and
-    broadcasts, the price rank join shuffles on the value key — the
-    unavoidable rank join — and the moments are one map-side-combined
-    aggregate."""
+    Scale: the quantity rank table comes from a grouped count plus the
+    range-partitioned two-pass cumulative and broadcasts (few distinct
+    values); the price side (r12) never joins ranks back onto the fact
+    at all — the moments are REGROUPED at the price grain: one grouped
+    pass over the fact (u attached by the broadcast) accumulates
+    (c, Σu, Σu²) per distinct price, the price rank w comes from the
+    cumulative over that same table, and every moment folds from the
+    per-price partials (Σw = Σc·w, Σw² = Σc·w², Σuw = Σw·Σu|_y — sums
+    of the SAME integers regrouped, so the decimals are identical).
+    This removes the fact-sized rank shuffle + sort-merge join the old
+    plan paid (guide §2.4)."""
     from ..operators.windows import range_partitioned_cumsum
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
     )
-    def doubled_ranks(vals: DataFrame, col: str, out: str) -> DataFrame:
-        by_v = vals.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
-        cum = range_partitioned_cumsum(by_v, [col], ["c"])
-        return cum.select(
-            col, (2 * F.col("cum_c") - F.col("c") + 1).alias(out)
-        )
-
-    ux = doubled_ranks(li, "x", "u")
-    uy = doubled_ranks(li, "y", "w")
-    r = li.join(F.broadcast(ux), "x").join(uy, "y")
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    s = r.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(d("u")).alias("su"),
-        F.sum(d("w")).alias("sw"),
-        F.sum(d("u") * d("u")).alias("suu"),
-        F.sum(d("w") * d("w")).alias("sww"),
-        F.sum(d("u") * d("w")).alias("suw"),
+
+    by_x = li.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    cum_x = range_partitioned_cumsum(by_x, ["x"], ["c"])
+    ux = cum_x.select("x", (2 * F.col("cum_c") - F.col("c") + 1).alias("u"))
+
+    per_y = (
+        li.join(F.broadcast(ux), "x")
+        .groupBy("y")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(d("u")).alias("su_y"),
+            F.sum(d("u") * d("u")).alias("suu_y"),
+        )
+    )
+    cum_y = range_partitioned_cumsum(per_y, ["y"], ["c"])
+    m = cum_y.select(
+        "c",
+        "su_y",
+        "suu_y",
+        (2 * F.col("cum_c") - F.col("c") + 1).alias("w"),
+    )
+    s = m.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("decimal(38,0)").alias("n"),
+        F.sum("su_y").alias("su"),
+        F.sum(d("c") * d("w")).alias("sw"),
+        F.sum("suu_y").alias("suu"),
+        F.sum(d("c") * d("w") * d("w")).alias("sww"),
+        F.sum(F.col("su_y") * d("w")).alias("suw"),
     )
     num = (F.col("n") * F.col("suw") - F.col("su") * F.col("sw")).cast("double")
     dx = (F.col("n") * F.col("suu") - F.col("su") * F.col("su")).cast("double")
@@ -1482,19 +1498,28 @@ def kaplan_meier_second_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = orders.agg(
         F.max(F.to_date(F.date_trunc("day", "o_orderdate"))).alias("mxd")
     )
-    first = r.filter(F.col("rn") == 1).select("o_custkey", F.col("d").alias("fd"))
-    second = r.filter(F.col("rn") == 2).select("o_custkey", F.col("d").alias("sd"))
-    subj = (
-        first.join(second, "o_custkey", "left")
-        .crossJoin(F.broadcast(mx))
-        .select(
-            F.when(
-                F.col("sd").isNotNull(), F.datediff("sd", "fd")
-            )
-            .otherwise(F.datediff("mxd", "fd"))
-            .alias("dur"),
-            F.when(F.col("sd").isNotNull(), 1).otherwise(0).alias("event"),
+    # r12: ONE window pass. The old shape filtered ``r`` twice (rn=1 /
+    # rn=2) and joined the halves — two full evaluations of the rank
+    # window plus a join (guide §1.2/§2.4). A groupBy on the window's
+    # own partition key folds both dates out of one pass and reuses the
+    # window's exchange outright: fd = d at rn=1 (exactly one row per
+    # customer), sd = d at rn=2 (at most one row — min(when) IS the
+    # left join's NULL-when-absent semantics).
+    per_cust = (
+        r.filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("fd"),
+            F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("sd"),
         )
+    )
+    subj = per_cust.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("sd").isNotNull(), F.datediff("sd", "fd")
+        )
+        .otherwise(F.datediff("mxd", "fd"))
+        .alias("dur"),
+        F.when(F.col("sd").isNotNull(), 1).otherwise(0).alias("event"),
     )
     byd = subj.groupBy("dur").agg(
         F.count(F.lit(1)).alias("c"), F.sum("event").alias("deaths")
@@ -1635,23 +1660,31 @@ def logrank_test_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         (F.col("c_mktsegment") == "BUILDING").cast("int").alias("g1"),
     )
-    mx = r.agg(F.max("d").alias("mxd"))
-    first = r.filter(F.col("rn") == 1).select(
-        "o_custkey", F.col("d").alias("fd"), "g1"
+    # mxd never needed the rank — aggregate the joined scan directly
+    # (the windowed form paid a full window pass for one max; the join
+    # preserves the row multiset, so max(d) is identical) (r12).
+    mx = j.agg(
+        F.max(F.to_date(F.date_trunc("day", "o_orderdate"))).alias("mxd")
     )
-    second = r.filter(F.col("rn") == 2).select(
-        "o_custkey", F.col("d").alias("sd")
-    )
-    subj = (
-        first.join(second, "o_custkey", "left")
-        .crossJoin(F.broadcast(mx))
-        .select(
-            "g1",
-            F.when(F.col("sd").isNotNull(), F.datediff("sd", "fd"))
-            .otherwise(F.datediff("mxd", "fd"))
-            .alias("dur"),
-            F.when(F.col("sd").isNotNull(), 1).otherwise(0).alias("event"),
+    # r12: ONE window pass — same fusion as kaplan_meier_second_order
+    # (two rn-filters + join → groupBy on the window's partition key;
+    # g1 is constant per customer, so reading it off the rn=1 row is
+    # exactly the old first-half projection).
+    per_cust = (
+        r.filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("fd"),
+            F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("sd"),
+            F.min(F.when(F.col("rn") == 1, F.col("g1"))).alias("g1"),
         )
+    )
+    subj = per_cust.crossJoin(F.broadcast(mx)).select(
+        "g1",
+        F.when(F.col("sd").isNotNull(), F.datediff("sd", "fd"))
+        .otherwise(F.datediff("mxd", "fd"))
+        .alias("dur"),
+        F.when(F.col("sd").isNotNull(), 1).otherwise(0).alias("event"),
     )
     byd = subj.groupBy("dur").agg(
         F.sum("g1").alias("c1"),
@@ -1761,10 +1794,10 @@ def anderson_darling_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the dense (group x distinct-value) grid is k*L rows; the
     pooled cumulative runs over the value-compressed domain via
     range_partitioned_cumsum (no global single-task window — same route
-    as kruskal_wallis_components), and the per-group cumulative runs
-    inside (group) partitions, which are bounded by the 5-priority key."""
-    from pyspark.sql import Window
-
+    as kruskal_wallis_components), and the per-group cumulative (r12)
+    runs as ONE global range-partitioned cumulative over (g, v) minus
+    bounded per-group offsets — parallel across the value domain, no
+    k-partition window for AQE to serialize."""
     from ..operators.windows import range_partitioned_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1794,17 +1827,29 @@ def anderson_darling_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", "l", "b2", "g", "ni", F.coalesce("f", F.lit(0)).alias("f")
         )
     )
-    wg = (
-        Window.partitionBy("g")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # r12 (guide §2.5): the per-group cumulative ran as a
+    # ``Window.partitionBy(g)`` over the k*L grid — k=5 partitions, and
+    # AQE's byte-based coalescing serialized the whole fold onto 1-3
+    # tasks (the residual ~1.5 s single-task stage the r11 round
+    # flagged). Same discipline as exact_percentiles_distributed_grouped:
+    # ONE global range-partitioned cumulative over (g, v) order —
+    # parallel across the value domain even inside one group — minus
+    # each group's exclusive offset (sum of preceding groups' sizes,
+    # a bounded k-row triangle broadcast). Identical exact integers:
+    # intra-group cum(f) = global (g,v)-cum(f) − Σ ni of groups < g.
+    gcum = range_partitioned_cumsum(grid, ["g", "v"], ["f"])
+    gb = grps.select(F.col("g").alias("_g2"), F.col("ni").alias("_ni2"))
+    off = (
+        grps.join(F.broadcast(gb), F.col("_g2") < F.col("g"), "left")
+        .groupBy("g")
+        .agg(F.coalesce(F.sum("_ni2"), F.lit(0)).alias("_off"))
     )
-    mg = grid.select(
+    mg = gcum.join(F.broadcast(off), "g").select(
         "g",
         "ni",
         "l",
         "b2",
-        (2 * F.sum("f").over(wg) - F.col("f")).alias("m2"),
+        (2 * (F.col("cum_f") - F.col("_off")) - F.col("f")).alias("m2"),
     )
     tot = bv.agg(
         F.sum("l").cast("long").alias("n"),
@@ -2299,17 +2344,21 @@ def nelson_aalen_cumulative_hazard(spark: SparkSession, sf_dir: str) -> DataFram
     mx = orders.agg(
         F.max(F.to_date(F.date_trunc("day", "o_orderdate"))).alias("mxd")
     )
-    first = r.filter(F.col("rn") == 1).select("o_custkey", F.col("d").alias("fd"))
-    second = r.filter(F.col("rn") == 2).select("o_custkey", F.col("d").alias("sd"))
-    subj = (
-        first.join(second, "o_custkey", "left")
-        .crossJoin(F.broadcast(mx))
-        .select(
-            F.when(F.col("sd").isNotNull(), F.datediff("sd", "fd"))
-            .otherwise(F.datediff("mxd", "fd"))
-            .alias("dur"),
-            F.when(F.col("sd").isNotNull(), 1).otherwise(0).alias("event"),
+    # r12: ONE window pass — same fusion as kaplan_meier_second_order
+    # (two rn-filters + join → groupBy on the window's partition key).
+    per_cust = (
+        r.filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("fd"),
+            F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("sd"),
         )
+    )
+    subj = per_cust.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("sd").isNotNull(), F.datediff("sd", "fd"))
+        .otherwise(F.datediff("mxd", "fd"))
+        .alias("dur"),
+        F.when(F.col("sd").isNotNull(), 1).otherwise(0).alias("event"),
     )
     byd = subj.groupBy("dur").agg(
         F.count(F.lit(1)).alias("c"), F.sum("event").alias("deaths")
@@ -2448,7 +2497,12 @@ def bootstrap_mean_se_order_value(spark: SparkSession, sf_dir: str) -> DataFrame
     # BEFORE the digests so the md5 work spreads across the cluster;
     # the exchange moves 16 bytes/row once. Every weight is a pure
     # function of (replicate, o_orderkey), so the reweighted sums are
-    # the same multiset regardless of partitioning.
+    # the same MULTISET regardless of partitioning; their float64
+    # partial-sum MERGE ORDER does change vs the old scan-split plan,
+    # and it is the final 6dp round that absorbs the ~1e-15
+    # reassociation noise and makes the RESULT partitioning-insensitive
+    # (same discipline winsorized_correlation documents; oracle MATCH
+    # verified at sf0.01 — ADVICE r11).
     orders = orders.select("o_totalprice", "o_orderkey").repartition(
         spark.sparkContext.defaultParallelism, "o_orderkey"
     )

@@ -1306,9 +1306,13 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("xb") - F.col("xa")),
         ).alias("slope")
     )
-    med = exact_percentiles_distributed(p, "slope", [0.5]).select(
-        F.col("value").alias("med_slope")
-    )
+    # compress_values=False (r12): the ~C(n_days,2) slopes are ratios
+    # of distinct day pairs — nearly all unique — so the percentile's
+    # value-compression groupBy was a full extra exchange over the pair
+    # frame that compressed nothing (guide §2.4).
+    med = exact_percentiles_distributed(
+        p, "slope", [0.5], compress_values=False
+    ).select(F.col("value").alias("med_slope"))
     h = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     ols = d.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
