@@ -1272,15 +1272,29 @@ def incremental_daily_refresh_accounting(
     )
     cents = F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents")
     n = F.count(F.lit(1)).alias("n")
-    base = ev.filter(~is_late).groupBy("day").agg(n, cents)
-    late_days = ev.filter(is_late).select("day").distinct()
-    refreshed = (
-        ev.join(F.broadcast(late_days), "day", "left_semi")
-        .groupBy("day")
-        .agg(n, cents)
+    # r12 (guide §1.2): base / late-day list / refreshed / full recompute
+    # were FOUR independent fact passes over events. One grouped pass at
+    # (day, late?) grain — calendar-bounded, pinned — determines all of
+    # them: base = the non-late partials, late days = the late rows'
+    # days, full = partials re-summed per day. Regrouping is exact: n is
+    # a long, and every cents partial sums integer-valued doubles
+    # (round(value*100)) whose running sums stay far under 2^53, so any
+    # grouping yields the identical double → identical long.
+    from ..plans.materialize import pinned_lru
+
+    g = pinned_lru(
+        ev.groupBy("day", is_late.alias("_late")).agg(n, cents),
+        "incr_refresh_day_parity",
+        keep=2,
     )
+    base = g.filter(~F.col("_late")).select("day", "n", "cents")
+    late_days = g.filter(F.col("_late")).select("day").distinct()
+    full_agg = g.groupBy("day").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    refreshed = full_agg.join(F.broadcast(late_days), "day", "left_semi")
     final = base.join(late_days, "day", "left_anti").unionByName(refreshed)
-    full_agg = ev.groupBy("day").agg(n, cents)
     mismatch = final.exceptAll(full_agg).agg(
         F.count(F.lit(1)).alias("n_mismatched_days")
     )
@@ -2314,6 +2328,14 @@ def order_value_qq_period_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, p in enumerate(probs, 1)
         ]
     )
+    # pinned (r12, guide §1.2): the 2-row percentile aggregate is
+    # referenced by every arm of the 9-decile union below (the early
+    # side once and the late side once per decile — up to 18 plans,
+    # each re-running the fact-sized percentile buffers; profiler: 33
+    # jobs per warm run). One evaluation, 2 cached rows.
+    from ..plans.materialize import pinned_lru
+
+    q = pinned_lru(q, "qq_drift_quantiles", keep=2)
     e = q.filter(F.col("period") == "early")
     late = q.filter(F.col("period") == "late")
     rows = None

@@ -999,14 +999,21 @@ def customer_upsert_merge_accounting(spark: SparkSession, sf_dir: str) -> DataFr
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_orderdate"), F.desc("o_orderkey")
     )
-    latest = (
+    from ..plans.materialize import pinned_lru
+
+    # pinned (r12, guide §1.2): ``latest`` feeds both the feed filter
+    # and the insert slice — two full evaluations of the rank window
+    # before; the pin is customer-grain (bounded), evaluated once.
+    latest = pinned_lru(
         orders.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
             F.col("o_custkey").alias("c_custkey"),
             F.col("o_totalprice").alias("last_totalprice"),
             F.col("o_orderpriority").alias("last_priority"),
-        )
+        ),
+        "upsert_latest",
+        keep=2,
     )
     # deterministic out-of-keyspace slice (key filter, not limit — limit
     # order is not driver-stable) exercises the insert branch
